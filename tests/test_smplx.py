@@ -1,0 +1,186 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamwaltz_g_tpu.human import glbs as G
+from dreamwaltz_g_tpu.human import smplx_model as S
+
+
+@pytest.fixture(scope="module")
+def model():
+    return S.make_synthetic_model(num_vertices=96, num_joints=6, num_betas=3, num_expr=2)
+
+
+def make_params(model, rng=None, pose_scale=0.0, beta_scale=0.0, transl=None):
+    J = model.num_joints
+    B = 1
+    betas = jnp.zeros((B, model.num_betas))
+    expr = jnp.zeros((B, model.num_expr))
+    full_pose = jnp.zeros((B, J * 3))
+    if rng is not None:
+        betas = jnp.asarray(beta_scale * rng.standard_normal((B, model.num_betas)), jnp.float32)
+        expr = jnp.asarray(beta_scale * rng.standard_normal((B, model.num_expr)), jnp.float32)
+        full_pose = jnp.asarray(pose_scale * rng.standard_normal((B, J * 3)), jnp.float32)
+    t = jnp.zeros((B, 3)) if transl is None else jnp.asarray(transl, jnp.float32).reshape(B, 3)
+    # synthetic model has generic J, so drive smplx_forward via explicit full_pose
+    params = S.SMPLXParams(
+        betas=betas, expression=expr,
+        global_orient=full_pose[:, :3], body_pose=jnp.zeros((B, 63)),
+        jaw_pose=jnp.zeros((B, 3)), leye_pose=jnp.zeros((B, 3)),
+        reye_pose=jnp.zeros((B, 3)), left_hand_pose=jnp.zeros((B, 45)),
+        right_hand_pose=jnp.zeros((B, 45)), transl=t,
+    )
+    return params, full_pose
+
+
+def numpy_lbs_reference(model, betas, expr, full_pose, transl):
+    """Independent dense LBS implementation (explicit loops, float64)."""
+    def rodrigues(a):
+        th = np.linalg.norm(a)
+        if th < 1e-12:
+            return np.eye(3)
+        k = a / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+    v_t = np.asarray(model.v_template, np.float64)
+    sd = np.asarray(model.shapedirs, np.float64)
+    ed = np.asarray(model.expr_dirs, np.float64)
+    pd = np.asarray(model.posedirs, np.float64)
+    Jr = np.asarray(model.J_regressor, np.float64)
+    W = np.asarray(model.lbs_weights, np.float64)
+    parents = model.parents
+    J = Jr.shape[0]
+
+    sc = np.concatenate([betas, expr])
+    dirs = np.concatenate([sd, ed], axis=-1)
+    v_shaped = v_t + np.einsum("vcl,l->vc", dirs, sc)
+    j_rest = Jr @ v_shaped
+
+    rots = [rodrigues(full_pose[3 * j: 3 * j + 3]) for j in range(J)]
+    pf = np.concatenate([(rots[j] - np.eye(3)).reshape(-1) for j in range(1, J)])
+    v_posed = v_shaped + (pf @ pd).reshape(-1, 3)
+
+    # forward kinematics
+    Gm = [None] * J
+    for j in range(J):
+        local = np.eye(4)
+        local[:3, :3] = rots[j]
+        local[:3, 3] = j_rest[j] - (j_rest[parents[j]] if parents[j] >= 0 else 0)
+        Gm[j] = local if parents[j] < 0 else Gm[parents[j]] @ local
+    A = []
+    for j in range(J):
+        off = np.eye(4)
+        off[:3, 3] = -j_rest[j]
+        A.append(Gm[j] @ off)
+    A = np.stack(A)
+
+    verts = np.zeros_like(v_posed)
+    for v in range(v_posed.shape[0]):
+        Tm = np.einsum("j,jkl->kl", W[v], A)
+        verts[v] = Tm[:3, :3] @ v_posed[v] + Tm[:3, 3]
+    joints = np.stack([Gm[j][:3, 3] for j in range(J)])
+    return verts + transl, joints + transl, A
+
+
+def test_rest_pose_is_template(model):
+    params, full_pose = make_params(model)
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    np.testing.assert_allclose(out.vertices[0], model.v_template, atol=1e-5)
+
+
+def test_forward_matches_numpy_reference(model, rng):
+    params, full_pose = make_params(model, rng, pose_scale=0.6, beta_scale=1.0,
+                                    transl=[0.1, -0.2, 0.3])
+    # randomize the full pose over all joints
+    full_pose = jnp.asarray(0.5 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    verts_ref, joints_ref, A_ref = numpy_lbs_reference(
+        model,
+        np.asarray(params.betas[0], np.float64),
+        np.asarray(params.expression[0], np.float64),
+        np.asarray(full_pose[0], np.float64),
+        np.asarray(params.transl[0], np.float64),
+    )
+    np.testing.assert_allclose(out.vertices[0], verts_ref, atol=2e-5)
+    np.testing.assert_allclose(out.joints[0], joints_ref, atol=2e-5)
+    np.testing.assert_allclose(out.A[0], A_ref, atol=2e-5)
+
+
+def test_global_orient_rotates_about_root(model, rng):
+    aa = np.asarray([0.0, np.pi / 2, 0.0], np.float32)
+    params, full_pose = make_params(model)
+    full_pose = full_pose.at[0, :3].set(jnp.asarray(aa))
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    from dreamwaltz_g_tpu.utils.transforms import axis_angle_to_matrix
+
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)[None]))[0]
+    j0 = np.asarray(jnp.einsum("v,vc->c", model.J_regressor[0], model.v_template))
+    expect = (np.asarray(model.v_template) - j0) @ R.T + j0
+    np.testing.assert_allclose(out.vertices[0], expect, atol=1e-5)
+
+
+def test_glbs_transform_V_reproduces_forward(model, rng):
+    params, _ = make_params(model, rng, pose_scale=0.4, beta_scale=0.5, transl=[0.2, 0.1, -0.3])
+    full_pose = jnp.asarray(0.4 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    tr = G.glbs_transforms(model, params, full_pose=full_pose)
+    got = tr.transform_V.transform_points(model.v_template)
+    np.testing.assert_allclose(got, out.vertices[0], atol=2e-5)
+
+
+def test_glbs_transform_J_reproduces_joints(model, rng):
+    params, _ = make_params(model, rng, pose_scale=0.4, beta_scale=0.5, transl=[0.0, 0.5, 0.0])
+    full_pose = jnp.asarray(0.4 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    tr = G.glbs_transforms(model, params, full_pose=full_pose)
+    got = tr.transform_J.transform_points(G.joint_template(model))
+    np.testing.assert_allclose(got, out.joints[0], atol=2e-5)
+
+
+def test_glbs_skin_arbitrary_points_vertex_weights(model, rng):
+    """Skinning v_shaped+pose_offsets points with the vertex lbs weights via
+    the J_pose_rigid path must equal the full forward."""
+    params, _ = make_params(model, rng, pose_scale=0.5)
+    full_pose = jnp.asarray(0.5 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+    out = S.smplx_forward(model, params, full_pose=full_pose)
+    tr = G.glbs_transforms(model, params, full_pose=full_pose)
+    pts = out.v_shaped[0] + out.pose_offsets[0]
+    got = G.skin_points_by_joint_weights(tr, pts, model.lbs_weights,
+                                         transl=params.transl[0])
+    np.testing.assert_allclose(got, out.vertices[0], atol=2e-5)
+
+
+def test_glbs_inverse_roundtrip(model, rng):
+    """Canonical->observed->canonical via transform inverse is identity."""
+    params, _ = make_params(model, rng, pose_scale=0.5)
+    full_pose = jnp.asarray(0.5 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+    tr = G.glbs_transforms(model, params, full_pose=full_pose)
+    pts = jnp.asarray(rng.standard_normal((50, 3)), jnp.float32) * 0.3
+    w = jnp.asarray(rng.dirichlet(np.ones(model.num_joints), size=50), jnp.float32)
+    per_point = tr.J_pose_rigid.weight(w)
+    fwd = per_point.transform_points(pts)
+    back = per_point.inverse().transform_points(fwd)
+    # NOTE: blended LBS matrices are not orthonormal; RigidTransform.inverse
+    # assumes rigid rot — only valid when weights are near-one-hot. Use
+    # one-hot here (the true inverse-LBS subtlety is handled in the avatar).
+    onehot = jnp.eye(model.num_joints)[jnp.asarray(rng.integers(0, model.num_joints, 50))]
+    per_point = tr.J_pose_rigid.weight(onehot)
+    fwd = per_point.transform_points(pts)
+    back = per_point.inverse().transform_points(fwd)
+    np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_forward_jits_and_differentiates(model, rng):
+    params, _ = make_params(model, rng, pose_scale=0.3)
+    full_pose = jnp.asarray(0.3 * rng.standard_normal((1, model.num_joints * 3)), jnp.float32)
+
+    @jax.jit
+    def loss_fn(fp):
+        out = S.smplx_forward(model, params, full_pose=fp)
+        return jnp.sum(out.vertices ** 2)
+
+    g = jax.grad(loss_fn)(full_pose)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
