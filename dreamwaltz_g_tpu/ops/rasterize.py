@@ -1,0 +1,415 @@
+"""Differentiable 3D Gaussian Splatting rasterizer, TPU-native.
+
+Replaces the reference's external `diff_gaussian_rasterization` CUDA
+extension (reference: core/gaussian/gaussian_renderer.py:5,130-224; ashawkey
+fork returning image+radii+depth+alpha). The design is built for the MXU
+rather than translated from CUDA:
+
+1. **project**: EWA splatting — camera-space transform, perspective Jacobian,
+   2D covariance + conic, radius, culling. Pure jnp, fully fused by XLA.
+2. **bin**: depth-ordered tile assignment with static shapes — each Gaussian
+   emits up to D (tile, rank) key pairs; one lexicographic `lax.sort` over
+   (tile, depth-rank) yields per-tile contiguous, depth-sorted segments that
+   are scattered into a fixed-capacity (T, K) index table. No atomics, no
+   dynamic lists.
+3. **blend**: per-tile front-to-back alpha compositing in *log-transmittance*
+   form: within a chunk of C Gaussians the exclusive prefix
+   sum of log(1-w) is a (P, C) @ (C, C) strict-upper-triangular matmul and
+   the channel accumulation is a (P, C) @ (C, CV) matmul — both land on the
+   MXU (the GEMM-formulation trick; cf. PAPERS.md GEMM-GS). A `lax.scan`
+   over chunks carries per-pixel log-T, with `jax.checkpoint` so backward
+   recomputes chunks instead of storing (T, P, C) residuals.
+
+Differentiable end-to-end by JAX autodiff, including the screen-space
+mean gradients the densifier needs (expose the projected means via the
+two-stage API: `project_gaussians` -> `rasterize_projected`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.transforms import quat_to_matrix
+
+
+class Gaussians2D(NamedTuple):
+    """Screen-space Gaussians (N per entry; index order = input order)."""
+
+    means2d: jnp.ndarray   # (N, 2) pixel coords
+    conic: jnp.ndarray     # (N, 3) inverse 2D covariance packed (a, b, c)
+    depth: jnp.ndarray     # (N,) camera-space z
+    radius: jnp.ndarray    # (N,) screen-space extent in pixels (0 = culled)
+    opacity: jnp.ndarray   # (N,) pre-activation blended alpha in [0, 1)
+    colors: jnp.ndarray    # (N, CH) per-view colors (SH already evaluated)
+    mask: jnp.ndarray      # (N,) bool — visible & alive
+
+
+def covariance3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Σ = R S Sᵀ Rᵀ from unit quaternions (N,4) and scales (N,3)."""
+    R = quat_to_matrix(quats)
+    M = R * scales[..., None, :]
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    tanfov: Optional[jnp.ndarray] = None,
+    alive: Optional[jnp.ndarray] = None,
+    z_near: float = 0.2,
+    blur: float = 0.3,
+) -> Gaussians2D:
+    """EWA projection of 3D Gaussians to screen space.
+
+    Args:
+        means3d: (N, 3) world positions
+        cov3d: (N, 3, 3) world covariance
+        opacities: (N,) in [0, 1]
+        colors: (N, CH)
+        viewmatrix: (4, 4) world->camera
+        intrinsics: (3, 3) with fx>0, fy<0 (y-flip convention)
+        tanfov: scalar tan(fov/2) for frustum clamping of the Jacobian
+    """
+    W = viewmatrix[:3, :3]
+    t = means3d @ W.T + viewmatrix[:3, 3]
+    tx, ty, tz = t[:, 0], t[:, 1], t[:, 2]
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+
+    tz_safe = jnp.maximum(tz, 1e-6)
+    u = fx * tx / tz_safe + cx
+    v = fy * ty / tz_safe + cy
+    means2d = jnp.stack([u, v], axis=-1)
+
+    # Jacobian of (u, v) wrt camera-space point, with frustum-clamped tx/tz
+    # (standard 3DGS trick to stabilize far-offscreen splats).
+    if tanfov is None:
+        tanfov = jnp.asarray(image_height / (2.0 * jnp.abs(fy)))
+    lim = 1.3 * tanfov
+    txz = jnp.clip(tx / tz_safe, -lim, lim)
+    tyz = jnp.clip(ty / tz_safe, -lim, lim)
+    zero = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([fx / tz_safe, zero, -fx * txz / tz_safe], -1),
+            jnp.stack([zero, fy / tz_safe, -fy * tyz / tz_safe], -1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+
+    cov_cam = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)
+    cov2d = cov2d.at[:, 0, 0].add(blur)
+    cov2d = cov2d.at[:, 1, 1].add(blur)
+
+    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_safe = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    visible = (tz > z_near) & (det > 0)
+    if alive is not None:
+        visible = visible & alive
+    # cull fully-offscreen splats
+    visible = visible & (u + radius > 0) & (u - radius < image_width) \
+        & (v + radius > 0) & (v - radius < image_height)
+    radius = jnp.where(visible, radius, 0.0)
+
+    return Gaussians2D(
+        means2d=means2d,
+        conic=conic,
+        depth=tz,
+        radius=radius,
+        opacity=opacities,
+        colors=colors,
+        mask=visible,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tile binning
+# ---------------------------------------------------------------------------
+
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    capacity: int = 1024,
+    max_tiles_per_gaussian: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-ordered tile index table.
+
+    Returns (tile_lists (T, K) int32 with sentinel N for empty slots,
+    tile_counts (T,) int32). Per-tile entries are depth-sorted (near first).
+
+    Each Gaussian contributes to at most `max_tiles_per_gaussian` tiles,
+    row-major from its top-left overlapped tile; extremely large splats are
+    cropped (log-free static-shape bound; enlarge D for giant backgrounds).
+    """
+    N = means2d.shape[0]
+    D = max_tiles_per_gaussian
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+    T = Tx * Ty
+
+    # depth rank (stable: ties keep input order), dead entries last
+    order = jnp.argsort(jnp.where(mask, depth, jnp.inf))
+    rank = jnp.zeros(N, jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+
+    x, y = means2d[:, 0], means2d[:, 1]
+    r = radius
+    txmin = jnp.clip(jnp.floor((x - r) / tile_size), 0, Tx - 1).astype(jnp.int32)
+    txmax = jnp.clip(jnp.floor((x + r) / tile_size), 0, Tx - 1).astype(jnp.int32)
+    tymin = jnp.clip(jnp.floor((y - r) / tile_size), 0, Ty - 1).astype(jnp.int32)
+    tymax = jnp.clip(jnp.floor((y + r) / tile_size), 0, Ty - 1).astype(jnp.int32)
+    sw = txmax - txmin + 1
+    sh = tymax - tymin + 1
+
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]           # (1, D)
+    dx = d % sw[:, None]
+    dy = d // sw[:, None]
+    valid = mask[:, None] & (d < sw[:, None] * sh[:, None]) & (dy < sh[:, None]) \
+        & (r[:, None] > 0)
+    tile_id = (tymin[:, None] + dy) * Tx + (txmin[:, None] + dx)
+    tile_id = jnp.where(valid, tile_id, T).astype(jnp.int32)
+
+    flat_tile = tile_id.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], (N, D)).reshape(-1)
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, D)
+    ).reshape(-1)
+
+    # lexicographic sort by (tile, depth-rank) — per-tile segments come out
+    # contiguous and depth-ordered; invalid entries (tile=T) sink to the end
+    s_tile, s_rank, s_idx = jax.lax.sort(
+        (flat_tile, flat_rank, flat_idx), num_keys=2
+    )
+
+    seg_start = jnp.searchsorted(s_tile, jnp.arange(T, dtype=jnp.int32))
+    pos = jnp.arange(N * D, dtype=jnp.int32) - seg_start[jnp.clip(s_tile, 0, T - 1)]
+    in_range = (s_tile < T) & (pos < capacity)
+    dest = jnp.where(in_range, s_tile * capacity + pos, T * capacity)
+
+    tile_lists = jnp.full((T * capacity,), N, jnp.int32)
+    tile_lists = tile_lists.at[dest].set(s_idx, mode="drop")
+    tile_lists = tile_lists.reshape(T, capacity)
+
+    seg_end = jnp.searchsorted(s_tile, jnp.arange(1, T + 1, dtype=jnp.int32))
+    tile_counts = jnp.minimum(seg_end - seg_start, capacity).astype(jnp.int32)
+    return tile_lists, tile_counts
+
+
+# ---------------------------------------------------------------------------
+# Tile blending (log-transmittance, MXU matmuls)
+# ---------------------------------------------------------------------------
+
+def _tile_pixel_coords(image_height, image_width, tile_size, dtype=jnp.float32):
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+    ty, tx = jnp.meshgrid(jnp.arange(Ty), jnp.arange(Tx), indexing="ij")
+    base = jnp.stack([tx.reshape(-1) * tile_size, ty.reshape(-1) * tile_size], -1)
+    py, px = jnp.meshgrid(jnp.arange(tile_size), jnp.arange(tile_size), indexing="ij")
+    local = jnp.stack([px.reshape(-1), py.reshape(-1)], -1)
+    pix = base[:, None, :] + local[None, :, :]
+    return (pix.astype(dtype) + 0.5)  # (T, P, 2) pixel centers
+
+
+def blend_tiles(
+    tile_lists: jnp.ndarray,
+    g: Gaussians2D,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    chunk: int = 128,
+    alpha_clip: float = 0.999,
+    min_alpha: float = 1.0 / 255.0,
+) -> jnp.ndarray:
+    """Front-to-back alpha blending over the (T, K) tile lists.
+
+    Returns (H, W, CH + 2): [colors..., accumulated depth, weights_sum].
+    """
+    T, K = tile_lists.shape
+    N, CH = g.colors.shape
+    P = tile_size * tile_size
+    C = min(chunk, K)
+    n_chunks = -(-K // C)
+    if K % C != 0:  # pad lists to a chunk multiple with the sentinel
+        tile_lists = jnp.pad(tile_lists, ((0, 0), (0, n_chunks * C - K)),
+                             constant_values=N)
+
+    # padded attributes: sentinel N is a dead gaussian
+    pad1 = lambda a, v=0.0: jnp.concatenate(  # noqa: E731
+        [a, jnp.full((1,) + a.shape[1:], v, a.dtype)], axis=0)
+    means2d = pad1(g.means2d)
+    conic = pad1(g.conic)
+    opacity = pad1(g.opacity) * pad1(g.mask.astype(g.opacity.dtype))
+    # value matrix: [colors, depth, 1] -> accumulate rgb / depth / alpha at once
+    values = jnp.concatenate(
+        [g.colors, g.depth[:, None], jnp.ones((N, 1), g.colors.dtype)], axis=-1)
+    values = pad1(values)
+    CV = CH + 2
+
+    pix = _tile_pixel_coords(image_height, image_width, tile_size)  # (T, P, 2)
+    # strict upper-triangular ones: E[p, i] = sum_{j < i} l[p, j]
+    triu = jnp.triu(jnp.ones((C, C), jnp.float32), k=1)
+
+    idx_chunks = tile_lists.reshape(T, n_chunks, C).transpose(1, 0, 2)  # (n, T, C)
+
+    def chunk_step(carry, idx):
+        log_t, acc = carry                       # (T, P), (T, P, CV)
+        xy = means2d[idx]                        # (T, C, 2)
+        con = conic[idx]                         # (T, C, 3)
+        op = opacity[idx]                        # (T, C)
+        val = values[idx]                        # (T, C, CV)
+
+        dx = pix[:, :, None, 0] - xy[:, None, :, 0]   # (T, P, C)
+        dy = pix[:, :, None, 1] - xy[:, None, :, 1]
+        q = (con[:, None, :, 0] * dx * dx
+             + 2.0 * con[:, None, :, 1] * dx * dy
+             + con[:, None, :, 2] * dy * dy)
+        w = op[:, None, :] * jnp.exp(-0.5 * q)
+        w = jnp.where((q >= 0) & (w >= min_alpha), jnp.minimum(w, alpha_clip), 0.0)
+        l = jnp.log1p(-w)
+
+        excl = jnp.einsum("tpc,cd->tpd", l, triu) + log_t[:, :, None]
+        contrib = jnp.exp(excl) * w              # (T, P, C)
+        acc = acc + jnp.einsum("tpc,tcv->tpv", contrib, val)
+        log_t = log_t + jnp.sum(l, axis=-1)
+        return (log_t, acc), None
+
+    init = (jnp.zeros((T, P), jnp.float32), jnp.zeros((T, P, CV), jnp.float32))
+    (log_t, acc), _ = jax.lax.scan(
+        jax.checkpoint(chunk_step), init, idx_chunks
+    )
+
+    # untile: (T, P, CV) -> (H, W, CV)
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+    img = acc.reshape(Ty, Tx, tile_size, tile_size, CV)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(Ty * tile_size, Tx * tile_size, CV)
+    return img[:image_height, :image_width]
+
+
+class RasterOutput(NamedTuple):
+    image: jnp.ndarray   # (H, W, CH)
+    alpha: jnp.ndarray   # (H, W)
+    depth: jnp.ndarray   # (H, W) alpha-weighted expected depth
+    radii: jnp.ndarray   # (N,) screen radii (0 = culled) — densifier stats
+
+
+def rasterize_projected(
+    g: Gaussians2D,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    capacity: int = 1024,
+    chunk: int = 128,
+    max_tiles_per_gaussian: int = 16,
+) -> RasterOutput:
+    """Bin + blend already-projected Gaussians. Differentiable wrt all float
+    fields of ``g`` (binning is a stop-gradient index structure, as in the
+    CUDA rasterizer)."""
+    tile_lists, _ = bin_gaussians(
+        jax.lax.stop_gradient(g.means2d),
+        jax.lax.stop_gradient(g.radius),
+        jax.lax.stop_gradient(g.depth),
+        g.mask,
+        image_height, image_width, tile_size, capacity, max_tiles_per_gaussian,
+    )
+    out = blend_tiles(tile_lists, g, image_height, image_width, tile_size, chunk)
+    CH = g.colors.shape[-1]
+    return RasterOutput(
+        image=out[..., :CH],
+        alpha=out[..., CH + 1],
+        depth=out[..., CH],
+        radii=g.radius,
+    )
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    alive: Optional[jnp.ndarray] = None,
+    tanfov: Optional[jnp.ndarray] = None,
+    tile_size: int = 32,
+    capacity: int = 1024,
+    chunk: int = 128,
+    max_tiles_per_gaussian: int = 16,
+) -> RasterOutput:
+    """One-call rasterization from 3D Gaussian parameters (the
+    `GaussianRasterizer` equivalent, reference: gaussian_renderer.py:130-224)."""
+    cov3d = covariance3d(quats, scales)
+    g2d = project_gaussians(
+        means3d, cov3d, opacities, colors, viewmatrix, intrinsics,
+        image_height, image_width, tanfov=tanfov, alive=alive,
+    )
+    return rasterize_projected(
+        g2d, image_height, image_width, tile_size, capacity, chunk,
+        max_tiles_per_gaussian,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slow per-pixel reference (for tests)
+# ---------------------------------------------------------------------------
+
+def rasterize_reference(
+    g: Gaussians2D, image_height: int, image_width: int,
+    alpha_clip: float = 0.999, min_alpha: float = 1.0 / 255.0,
+) -> jnp.ndarray:
+    """O(N·H·W) per-pixel blending in exact front-to-back order. Test oracle
+    only (mirrors SURVEY.md §4's 'slow pure-jnp reference' plan)."""
+    order = jnp.argsort(jnp.where(g.mask, g.depth, jnp.inf))
+    xy = g.means2d[order]
+    con = g.conic[order]
+    op = jnp.where(g.mask, g.opacity, 0.0)[order]
+    N, CH = g.colors.shape
+    values = jnp.concatenate(
+        [g.colors, g.depth[:, None], jnp.ones((N, 1))], axis=-1)[order]
+    # radius-culled splats do not contribute (parity with the tiled path)
+    op = jnp.where(g.radius[order] > 0, op, 0.0)
+
+    yy, xx = jnp.meshgrid(jnp.arange(image_height), jnp.arange(image_width),
+                          indexing="ij")
+    px = xx.astype(jnp.float32) + 0.5
+    py = yy.astype(jnp.float32) + 0.5
+
+    def body(carry, i):
+        log_t, acc = carry
+        dx = px - xy[i, 0]
+        dy = py - xy[i, 1]
+        q = con[i, 0] * dx * dx + 2 * con[i, 1] * dx * dy + con[i, 2] * dy * dy
+        w = op[i] * jnp.exp(-0.5 * q)
+        w = jnp.where((q >= 0) & (w >= min_alpha), jnp.minimum(w, alpha_clip), 0.0)
+        acc = acc + (jnp.exp(log_t) * w)[..., None] * values[i]
+        log_t = log_t + jnp.log1p(-w)
+        return (log_t, acc), None
+
+    init = (jnp.zeros((image_height, image_width)),
+            jnp.zeros((image_height, image_width, CH + 2)))
+    (log_t, acc), _ = jax.lax.scan(body, init, jnp.arange(N))
+    return acc

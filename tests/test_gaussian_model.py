@@ -1,0 +1,145 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamwaltz_g_tpu.gaussian import densify as D
+from dreamwaltz_g_tpu.gaussian import model as M
+
+
+def make_state(rng, n=32, capacity=64):
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32) * 0.5
+    col = jnp.asarray(rng.uniform(0, 1, size=(n, 3)), jnp.float32)
+    return M.init_state(pos, col, capacity=capacity, init_scale=jnp.full((n, 3), 0.02))
+
+
+def test_init_state_padding(rng):
+    st = make_state(rng, n=32, capacity=64)
+    assert st.capacity == 64
+    assert int(st.num_alive) == 32
+    assert bool(jnp.all(~st.alive[32:]))
+    # dead slots have tiny scale / opacity
+    assert float(M.opacities(st.params)[32:].max()) < 1e-4
+    # colors roundtrip through SH dc
+    col = M.dc_colors(st.params)[:32]
+    assert col.shape == (32, 3)
+
+
+def test_activations(rng):
+    st = make_state(rng)
+    op = M.opacities(st.params)
+    assert float(op[:32].min()) > 0.98  # init_opacity 0.99
+    s = M.scales(st.params, max_scale=0.01)
+    assert float(s[:32].max()) <= 0.01 + 1e-6
+    q = M.rotations(st.params)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=-1), 1.0, atol=1e-6)
+
+
+def test_update_stats_masks_dead_and_invisible(rng):
+    st = make_state(rng, n=8, capacity=16)
+    grads = jnp.ones((16, 2))
+    radii = jnp.zeros((16,)).at[:4].set(5.0).at[8:].set(7.0)  # 8: dead slots
+    st2 = D.update_stats(st, grads, radii)
+    assert float(st2.grad_denom[:4].sum()) == 4
+    assert float(st2.grad_denom[4:].sum()) == 0  # invisible or dead
+    assert float(st2.max_radii[0]) == 5.0
+
+
+def test_densify_clone(rng):
+    st = make_state(rng, n=8, capacity=16)
+    # gaussians 0,1 hot with small scale -> clone
+    st = st._replace(
+        grad_accum=jnp.zeros(16).at[:2].set(10.0),
+        grad_denom=jnp.zeros(16).at[:8].set(1.0),
+    )
+    cfg = D.DensifyConfig(grad_threshold=1.0, percent_dense=10.0)  # scale small
+    st2, written = D.densify_step(st, cfg, jax.random.PRNGKey(0))
+    assert int(st2.num_alive) == 10
+    # the two new slots carry copies of gaussians 0 and 1
+    new_slots = np.where(np.asarray(written) & ~np.asarray(st.alive))[0]
+    assert len(new_slots) == 2
+    np.testing.assert_allclose(
+        np.asarray(st2.params.means)[new_slots],
+        np.asarray(st.params.means)[:2], atol=1e-6)
+
+
+def test_densify_split(rng):
+    st = make_state(rng, n=8, capacity=16)
+    st = st._replace(
+        grad_accum=jnp.zeros(16).at[:2].set(10.0),
+        grad_denom=jnp.zeros(16).at[:8].set(1.0),
+    )
+    cfg = D.DensifyConfig(grad_threshold=1.0, percent_dense=1e-6,
+                          spatial_scale=1.0)  # scale "large" -> split
+    st2, written = D.densify_step(st, cfg, jax.random.PRNGKey(0))
+    assert int(st2.num_alive) == 10  # 8 - 2 parents + 4 children... parents reused
+    # parent slots overwritten (child 1) + two new slots (child 2)
+    w = np.asarray(written)
+    assert w[:2].all()
+    # children scales shrunk by 1.6
+    s_old = np.asarray(M.scales(st.params))[:2]
+    s_new = np.asarray(M.scales(st2.params))[:2]
+    np.testing.assert_allclose(s_new, s_old / 1.6, rtol=1e-5)
+
+
+def test_densify_prune(rng):
+    st = make_state(rng, n=8, capacity=16)
+    # make gaussian 3 transparent
+    st = st._replace(params=st.params._replace(
+        opacity_logit=st.params.opacity_logit.at[3].set(-10.0)))
+    cfg = D.DensifyConfig(grad_threshold=1e9, min_opacity=0.005)
+    st2, written = D.densify_step(st, cfg, jax.random.PRNGKey(0))
+    assert not bool(st2.alive[3])
+    assert int(st2.num_alive) == 7
+
+
+def test_densify_respects_capacity(rng):
+    st = make_state(rng, n=14, capacity=16)  # only 2 free slots
+    st = st._replace(
+        grad_accum=jnp.zeros(16).at[:14].set(10.0),
+        grad_denom=jnp.zeros(16).at[:14].set(1.0),
+    )
+    cfg = D.DensifyConfig(grad_threshold=1.0, percent_dense=10.0)  # all clone
+    st2, _ = D.densify_step(st, cfg, jax.random.PRNGKey(0))
+    assert int(st2.num_alive) == 16  # capped, no overflow
+
+
+def test_densify_mask_restricts(rng):
+    st = make_state(rng, n=8, capacity=16)
+    st = st._replace(
+        grad_accum=jnp.zeros(16).at[:8].set(10.0),
+        grad_denom=jnp.zeros(16).at[:8].set(1.0),
+    )
+    mask = jnp.zeros(16, bool).at[:2].set(True)
+    cfg = D.DensifyConfig(grad_threshold=1.0, percent_dense=10.0)
+    st2, _ = D.densify_step(st, cfg, jax.random.PRNGKey(0), densify_mask=mask)
+    assert int(st2.num_alive) == 10  # only 2 clones
+
+
+def test_reset_opacity(rng):
+    st = make_state(rng)
+    st2 = D.reset_opacity(st, value=0.01)
+    assert float(M.opacities(st2.params)[:32].max()) <= 0.011
+
+
+def test_reset_opt_slots(rng):
+    import optax
+
+    st = make_state(rng, n=8, capacity=16)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(st.params)
+    # take one step so moments are nonzero
+    grads = jax.tree_util.tree_map(jnp.ones_like, st.params)
+    _, opt_state = opt.update(grads, opt_state, st.params)
+    written = jnp.zeros(16, bool).at[2].set(True)
+    new_opt = D.reset_opt_slots(opt_state, written)
+    mu = new_opt[0].mu.means
+    assert float(jnp.abs(mu[2]).sum()) == 0.0
+    assert float(jnp.abs(mu[1]).sum()) > 0.0
+
+
+def test_densify_step_jits(rng):
+    st = make_state(rng, n=8, capacity=16)
+    cfg = D.DensifyConfig()
+    f = jax.jit(lambda s, k: D.densify_step(s, cfg, k))
+    st2, written = f(st, jax.random.PRNGKey(0))
+    assert st2.capacity == 16
