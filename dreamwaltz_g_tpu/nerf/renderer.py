@@ -1,0 +1,230 @@
+"""Volume renderer with occupancy-grid acceleration, TPU-native.
+
+Replaces the reference's CUDA raymarching stack
+(reference: core/nerf/nerf_renderer.py:64-472 +
+raymarching/rgb/src/raymarching.cu kernels). The CUDA design — variable
+samples per ray, compaction, morton-coded bitfields, atomic compositing — is
+re-thought for XLA's static shapes (SURVEY.md §2.9 #4):
+
+* a cheap occupancy-only pre-pass over ``num_steps`` coarse samples finds the
+  per-ray occupied interval (replaces CUDA's skip-marching),
+* ``num_steps`` fine samples are placed uniformly (stratified) inside that
+  interval; a boolean occupancy lookup masks dead samples so the MLP output
+  is zeroed there (the MXU batch stays dense and static),
+* front-to-back compositing is an exclusive ``cumprod`` along the sample
+  axis under autodiff (replaces composite_rays_train fwd/bwd kernels),
+* the occupancy grid is a plain (G, G, G) boolean array updated by EMA
+  density queries (replaces morton3D + packbits bitfield kernels).
+
+The grid covers [-bound, bound]^3 with a single level (the reference uses
+2 cascades for bound=2, nerf_renderer.py:64-93 — a bounded avatar does not
+need the multi-cascade step sizing).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .network import NeRFModel, NeRFParams
+
+
+class OccupancyGrid(NamedTuple):
+    density: jnp.ndarray  # (G, G, G) EMA density
+    occupied: jnp.ndarray  # (G, G, G) bool
+    mean_density: jnp.ndarray  # () running mean over active cells
+
+
+def init_occupancy(grid_size: int = 128) -> OccupancyGrid:
+    g = grid_size
+    return OccupancyGrid(
+        density=jnp.zeros((g, g, g), jnp.float32),
+        occupied=jnp.ones((g, g, g), bool),  # start fully occupied
+        mean_density=jnp.zeros(()),
+    )
+
+
+def update_occupancy(
+    grid: OccupancyGrid,
+    model: NeRFModel,
+    params: NeRFParams,
+    key: jax.Array,
+    density_thresh: float = 10.0,
+    decay: float = 0.95,
+    chunk: int = 256 ** 2,
+) -> OccupancyGrid:
+    """EMA density update + thresholding
+    (reference: update_extra_state, nerf_renderer.py:95-153)."""
+    G = grid.density.shape[0]
+    bound = model.bound
+    cell = 2.0 * bound / G
+    ii = jnp.arange(G)
+    zz, yy, xx = jnp.meshgrid(ii, ii, ii, indexing="ij")
+    centers = (jnp.stack([zz, yy, xx], -1).reshape(-1, 3) + 0.5) * cell - bound
+    jitter = jax.random.uniform(key, centers.shape, minval=-0.5, maxval=0.5) * cell
+    pts = centers + jitter
+
+    # chunked density query (G^3 = 2M points) — lax.map keeps the graph small
+    n = pts.shape[0]
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3))], axis=0)
+    sigma = jax.lax.map(
+        lambda p: model.density(params, p)[0], pts.reshape(-1, chunk, 3)
+    ).reshape(-1)[:n].reshape(G, G, G)
+
+    density = jnp.maximum(grid.density * decay, sigma)
+    mean_density = jnp.mean(density)
+    thresh = jnp.minimum(mean_density, density_thresh)
+    return OccupancyGrid(density=density, occupied=density > thresh,
+                         mean_density=mean_density)
+
+
+def occupancy_lookup(grid: OccupancyGrid, positions: jnp.ndarray, bound: float) -> jnp.ndarray:
+    """Nearest-cell boolean lookup, (..., 3) -> (...,)."""
+    G = grid.occupied.shape[0]
+    idx = jnp.clip(((positions + bound) / (2 * bound) * G).astype(jnp.int32), 0, G - 1)
+    flat = (idx[..., 0] * G + idx[..., 1]) * G + idx[..., 2]
+    return jnp.take(grid.occupied.reshape(-1), flat)
+
+
+def ray_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray, bound: float,
+             min_near: float = 0.05):
+    """Slab-method near/far against the [-bound, bound]^3 box
+    (reference: kernel_near_far_from_aabb, raymarching.cu:92-…)."""
+    inv = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9,
+                          jnp.where(rays_d < 0, -1e-9, 1e-9), rays_d)
+    t1 = (-bound - rays_o) * inv
+    t2 = (bound - rays_o) * inv
+    near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    near = jnp.maximum(near, min_near)
+    miss = far <= near
+    near = jnp.where(miss, 1.0, near)
+    far = jnp.where(miss, 1.0, far)
+    return near, far, ~miss
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray        # (R, C)
+    depth: jnp.ndarray        # (R,)
+    weights_sum: jnp.ndarray  # (R,)
+    normals: Optional[jnp.ndarray] = None  # (R, 3) weighted normal, if shaded
+
+
+def render_rays(
+    model: NeRFModel,
+    params: NeRFParams,
+    grid: Optional[OccupancyGrid],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    num_steps: int = 96,
+    perturb: bool = False,
+    shading: str = "albedo",
+    light_dir: Optional[jnp.ndarray] = None,
+    ambient_ratio: float = 0.1,
+    min_near: float = 0.05,
+    return_normals: bool = False,
+) -> RenderOutput:
+    """March ``num_steps`` static samples per ray and composite.
+
+    (reference: run_cuda train path, nerf_renderer.py:311-402: march ->
+    sigma/color MLP -> composite; here fixed-shape and autodiff-driven.)
+    """
+    R = rays_o.shape[0]
+    bound = model.bound
+    near, far, hit = ray_aabb(rays_o, rays_d, bound, min_near)
+
+    # occupancy pre-pass: tighten [near, far] to the occupied segment
+    if grid is not None:
+        tc = near[:, None] + (far - near)[:, None] * (
+            (jnp.arange(num_steps) + 0.5) / num_steps)
+        occ_c = occupancy_lookup(grid, rays_o[:, None] + rays_d[:, None] * tc[..., None], bound)
+        any_occ = jnp.any(occ_c, axis=-1)
+        first = jnp.argmax(occ_c, axis=-1)
+        last = num_steps - 1 - jnp.argmax(occ_c[:, ::-1], axis=-1)
+        seg = (far - near) / num_steps
+        t0 = jnp.where(any_occ, near + first * seg, near)
+        t1 = jnp.where(any_occ, near + (last + 1) * seg, near + seg)
+        hit = hit & any_occ
+    else:
+        t0, t1 = near, far
+
+    u = (jnp.arange(num_steps) + 0.5) / num_steps
+    if perturb and key is not None:
+        u = u + (jax.random.uniform(key, (R, num_steps)) - 0.5) / num_steps
+    ts = t0[:, None] + (t1 - t0)[:, None] * u            # (R, S)
+    dt = ((t1 - t0) / num_steps)[:, None]                # (R, 1)
+    pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
+    pts = jnp.clip(pts, -bound, bound)
+
+    sigma, albedo = model.density(params, pts.reshape(-1, 3))
+    sigma = sigma.reshape(R, num_steps)
+    albedo = albedo.reshape(R, num_steps, -1)
+
+    live = hit[:, None]
+    if grid is not None:
+        live = live & occupancy_lookup(grid, pts, bound)
+    sigma = jnp.where(live, sigma, 0.0)
+
+    normals = None
+    if shading != "albedo" or return_normals:
+        normals = finite_difference_normals(model, params, pts.reshape(-1, 3))
+        normals = normals.reshape(R, num_steps, 3)
+        color = shade(albedo, normals, shading, light_dir, ambient_ratio)
+    else:
+        color = albedo
+
+    alpha = 1.0 - jnp.exp(-sigma * dt)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    t_excl = jnp.concatenate([jnp.ones((R, 1)), trans[:, :-1]], axis=-1)
+    w = alpha * t_excl                                   # (R, S)
+
+    image = jnp.einsum("rs,rsc->rc", w, color)
+    depth = jnp.einsum("rs,rs->r", w, ts)
+    weights_sum = jnp.sum(w, axis=-1)
+    out_normals = None
+    if normals is not None:
+        out_normals = jnp.einsum("rs,rsc->rc", w, normals)
+    return RenderOutput(image=image, depth=depth, weights_sum=weights_sum,
+                        normals=out_normals)
+
+
+def finite_difference_normals(
+    model: NeRFModel, params: NeRFParams, pts: jnp.ndarray, eps: float = 5e-3,
+) -> jnp.ndarray:
+    """Central-difference density normals (reference: nerf_model.py:146-169)."""
+    offs = jnp.eye(3) * eps
+
+    def sig(p):
+        s, _ = model.density(params, p)
+        return s
+
+    grads = []
+    for d in range(3):
+        grads.append(sig(pts + offs[d]) - sig(pts - offs[d]))
+    n = -jnp.stack(grads, axis=-1)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+
+
+def shade(albedo, normals, shading: str, light_dir, ambient_ratio: float):
+    """(reference: nerf_model.py shading modes in common_forward/render)"""
+    if light_dir is None:
+        light_dir = jnp.asarray([0.0, 1.0, 0.0])
+    lam = jnp.maximum(jnp.einsum("...c,c->...", normals, light_dir), 0.0)
+    shade_f = (ambient_ratio + (1.0 - ambient_ratio) * lam)[..., None]
+    if shading == "lambertian":
+        return albedo * shade_f
+    if shading == "textureless":
+        return jnp.ones_like(albedo) * shade_f
+    if shading == "normal":
+        return (normals + 1.0) * 0.5
+    return albedo
+
+
+def composite_background(image, weights_sum, bg_color):
+    """out = image + (1 - weights_sum) * bg (reference: nerf_renderer.py:404-472)."""
+    return image + (1.0 - weights_sum)[..., None] * bg_color

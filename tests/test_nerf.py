@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamwaltz_g_tpu.configs import NeRFConfig
+from dreamwaltz_g_tpu.nerf import encoder as E
+from dreamwaltz_g_tpu.nerf import renderer as RD
+from dreamwaltz_g_tpu.nerf.network import build_nerf, trunc_exp
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return NeRFConfig(num_levels=4, level_dim=2, base_resolution=4,
+                      desired_resolution=32, log2_hashmap_size=8,
+                      grid_size=32, num_steps=32, bound=1.0)
+
+
+def test_encoder_shapes_and_determinism():
+    cfg = E.GridEncoderConfig(num_levels=4, base_resolution=4,
+                              desired_resolution=64, log2_hashmap_size=10)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray([[0.1, -0.5, 0.3], [0.0, 0.0, 0.0]])
+    out = E.grid_encode(params, cfg, x, bound=1.0)
+    assert out.shape == (2, cfg.output_dim)
+    out2 = E.grid_encode(params, cfg, x, bound=1.0)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_encoder_out_of_bounds_zero():
+    cfg = E.GridEncoderConfig(num_levels=2, base_resolution=4,
+                              desired_resolution=8, log2_hashmap_size=8)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0))
+    out = E.grid_encode(params, cfg, jnp.asarray([[2.0, 0.0, 0.0]]), bound=1.0)
+    np.testing.assert_array_equal(out, jnp.zeros_like(out))
+
+
+def test_encoder_interpolation_continuity():
+    """Features are continuous: nearby points give nearby features, and
+    moving across a cell changes features smoothly (trilinear)."""
+    cfg = E.GridEncoderConfig(num_levels=1, base_resolution=4,
+                              desired_resolution=4, log2_hashmap_size=12)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(1), scale=1.0)
+    t = jnp.linspace(-0.9, 0.9, 200)
+    pts = jnp.stack([t, jnp.zeros_like(t), jnp.zeros_like(t)], -1)
+    f = E.grid_encode(params, cfg, pts, bound=1.0)
+    diffs = jnp.abs(jnp.diff(f, axis=0)).max()
+    assert float(diffs) < 0.2  # no jumps on a 0.009 step
+
+
+def test_encoder_matches_manual_trilinear():
+    """One-level dense grid: compare against a direct trilinear interp."""
+    cfg = E.GridEncoderConfig(num_levels=1, level_dim=1, base_resolution=4,
+                              desired_resolution=4, log2_hashmap_size=12,
+                              gridtype="tiled")
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(2), scale=1.0)
+    res = cfg.level_resolution(0)       # 4
+    scale = cfg.level_scale(0)          # 3.0
+    table = np.asarray(params.tables[0, :, 0])
+
+    rng = np.random.default_rng(0)
+    x01 = rng.uniform(0.05, 0.95, size=(20, 3))
+    pos = x01 * scale + 0.5
+    lo = np.floor(pos).astype(int)
+    fr = pos - lo
+    expect = np.zeros(20)
+    for ci in range(8):
+        off = np.array([(ci >> d) & 1 for d in range(3)])
+        w = np.prod(np.where(off == 1, fr, 1 - fr), axis=-1)
+        c = lo + off
+        idx = (c[:, 0] + c[:, 1] * (res + 1) + c[:, 2] * (res + 1) ** 2) \
+            % cfg.level_table_size(0)
+        expect += w * table[idx]
+    got = E.grid_encode(params, cfg, jnp.asarray(x01 * 2 - 1, jnp.float32), bound=1.0)
+    np.testing.assert_allclose(got[:, 0], expect, atol=1e-5)
+
+
+def test_encoder_gradients_flow_to_tables():
+    cfg = E.GridEncoderConfig(num_levels=2, base_resolution=4,
+                              desired_resolution=8, log2_hashmap_size=8)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray([[0.2, 0.1, -0.3]])
+
+    g = jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg, x) ** 2))(params)
+    assert float(jnp.abs(g.tables).sum()) > 0
+
+
+def test_flat_roundtrip():
+    cfg = E.GridEncoderConfig(num_levels=3, base_resolution=4,
+                              desired_resolution=16, log2_hashmap_size=8)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0))
+    flat = E.tables_to_flat(cfg, params)
+    assert flat.shape[0] * cfg.level_dim == cfg.total_params
+    back = E.tables_from_flat(cfg, flat)
+    x = jnp.asarray([[0.3, -0.2, 0.6]])
+    np.testing.assert_allclose(E.grid_encode(params, cfg, x),
+                               E.grid_encode(back, cfg, x), atol=1e-7)
+
+
+def test_trunc_exp_clamps_grad():
+    g = jax.grad(trunc_exp)(jnp.float32(100.0))
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), np.exp(15.0), rtol=1e-5)
+
+
+def test_ray_aabb():
+    o = jnp.asarray([[0.0, 0.0, -3.0], [5.0, 5.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    near, far, hit = RD.ray_aabb(o, d, bound=1.0)
+    assert bool(hit[0]) and not bool(hit[1])
+    np.testing.assert_allclose(float(near[0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(float(far[0]), 4.0, atol=1e-5)
+
+
+def test_render_sphere_depth_and_silhouette(small_cfg):
+    """Density = solid sphere of radius 0.5: renders should show the correct
+    silhouette and depth ~ distance to the sphere surface."""
+    model = build_nerf(small_cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # monkeypatch density: solid sphere
+    class SphereModel:
+        bound = small_cfg.bound
+
+        @staticmethod
+        def density(_params, pts):
+            r = jnp.linalg.norm(pts, axis=-1)
+            sigma = jnp.where(r < 0.5, 50.0, 0.0)
+            albedo = jnp.broadcast_to(jnp.asarray([1.0, 0.5, 0.25]),
+                                      pts.shape[:-1] + (3,))
+            return sigma, albedo
+
+    o = jnp.asarray([[0.0, 0.0, -0.99], [0.0, 0.99, 0.0], [0.9, 0.9, -0.9]])
+    dctr = jnp.asarray([[0.0, 0.0, 1.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]])
+    out = RD.render_rays(SphereModel, None, None, o, dctr, num_steps=256)
+    # rays 0,1 hit the sphere: weights_sum ~1, depth ~ 0.49
+    assert float(out.weights_sum[0]) > 0.99
+    assert float(out.weights_sum[1]) > 0.99
+    np.testing.assert_allclose(float(out.depth[0]), 0.49, atol=0.02)
+    np.testing.assert_allclose(out.image[0], [1.0, 0.5, 0.25], atol=0.01)
+    # ray 2 misses
+    assert float(out.weights_sum[2]) < 1e-3
+
+
+def test_occupancy_update_and_skip(small_cfg):
+    model = build_nerf(small_cfg, with_background=False)
+
+    class SphereModel:
+        bound = small_cfg.bound
+
+        @staticmethod
+        def density(_params, pts):
+            r = jnp.linalg.norm(pts, axis=-1)
+            return jnp.where(r < 0.4, 100.0, 0.0), jnp.ones(pts.shape[:-1] + (3,))
+
+    grid = RD.init_occupancy(small_cfg.grid_size)
+    grid = RD.update_occupancy(grid, SphereModel, None, jax.random.PRNGKey(0),
+                               density_thresh=10.0)
+    occ_frac = float(grid.occupied.mean())
+    sphere_frac = 4 / 3 * np.pi * 0.4 ** 3 / 8.0
+    assert abs(occ_frac - sphere_frac) < 0.05
+
+    # with the grid, rendering still matches no-grid within tolerance
+    o = jnp.asarray([[0.0, 0.0, -0.99]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    with_g = RD.render_rays(SphereModel, None, grid, o, d, num_steps=128)
+    without = RD.render_rays(SphereModel, None, None, o, d, num_steps=512)
+    np.testing.assert_allclose(float(with_g.depth[0]), float(without.depth[0]),
+                               atol=0.03)
+    assert float(with_g.weights_sum[0]) > 0.99
+
+
+def test_full_nerf_render_grads(small_cfg):
+    model = build_nerf(small_cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -0.9]]), (16, 1))
+    d = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    @jax.jit
+    def loss(p):
+        out = RD.render_rays(model, p, None, o, d, num_steps=16)
+        return jnp.mean(out.image) + jnp.mean(out.weights_sum)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    total = sum(float(jnp.abs(x).sum()) for x in flat)
+    assert total > 0
+
+
+def test_background_mlp(small_cfg):
+    model = build_nerf(small_cfg, with_background=True)
+    params = model.init(jax.random.PRNGKey(0))
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    bg = model.background(params, dirs)
+    assert bg.shape == (2, 3)
+    assert float(bg.min()) >= 0 and float(bg.max()) <= 1
