@@ -58,6 +58,30 @@ def update_stats(
     )
 
 
+def allocate_slots(need: jnp.ndarray, alive: jnp.ndarray):
+    """Assign each needing entry a dead slot index.
+
+    Args:
+        need: (C,) bool — entries requesting one new slot each
+        alive: (C,) bool — slot occupancy after pruning
+
+    Returns (dest (C,) int32 — allocated slot per need, C where denied;
+             granted (C,) bool).
+    """
+    C = need.shape[0]
+    free = ~alive
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    need_rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = jnp.full((C,), C, jnp.int32)
+    slot_of_rank = slot_of_rank.at[
+        jnp.where(free, free_rank, C)
+    ].set(jnp.arange(C, dtype=jnp.int32), mode="drop")
+    granted = need & (need_rank < n_free)
+    dest = jnp.where(granted, slot_of_rank[jnp.clip(need_rank, 0, C - 1)], C)
+    return dest, granted
+
+
 def _sample_split_offsets(key, params: GaussianParams) -> jnp.ndarray:
     """Normal samples in the gaussian's own frame (reference:270-281)."""
     from ..utils.transforms import quat_rotate, quat_normalize
@@ -108,20 +132,9 @@ def densify_step(
 
     alive_after = state.alive & ~prune_mask
 
-    # ---- allocate free slots --------------------------------------------
     # candidates: one new slot per clone, one per split (child 2).
     need = clone_mask | split_mask
-    free = ~alive_after
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1            # rank among free
-    need_rank = jnp.cumsum(need.astype(jnp.int32)) - 1            # rank among needs
-    n_free = jnp.sum(free.astype(jnp.int32))
-    # slot_of_rank[r] = index of r-th free slot
-    slot_of_rank = jnp.full((C,), C, jnp.int32)
-    slot_of_rank = slot_of_rank.at[
-        jnp.where(free, free_rank, C)
-    ].set(jnp.arange(C, dtype=jnp.int32), mode="drop")
-    granted = need & (need_rank < n_free)
-    dest = jnp.where(granted, slot_of_rank[jnp.clip(need_rank, 0, C - 1)], C)
+    dest, granted = allocate_slots(need, alive_after)
 
     # ---- build source values --------------------------------------------
     k1, k2 = jax.random.split(key)

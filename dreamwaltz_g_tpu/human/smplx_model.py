@@ -110,7 +110,17 @@ def default_params(model: SMPLXModelData, batch_size: int = 1) -> SMPLXParams:
 
 def full_pose_from_params(model: SMPLXModelData, p: SMPLXParams) -> jnp.ndarray:
     """Assemble the (B, J*3) axis-angle pose in SMPL-X joint order and add
-    pose_mean (reference: inverse_lbs.py:592-630)."""
+    pose_mean (reference: inverse_lbs.py:592-630).
+
+    Non-55-joint models (synthetic test fixtures) use the reduced layout
+    global_orient | body_pose[:(J-1)*3]."""
+    J = model.num_joints
+    if J != 1 + NUM_BODY_JOINTS + NUM_FACE_JOINTS + 2 * NUM_HAND_JOINTS:
+        B = p.global_orient.shape[0]
+        body = p.body_pose[:, : (J - 1) * 3]
+        body = jnp.pad(body, ((0, 0), (0, (J - 1) * 3 - body.shape[1])))
+        return jnp.concatenate([p.global_orient.reshape(B, 3), body], axis=-1) \
+            + model.pose_mean
     full = jnp.concatenate(
         [
             p.global_orient.reshape(-1, 3),

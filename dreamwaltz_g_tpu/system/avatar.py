@@ -1,0 +1,550 @@
+"""The DreamWaltz-G animatable avatar: hybrid 3D Gaussian representation.
+
+Functional re-design of the reference ``DreamWaltzG``
+(reference: core/system/avatar.py:1097-1638):
+
+* *unconstrained* Gaussians live in zero-pose space (inverse-LBS'd from the
+  NeRF point cloud at init, avatar.py:1227-1233 / 1380-1424), carry
+  per-point LBS weights transferred from the nearest SMPL-X triangle
+  (barycentric interp + optional KNN smoothing, avatar.py:862-911), get
+  colors/opacities from the stage-1 NeRF encoder+MLP queried at
+  *canonical-pose* positions (avatar.py:1296-1326), and non-rigid
+  pose-conditioned offset/scale/quaternion from a DeformNetwork
+  (avatar.py:1464-1498); they are forward-LBS'd into the observed pose with
+  quaternion rotation under the flipped-axis convention (avatar.py:1500-1547),
+* *mesh-binding* Gaussians for hands/face ride SMPL-X submesh triangles by
+  learnable barycentric coordinates, flat scales from triangle frames
+  (avatar.py:920-1095),
+* densification applies only to the unconstrained set (avatar.py:1247-1252).
+
+State is split into a static ``AvatarModel`` (python object: configs, module
+defs, topology) and pytrees ``AvatarParams`` (learnables) / ``AvatarState``
+(params + alive mask + densify stats) so train steps jit cleanly with static
+shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import RenderConfig
+from ..gaussian.densify import DensifyConfig
+from ..human.deform import DeformNetwork
+from ..human.glbs import GLBSTransforms, glbs_transforms
+from ..human.smplx_model import SMPLXModelData, SMPLXParams, smplx_forward
+from ..nerf.encoder import GridEncoderConfig, GridEncoderParams, grid_encode
+from ..nerf.network import NeRFModel, NeRFParams, SigmaMLP
+from ..ops.mesh import (
+    NearestTriangles,
+    find_nearest_triangles,
+    interpolate_vertex_attributes,
+    knn,
+)
+from ..utils.transforms import matrix_to_quat, quat_normalize, safe_normalize
+
+# barycentric patterns per triangle (reference: avatar.py:969-1005)
+_BARY_PATTERNS = {
+    1: [[1 / 3, 1 / 3, 1 / 3]],
+    3: [[1 / 2, 1 / 4, 1 / 4], [1 / 4, 1 / 2, 1 / 4], [1 / 4, 1 / 4, 1 / 2]],
+    4: [[1 / 3, 1 / 3, 1 / 3], [2 / 3, 1 / 6, 1 / 6], [1 / 6, 2 / 3, 1 / 6],
+        [1 / 6, 1 / 6, 2 / 3]],
+    6: [[2 / 3, 1 / 6, 1 / 6], [1 / 6, 2 / 3, 1 / 6], [1 / 6, 1 / 6, 2 / 3],
+        [1 / 6, 5 / 12, 5 / 12], [5 / 12, 1 / 6, 5 / 12], [5 / 12, 5 / 12, 1 / 6]],
+}
+
+
+class MeshBindingStatic(NamedTuple):
+    vertex_indices: np.ndarray      # (Vp,) global vertex ids of the part
+    triangle_indices: np.ndarray    # (Fp,) global triangle ids of the part
+    triangles: np.ndarray           # (Fp, 3) local vertex ids
+    points_to_triangles: np.ndarray  # (M,)
+    points_to_vertices: np.ndarray  # (M, 3) local ids
+    n_per_triangle: int
+
+
+class MeshBindingParams(NamedTuple):
+    bary_coords: jnp.ndarray    # (Fp, G, 3) raw, normalized by sum on use
+    vertex_coords: jnp.ndarray  # (Vp, 3) template coords (usually frozen)
+    scales: jnp.ndarray         # (M, 3) per-point multipliers, clamped [0.5, 2]
+
+
+class AvatarParams(NamedTuple):
+    positions: jnp.ndarray          # (C, 3) zero-pose space
+    log_scales: jnp.ndarray         # (C, 3) learnable base scales (exp act.)
+    quats: jnp.ndarray              # (C, 4) learnable base orientations
+    lbs_weights: jnp.ndarray        # (C, J)
+    encoder: GridEncoderParams      # stage-1 NeRF hash tables (continued)
+    color_mlp: dict                 # NeRF sigma/albedo net -> opacity/color
+    sq_net: dict                    # DeformNetwork: offsets/scales/quats
+    mesh: Dict[str, MeshBindingParams]
+    extra_betas: jnp.ndarray        # (n_betas,) learnable shape tweak
+
+
+class AvatarState(NamedTuple):
+    params: AvatarParams
+    alive: jnp.ndarray
+    grad_accum: jnp.ndarray
+    grad_denom: jnp.ndarray
+    max_radii: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.params.positions.shape[0]
+
+    @property
+    def num_alive(self):
+        return jnp.sum(self.alive)
+
+
+class GaussiansOut(NamedTuple):
+    """Merged renderable gaussians (reference GaussianOutput,
+    gaussian_utils.py:20-81)."""
+
+    positions: jnp.ndarray
+    colors: jnp.ndarray
+    opacities: jnp.ndarray
+    scales: jnp.ndarray
+    quats: jnp.ndarray
+    alive: jnp.ndarray
+    densify_mask: jnp.ndarray  # True only on unconstrained slots
+
+
+@dataclass
+class AvatarModel:
+    """Static avatar definition."""
+
+    smpl: SMPLXModelData
+    canonical_inputs: SMPLXParams
+    enc_cfg: GridEncoderConfig
+    nerf_bound: float
+    color_mlp: SigmaMLP
+    sq_net: DeformNetwork
+    mesh_parts: Dict[str, MeshBindingStatic] = field(default_factory=dict)
+    init_scale: float = 0.001
+    max_scale: float = 0.01
+    init_offset: float = 0.01
+    use_non_rigid_offsets: bool = True
+    use_non_rigid_scales: bool = True
+    use_non_rigid_rotations: bool = False
+    flip_rotation_axis: bool = True
+
+    @property
+    def n_mesh_points(self) -> int:
+        return sum(
+            p.points_to_triangles.shape[0] for p in self.mesh_parts.values())
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def make_mesh_binding_static(
+    faces: np.ndarray,
+    vertex_indices: np.ndarray,
+    triangle_indices: np.ndarray,
+    n_per_triangle: int = 6,
+) -> MeshBindingStatic:
+    """(reference: MeshBindingGaussianModel.__init__, avatar.py:920-965)"""
+    vertex_indices = np.asarray(vertex_indices)
+    triangle_indices = np.asarray(triangle_indices)
+    remap = np.full(int(faces.max()) + 1, -1, np.int64)
+    remap[vertex_indices] = np.arange(len(vertex_indices))
+    local_tris = remap[faces[triangle_indices]]
+    assert (local_tris >= 0).all(), "triangle uses a vertex outside the part"
+    Fp = len(triangle_indices)
+    p2t = np.repeat(np.arange(Fp), n_per_triangle)
+    return MeshBindingStatic(
+        vertex_indices=vertex_indices,
+        triangle_indices=triangle_indices,
+        triangles=local_tris,
+        points_to_triangles=p2t,
+        points_to_vertices=local_tris[p2t],
+        n_per_triangle=n_per_triangle,
+    )
+
+
+def init_mesh_binding_params(
+    static: MeshBindingStatic, v_template: jnp.ndarray,
+) -> MeshBindingParams:
+    Fp = static.triangles.shape[0]
+    G = static.n_per_triangle
+    pattern = jnp.asarray(_BARY_PATTERNS.get(G), jnp.float32) if G in _BARY_PATTERNS \
+        else jnp.full((G, 3), 1 / 3)
+    return MeshBindingParams(
+        bary_coords=jnp.broadcast_to(pattern[None], (Fp, G, 3)),
+        vertex_coords=v_template[jnp.asarray(static.vertex_indices)],
+        scales=jnp.ones((Fp * G, 3)),
+    )
+
+
+def initialize_lbs_weights(
+    smpl: SMPLXModelData,
+    nearest: NearestTriangles,
+    positions: jnp.ndarray,
+    smooth: bool = False,
+    smooth_K: int = 30,
+) -> jnp.ndarray:
+    """Barycentric LBS-weight transfer + optional KNN smoothing
+    (reference: LBSUtils.initialize_lbs_weights, avatar.py:862-911)."""
+    faces = jnp.asarray(smpl.faces)
+    w = interpolate_vertex_attributes(nearest, faces, smpl.lbs_weights)
+    if smooth:
+        _, idx = knn(positions, positions, smooth_K)
+        w = jnp.mean(w[idx], axis=1)
+    return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
+
+
+def forward_lbs(
+    transforms: GLBSTransforms,
+    positions: jnp.ndarray,
+    weights: jnp.ndarray,
+    quats: Optional[jnp.ndarray] = None,
+    flip_rotation_axis: bool = True,
+):
+    """Skin points (and optionally orientation quats) by joint weights:
+    (J_pose_rigid ∘ G_transl).weight(w) (reference lbs_transform default
+    path, avatar.py:1427-1462; shape/pose-offset branches are off by
+    default, configs/__init__.py:115-117)."""
+    t = transforms.J_pose_rigid.compose(transforms.G_transl_offset)
+    per_point = t.weight(weights)
+    out = per_point.transform_points(positions)
+    if quats is None:
+        return out
+    q = per_point.transform_quaternions(quats, flip_rotation_axis=flip_rotation_axis)
+    return out, q
+
+
+def inverse_lbs(
+    transforms: GLBSTransforms,
+    positions: jnp.ndarray,
+    weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Posed -> zero-pose via the *blended-matrix* inverse: solve
+    R_w x = (p - T_w) per point. The blended LBS matrix is not a rigid
+    transform, so inverting the blend — not blending inverses — is the
+    correct operation (the reference's documented fix, avatar.py:1390-1409).
+    """
+    t = transforms.J_pose_rigid.compose(transforms.G_transl_offset)
+    blended = t.weight(weights)
+    return jnp.linalg.solve(blended.rot, (positions - blended.trans)[..., None])[..., 0]
+
+
+def init_avatar_state(
+    model: AvatarModel,
+    point_cloud: jnp.ndarray,
+    key: jax.Array,
+    capacity: Optional[int] = None,
+    colors: Optional[jnp.ndarray] = None,  # unused: colors come from the NeRF
+    nerf_params: Optional[NeRFParams] = None,
+    prune_dists_close_to_mesh: Optional[float] = 0.01,
+    lbs_weight_smooth: bool = False,
+) -> AvatarState:
+    """Build the avatar from a stage-1 NeRF point cloud
+    (reference: DreamWaltzG.__init__, avatar.py:1176-1245).
+
+    Runs the init-time geometry: canonical SMPL-X mesh, nearest-triangle
+    attachment, prune-near-mesh (points close to hand/face submeshes are
+    dropped — their alive bit is cleared), LBS-weight transfer, inverse LBS
+    into zero-pose space.
+    """
+    smpl_out = smplx_forward(model.smpl, model.canonical_inputs)
+    verts = smpl_out.vertices[0]
+    faces = jnp.asarray(model.smpl.faces)
+
+    nearest = find_nearest_triangles(point_cloud, verts, faces)
+
+    keep = jnp.ones(point_cloud.shape[0], bool)
+    if prune_dists_close_to_mesh is not None:
+        for part_name, part in model.mesh_parts.items():
+            # hands get a 10x threshold (reference: avatar.py:1196-1202)
+            thr = prune_dists_close_to_mesh * (10.0 if part_name == "hands" else 1.0)
+            part_tri = jnp.asarray(part.triangle_indices)
+            close = jnp.isin(nearest.triangle_indices, part_tri) \
+                & (nearest.sq_dists < thr ** 2)
+            keep = keep & ~close
+
+    lbs_w = initialize_lbs_weights(
+        model.smpl, nearest, point_cloud, smooth=lbs_weight_smooth)
+
+    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
+    zero_pose_positions = inverse_lbs(canonical_tr, point_cloud, lbs_w)
+
+    N = point_cloud.shape[0]
+    C = capacity or N
+    assert C >= N
+
+    def pad(a, fill=0.0):
+        if C == N:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((C - N,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    if nerf_params is not None:
+        encoder = nerf_params.encoder
+        color_mlp = nerf_params.sigma_mlp
+    else:
+        from ..nerf.encoder import init_grid_encoder
+
+        encoder = init_grid_encoder(model.enc_cfg, k1)
+        color_mlp = model.color_mlp.init(
+            k2, jnp.zeros((1, model.enc_cfg.output_dim)))
+
+    sq_net = model.sq_net.init(
+        k3, jnp.zeros((1, model.enc_cfg.output_dim)), jnp.zeros((1, 63)))
+
+    mesh_params = {
+        name: init_mesh_binding_params(st, model.smpl.v_template)
+        for name, st in model.mesh_parts.items()
+    }
+
+    params = AvatarParams(
+        positions=pad(zero_pose_positions),
+        log_scales=jnp.full((C, 3), float(np.log(model.init_scale))),
+        quats=jnp.zeros((C, 4)).at[:, 0].set(1.0),
+        lbs_weights=pad(lbs_w),
+        encoder=encoder,
+        color_mlp=color_mlp,
+        sq_net=sq_net,
+        mesh=mesh_params,
+        extra_betas=jnp.zeros((model.smpl.num_betas,)),
+    )
+    alive = (jnp.arange(C) < N) & pad(keep, fill=False) if C > N else keep
+    z = jnp.zeros((C,), jnp.float32)
+    return AvatarState(params=params, alive=alive, grad_accum=z,
+                       grad_denom=z, max_radii=z)
+
+
+# ---------------------------------------------------------------------------
+# Forward / animate
+# ---------------------------------------------------------------------------
+
+def _vertex_normals(vertex_coords: jnp.ndarray, triangles: np.ndarray) -> jnp.ndarray:
+    """Area-weighted per-vertex normals of a part submesh."""
+    tri = vertex_coords[jnp.asarray(triangles)]
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = jnp.zeros_like(vertex_coords)
+    for k in range(3):
+        vn = vn.at[jnp.asarray(triangles[:, k])].add(fn)
+    return safe_normalize(vn)
+
+
+def _mesh_part_gaussians(
+    model: AvatarModel,
+    params: AvatarParams,
+    name: str,
+    canonical_tr: GLBSTransforms,
+    observed_tr: GLBSTransforms,
+) -> GaussiansOut:
+    """Mesh-binding gaussians for one part
+    (reference: animate mesh loop, avatar.py:1549-1588 +
+    MeshBindingGaussianModel.get_positions/get_scales_and_quaternions)."""
+    st = model.mesh_parts[name]
+    mp = params.mesh[name]
+    vid = jnp.asarray(st.vertex_indices)
+    bary = mp.bary_coords / jnp.maximum(
+        mp.bary_coords.sum(-1, keepdims=True), 1e-9)
+
+    cnl_verts = canonical_tr.transform_V.index(vid).transform_points(mp.vertex_coords)
+    obs_verts = observed_tr.transform_V.index(vid).transform_points(mp.vertex_coords)
+
+    tris = jnp.asarray(st.triangles)
+    cnl_pos = jnp.einsum("fgk,fkc->fgc", bary, cnl_verts[tris]).reshape(-1, 3)
+    obs_pos = jnp.einsum("fgk,fkc->fgc", bary, obs_verts[tris]).reshape(-1, 3)
+
+    # colors from the NeRF at canonical positions; opacity fixed to 1
+    enc = grid_encode(params.encoder, model.enc_cfg, cnl_pos, model.nerf_bound)
+    oc = model.color_mlp.apply(params.color_mlp, enc)
+    colors = jax.nn.sigmoid(oc[:, 1:])
+    opacities = jnp.ones(obs_pos.shape[0])
+
+    # triangle-frame scales/quaternions in the observed pose
+    p2v = jnp.asarray(st.points_to_vertices)
+    vn = _vertex_normals(obs_verts, st.triangles)
+    point_bary = bary.reshape(-1, 3)
+    normals = jnp.einsum("nk,nkc->nc", point_bary, vn[p2v])
+    v0 = safe_normalize(normals)
+    ref = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), v0.shape)
+    v1 = safe_normalize(jnp.cross(v0, ref))
+    v2 = safe_normalize(jnp.cross(v0, v1))
+    R = jnp.stack([v0, v1, v2], axis=2)
+    R = R.at[:, [1, 2], :].multiply(-1.0)  # axis-direction fix (avatar.py:1066)
+    quats = matrix_to_quat(R)
+
+    p123 = obs_verts[p2v]  # (M, 3, 3)
+    d = p123 - obs_pos[:, None, :]
+    s1 = jnp.sum(jnp.abs(jnp.einsum("nkc,nc->nk", d, v1)), -1) / st.n_per_triangle
+    s2 = jnp.sum(jnp.abs(jnp.einsum("nkc,nc->nk", d, v2)), -1) / st.n_per_triangle
+    mult = jnp.clip(mp.scales, 0.5, 2.0)
+    scales = jnp.stack(
+        [jnp.full_like(s1, 1e-6), s1 * mult[:, 1], s2 * mult[:, 2]], axis=-1)
+
+    M = obs_pos.shape[0]
+    return GaussiansOut(
+        positions=obs_pos, colors=colors, opacities=opacities,
+        scales=scales, quats=quats,
+        alive=jnp.ones(M, bool), densify_mask=jnp.zeros(M, bool),
+    )
+
+
+def animate(
+    model: AvatarModel,
+    state: AvatarState,
+    observed_inputs: Optional[SMPLXParams] = None,
+    unconstrained_only: bool = False,
+) -> GaussiansOut:
+    """Produce renderable gaussians in the observed pose
+    (reference: DreamWaltzG.animate, avatar.py:1500-1588)."""
+    params = state.params
+    if observed_inputs is None:
+        observed_inputs = model.canonical_inputs
+
+    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
+    observed_tr = glbs_transforms(model.smpl, observed_inputs)
+
+    w = params.lbs_weights
+    canonical_positions = forward_lbs(canonical_tr, params.positions, w)
+
+    enc = grid_encode(params.encoder, model.enc_cfg, canonical_positions,
+                      model.nerf_bound)
+    oc = model.color_mlp.apply(params.color_mlp, enc)
+    opacities = jax.nn.sigmoid(oc[:, 0])
+    colors = jax.nn.sigmoid(oc[:, 1:])
+
+    body_pose = observed_inputs.body_pose
+    offsets, dscales, dquats = model.sq_net.apply(params.sq_net, enc, body_pose)
+
+    # non-rigid composition, 'add' mode with learnable base scales/quats
+    # (reference: non_rigid_transform, avatar.py:1464-1498 — learn_scales and
+    # learn_quaternions are True by default, configs/__init__.py:195-197)
+    positions = params.positions
+    if model.use_non_rigid_offsets:
+        positions = positions + offsets * model.init_offset
+    if model.use_non_rigid_scales:
+        scales = jnp.exp(params.log_scales) + dscales * model.init_scale
+    else:
+        scales = jnp.exp(params.log_scales)
+    scales = jnp.clip(scales, 1e-7, model.max_scale)
+    if model.use_non_rigid_rotations:
+        quats = quat_normalize(params.quats + dquats)
+    else:
+        quats = quat_normalize(params.quats)
+
+    positions, quats = forward_lbs(
+        observed_tr, positions, w, quats,
+        flip_rotation_axis=model.flip_rotation_axis)
+
+    unconstrained = GaussiansOut(
+        positions=positions, colors=colors, opacities=opacities,
+        scales=scales, quats=quats, alive=state.alive,
+        densify_mask=jnp.ones(state.capacity, bool),
+    )
+    if unconstrained_only or not model.mesh_parts:
+        return unconstrained
+
+    parts = [
+        _mesh_part_gaussians(model, params, name, canonical_tr, observed_tr)
+        for name in model.mesh_parts
+    ]
+    return merge_gaussians(unconstrained, *parts)
+
+
+def merge_gaussians(*gs: GaussiansOut) -> GaussiansOut:
+    """(reference: merge_gaussians, gaussian_utils.py:60-74)"""
+    return GaussiansOut(*[
+        jnp.concatenate([getattr(g, f) for g in gs], axis=0)
+        for f in GaussiansOut._fields
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Densification on the unconstrained set
+# ---------------------------------------------------------------------------
+
+def update_avatar_stats(
+    state: AvatarState, means2d_grad: jnp.ndarray, radii: jnp.ndarray,
+) -> AvatarState:
+    """Accumulate densification stats from the *first C* (unconstrained)
+    entries of the merged render (reference: update_densification_stats,
+    gaussian_densifier.py:201-209 restricted by densification_mask)."""
+    C = state.capacity
+    vis = (radii[:C] > 0) & state.alive
+    gnorm = jnp.linalg.norm(means2d_grad[:C], axis=-1)
+    return state._replace(
+        grad_accum=state.grad_accum + jnp.where(vis, gnorm, 0.0),
+        grad_denom=state.grad_denom + vis.astype(jnp.float32),
+        max_radii=jnp.maximum(state.max_radii, jnp.where(vis, radii[:C], 0.0)),
+    )
+
+
+def densify_avatar(
+    state: AvatarState,
+    cfg: DensifyConfig,
+    key: jax.Array,
+) -> Tuple[AvatarState, jnp.ndarray]:
+    """Clone/split/prune the unconstrained gaussians in zero-pose space.
+
+    Avatar learnables per point are positions/log_scales/quats/lbs_weights
+    (colors and opacities are MLP-driven); clone duplicates the point, split
+    samples two children inside the gaussian's extent and shrinks scales
+    (reference: gaussian_densifier.py:230-302 with the densification mask of
+    avatar.py:1247-1252). Returns (new_state, written_slots_mask).
+    """
+    from ..gaussian.densify import allocate_slots
+    from ..utils.transforms import quat_rotate
+
+    p = state.params
+    C = state.capacity
+    avg_grad = state.grad_accum / jnp.maximum(state.grad_denom, 1.0)
+    s = jnp.exp(p.log_scales)
+    max_s = jnp.max(s, axis=-1)
+
+    limit = cfg.percent_dense * cfg.spatial_scale
+    hot = state.alive & (avg_grad > cfg.grad_threshold) & (state.grad_denom > 0)
+    clone_mask = hot & (max_s <= limit) if cfg.enable_clone else jnp.zeros(C, bool)
+    split_mask = hot & (max_s > limit) if cfg.enable_split else jnp.zeros(C, bool)
+
+    prune_mask = jnp.zeros(C, bool)
+    if cfg.max_screen_size is not None:
+        prune_mask = prune_mask | (state.alive & (state.max_radii > cfg.max_screen_size))
+    if cfg.max_world_size is not None:
+        prune_mask = prune_mask | (state.alive & (max_s > cfg.max_world_size))
+    if not cfg.enable_prune:
+        prune_mask = jnp.zeros(C, bool)
+    prune_mask = prune_mask & ~split_mask
+
+    alive_after = state.alive & ~prune_mask
+    need = clone_mask | split_mask
+    dest, granted = allocate_slots(need, alive_after)
+
+    k1, k2 = jax.random.split(key)
+    nq = quat_normalize(p.quats)
+    off1 = quat_rotate(nq, jax.random.normal(k1, s.shape) * s)
+    off2 = quat_rotate(nq, jax.random.normal(k2, s.shape) * s)
+    split_logs = jnp.log(jnp.maximum(s / cfg.split_scale_shrink, 1e-10))
+
+    new_pos = jnp.where(split_mask[:, None], p.positions + off2, p.positions)
+    new_logs = jnp.where(split_mask[:, None], split_logs, p.log_scales)
+
+    def scatter(dst, src):
+        return dst.at[dest].set(src, mode="drop")
+
+    sp = split_mask & granted
+    params = p._replace(
+        positions=jnp.where(sp[:, None], p.positions + off1,
+                            scatter(p.positions, new_pos)),
+        log_scales=jnp.where(sp[:, None], split_logs,
+                             scatter(p.log_scales, new_logs)),
+        quats=scatter(p.quats, p.quats),
+        lbs_weights=scatter(p.lbs_weights, p.lbs_weights),
+    )
+    alive_new = alive_after.at[dest].set(True, mode="drop")
+    written = jnp.zeros((C,), bool).at[dest].set(True, mode="drop") | sp | prune_mask
+
+    z = jnp.zeros((C,), jnp.float32)
+    return AvatarState(params=params, alive=alive_new,
+                       grad_accum=z, grad_denom=z, max_radii=z), written

@@ -36,6 +36,14 @@ def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
 
 
+def safe_normalize(v: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Normalize with finite gradients at ||v|| -> 0 (double-where: the norm
+    is computed through a clamped square so sqrt never sees 0)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return v / norm
+
+
 def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Hamilton product a*b, both (..., 4) wxyz."""
     aw, ax, ay, az = jnp.moveaxis(a, -1, 0)

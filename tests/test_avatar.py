@@ -1,0 +1,165 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamwaltz_g_tpu.gaussian.densify import DensifyConfig
+from dreamwaltz_g_tpu.human import poses
+from dreamwaltz_g_tpu.human.deform import DeformNetwork
+from dreamwaltz_g_tpu.human.smplx_model import make_synthetic_model, smplx_forward
+from dreamwaltz_g_tpu.nerf.encoder import GridEncoderConfig
+from dreamwaltz_g_tpu.nerf.network import SigmaMLP
+from dreamwaltz_g_tpu.system import avatar as A
+from dreamwaltz_g_tpu.system.background import PureColorBackground
+from dreamwaltz_g_tpu.system.scene import Scene, render_gaussians
+from dreamwaltz_g_tpu.data.camera import make_camera_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    smpl = make_synthetic_model(num_vertices=120, num_joints=6, num_betas=3,
+                                num_expr=2)
+    J = smpl.num_joints
+    canonical = poses.canonical_params(smpl, "canonical-A-adjust") \
+        if J == 22 else None
+    # synthetic model: just use default zero pose with pelvis centering
+    from dreamwaltz_g_tpu.human.smplx_model import default_params
+    canonical = default_params(smpl, 1)
+
+    enc_cfg = GridEncoderConfig(num_levels=4, level_dim=2, base_resolution=4,
+                                desired_resolution=32, log2_hashmap_size=8)
+    # one mesh part: a handful of triangles near the chain top ("face")
+    faces = smpl.faces
+    v = np.asarray(smpl.v_template)
+    tri_centroids = v[faces].mean(1)
+    top = np.argsort(-tri_centroids[:, 1])[:10]
+    part_vids = np.unique(faces[top].reshape(-1))
+    part = A.make_mesh_binding_static(faces, part_vids, top, n_per_triangle=3)
+
+    model = A.AvatarModel(
+        smpl=smpl,
+        canonical_inputs=canonical,
+        enc_cfg=enc_cfg,
+        nerf_bound=2.0,
+        color_mlp=SigmaMLP(hidden=32, num_layers=2, out_channels=4),
+        sq_net=DeformNetwork(depth=2, width=32, xyz_input_ch=enc_cfg.output_dim),
+        mesh_parts={"face": part},
+    )
+    rng = np.random.default_rng(0)
+    cloud = jnp.asarray(rng.normal(size=(64, 3)) * 0.15
+                        + np.asarray([0, 0.7, 0]), jnp.float32)
+    state = A.init_avatar_state(model, cloud, jax.random.PRNGKey(0),
+                                capacity=128, prune_dists_close_to_mesh=None)
+    return model, state, cloud
+
+
+def test_init_shapes(setup):
+    model, state, cloud = setup
+    assert state.capacity == 128
+    assert int(state.num_alive) == 64
+    assert state.params.lbs_weights.shape == (128, model.smpl.num_joints)
+    # lbs weights are normalized
+    w = np.asarray(state.params.lbs_weights[:64])
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+def test_canonical_roundtrip(setup):
+    """zero-pose positions forward-LBS'd to canonical reproduce the cloud
+    (inverse then forward is identity when transforms match)."""
+    model, state, cloud = setup
+    from dreamwaltz_g_tpu.human.glbs import glbs_transforms
+
+    tr = glbs_transforms(model.smpl, model.canonical_inputs)
+    back = A.forward_lbs(tr, state.params.positions[:64],
+                         state.params.lbs_weights[:64])
+    np.testing.assert_allclose(np.asarray(back), np.asarray(cloud), atol=1e-4)
+
+
+def test_animate_canonical_near_cloud(setup):
+    model, state, cloud = setup
+    gs = A.animate(model, state, observed_inputs=None)
+    n_mesh = model.n_mesh_points
+    assert gs.positions.shape[0] == 128 + n_mesh
+    # unconstrained positions ~ cloud + small non-rigid offset
+    d = np.linalg.norm(np.asarray(gs.positions[:64]) - np.asarray(cloud), axis=-1)
+    assert d.max() < 0.05
+    # densify mask only on unconstrained
+    assert bool(gs.densify_mask[:128].all()) and not bool(gs.densify_mask[128:].any())
+    # mesh part: opacity 1, scales flat (first component ~0)
+    assert float(gs.opacities[128:].min()) == 1.0
+    assert float(gs.scales[128:, 0].max()) < 1e-5
+
+
+def test_animate_follows_pose(setup):
+    """bending a joint moves the gaussians attached to it."""
+    model, state, cloud = setup
+    J = model.smpl.num_joints
+    from dreamwaltz_g_tpu.human.smplx_model import default_params
+
+    obs = default_params(model.smpl, 1)
+    obs = obs._replace(global_orient=jnp.asarray([[0.0, np.pi / 2, 0.0]]))
+    gs0 = A.animate(model, state)
+    gs1 = A.animate(model, state, obs)
+    moved = np.linalg.norm(
+        np.asarray(gs1.positions[:64]) - np.asarray(gs0.positions[:64]), axis=-1)
+    assert moved.mean() > 0.05  # global rotation displaces points
+    # rigid motion: pairwise distances preserved for a pure global rotation
+    p0 = np.asarray(gs0.positions[:10])
+    p1 = np.asarray(gs1.positions[:10])
+    d0 = np.linalg.norm(p0[:, None] - p0[None], axis=-1)
+    d1 = np.linalg.norm(p1[:, None] - p1[None], axis=-1)
+    np.testing.assert_allclose(d0, d1, atol=2e-3)
+
+
+def test_animate_jit_and_grads(setup):
+    model, state, cloud = setup
+    from dreamwaltz_g_tpu.human.smplx_model import default_params
+
+    obs = default_params(model.smpl, 1)
+    cam = make_camera_batch(2.0, 30.0, 90.0, 50.0, 32, 32, at_vector=((0, 0.7, 0),))
+    bg = PureColorBackground.make("gray")(cam)
+    scene = Scene(model=model)
+
+    @jax.jit
+    def loss_fn(params):
+        st = state._replace(params=params)
+        out = scene.forward(st, cam, bg, obs, tile_size=16, capacity=64, chunk=16)
+        return jnp.mean(out.image)
+
+    g = jax.grad(loss_fn)(state.params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # gradients reach positions, the NeRF tables, the deform net, and bary
+    assert float(jnp.abs(g.positions).sum()) > 0
+    assert float(jnp.abs(g.encoder.tables).sum()) > 0
+    assert float(jnp.abs(g.mesh["face"].bary_coords).sum()) > 0
+
+
+def test_avatar_densify(setup):
+    model, state, cloud = setup
+    st = state._replace(
+        grad_accum=jnp.zeros(128).at[:4].set(10.0),
+        grad_denom=jnp.zeros(128).at[:64].set(1.0),
+    )
+    cfg = DensifyConfig(grad_threshold=1.0, percent_dense=100.0)  # clone path
+    st2, written = A.densify_avatar(st, cfg, jax.random.PRNGKey(0))
+    assert int(st2.num_alive) == 68
+    # clones carry the parent's lbs weights
+    new_slots = np.where(np.asarray(written) & ~np.asarray(st.alive))[0]
+    np.testing.assert_allclose(
+        np.asarray(st2.params.lbs_weights)[new_slots],
+        np.asarray(st.params.lbs_weights)[:4], atol=1e-6)
+
+
+def test_render_scene_sanity(setup):
+    model, state, cloud = setup
+    cam = make_camera_batch(2.0, 0.0, 90.0, 50.0, 32, 32, at_vector=((0, 0.7, 0),))
+    bg = PureColorBackground.make("white")(cam)
+    gs = A.animate(model, state)
+    out = render_gaussians(gs, cam, bg, tile_size=16, capacity=64, chunk=16)
+    assert out.image.shape == (32, 32, 3)
+    assert float(out.alpha.max()) > 0.01  # something rendered
+    # background shows through where alpha ~ 0
+    corner = np.asarray(out.image[0, 0])
+    if float(out.alpha[0, 0]) < 0.01:
+        np.testing.assert_allclose(corner, [1, 1, 1], atol=0.02)
