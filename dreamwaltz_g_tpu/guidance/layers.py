@@ -1,0 +1,184 @@
+"""Shared building blocks for the Flax Stable Diffusion stack.
+
+Fresh Flax implementations of the standard SD1.5 architecture pieces
+(resnet blocks, spatial transformer with self/cross attention, up/down
+sampling, sinusoidal time embeddings). The reference consumes these models
+through HuggingFace diffusers (reference: core/guidance/basic.py:116-210);
+here they are native JAX modules whose parameter tree mirrors the diffusers
+naming so checkpoint conversion is mechanical (guidance/convert.py).
+
+All convs are NHWC (TPU-native layout); weights convert from torch NCHW.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0) -> jnp.ndarray:
+    """Sinusoidal embeddings, diffusers get_timestep_embedding semantics."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin], -1) if flip_sin_to_cos \
+        else jnp.concatenate([sin, cos], -1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = nn.Dense(self.dim, name="linear_1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.dim, name="linear_2")(emb)
+        return emb
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
+                         epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=min(self.groups, self.out_channels),
+                         epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """Multi-head attention; cross-attention when ``context`` is given."""
+
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(context)
+
+        B, Nq, _ = q.shape
+        Nk = k.shape[1]
+        q = q.reshape(B, Nq, self.heads, self.head_dim)
+        k = k.reshape(B, Nk, self.heads, self.head_dim)
+        v = v.reshape(B, Nk, self.heads, self.head_dim)
+        # jax fused attention; big matmuls land on the MXU
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(self.head_dim)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, inner)
+        return nn.Dense(inner, name="to_out_0")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, name="net_0_proj")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g)
+        return nn.Dense(self.dim, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x + Attention(self.heads, self.head_dim, name="attn1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = x + Attention(self.heads, self.head_dim, name="attn2")(h, context)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
+        x = x + FeedForwardGEGLU(self.dim, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """norm -> 1x1 in -> transformer block(s) -> 1x1 out, residual."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        res = x
+        h = nn.GroupNorm(num_groups=min(self.groups, C), epsilon=1e-6,
+                         name="norm")(x)
+        h = nn.Conv(C, (1, 1), name="proj_in")(h)
+        h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(C, self.heads, self.head_dim,
+                                      name=f"transformer_blocks_{i}")(h, context)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), name="proj_out")(h)
+        return h + res
+
+
+class Downsample2D(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+
+
+class AttnBlockVAE(nn.Module):
+    """Single-head spatial self-attention used in the VAE mid block."""
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, name="to_q")(h)
+        k = nn.Dense(C, name="to_k")(h)
+        v = nn.Dense(C, name="to_v")(h)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(C), axis=-1)
+        h = jnp.einsum("bqk,bkc->bqc", attn, v)
+        h = nn.Dense(C, name="to_out_0")(h)
+        return x + h.reshape(B, H, W, C)

@@ -1,0 +1,243 @@
+"""Score Distillation Sampling.
+
+Counterpart of the reference's BasicScoreDistillation / ScoreDistillation /
+ControlNetScoreDistillation (reference: core/guidance/basic.py:330-917,
+stable_diffusion.py, controlnet.py):
+
+* render -> (resize to 512²) -> VAE encode (gradients flow) -> add noise at a
+  prioritized timestep -> frozen UNet(+ControlNet) eps-prediction with CFG ->
+  loss-family gradient -> weighting -> clip/norm/nan-guard -> injected into
+  the autodiff graph via the SpecifyGradient trick, which in JAX is simply
+  ``loss = Σ latents · stop_gradient(grad)`` (reference: basic.py:213-226).
+* loss families sds / sjc / csd / nfsd / ism (basic.py:546-663; ISM's
+  DDIM-inversion path basic.py:665-776 reduced to its single-step core),
+* weightings dreamfusion / latent-nerf / ism / sjc (basic.py:634-646),
+* RGB-space pixel gradient clipping as a custom_vjp on the rendered image
+  (replaces torch backward hooks, reference: core/guidance/pgc.py:13-79).
+
+Everything on the hot path is jit-compatible; text encoding and timestep
+selection happen host-side once per step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .clip_text import CLIPTextModel
+from .controlnet import ControlNet
+from .time_prior import DiffusionSchedule, TimePrioritizedScheduler, make_schedule
+from .unet import UNet2DCondition, UNetConfig
+from .vae import AutoencoderKL
+
+
+class GuidanceParams(NamedTuple):
+    """Frozen model weights (replicated across the mesh)."""
+
+    unet: dict
+    vae: dict
+    controlnet: Optional[dict] = None
+
+
+@dataclass
+class ScoreDistillation:
+    """Static guidance definition + jit-able loss computation."""
+
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    controlnet: Optional[ControlNet] = None
+    schedule: DiffusionSchedule = None
+    loss_type: str = "sds"            # {'sds', 'sjc', 'csd', 'nfsd', 'ism'}
+    weight_type: str = "sjc"          # {'dreamfusion', 'latent-nerf', 'ism', 'sjc'}
+    guidance_scale: float = 50.0
+    controlnet_scale: float = 1.0
+    grad_latent_clip: bool = False
+    grad_latent_clip_scale: float = 3.0
+    grad_latent_norm: bool = False
+    grad_latent_nan_to_num: bool = True
+    ism_delta_t: int = 80
+    latent_size: int = 64
+
+    def __post_init__(self):
+        if self.schedule is None:
+            self.schedule = make_schedule()
+
+    # -- helpers -----------------------------------------------------------
+
+    def encode_images(self, params: GuidanceParams, images: jnp.ndarray,
+                      ) -> jnp.ndarray:
+        """(B, H, W, 3) in [0,1] -> latents; resizes to the VAE's native
+        resolution first (reference: prepare_latents + input_interpolate,
+        basic.py:354-383)."""
+        B, H, W, _ = images.shape
+        vae_factor = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+        target = self.latent_size * vae_factor
+        if H != target or W != target:
+            images = jax.image.resize(images, (B, target, target, 3), "bilinear")
+        return self.vae.encode(params.vae, images)
+
+    def _eps(self, params: GuidanceParams, latents, t, context,
+             cond_image=None):
+        """One frozen eps-prediction (optionally ControlNet-conditioned)
+        (reference: controlnet.py:83-114 _predict)."""
+        if self.controlnet is not None and cond_image is not None \
+                and params.controlnet is not None:
+            down_res, mid_res = self.controlnet.apply(
+                params.controlnet, latents, t, context, cond_image,
+                self.controlnet_scale)
+            return self.unet.apply(params.unet, latents, t, context,
+                                   down_residuals=down_res,
+                                   mid_residual=mid_res)
+        return self.unet.apply(params.unet, latents, t, context)
+
+    def _cfg_eps(self, params, latents_noisy, t, ctx_text, ctx_uncond,
+                 cond_image, guidance_scale):
+        """eps with classifier-free guidance: one batched UNet pass over the
+        (uncond | text) stack (reference: basic.py:443-467)."""
+        B = latents_noisy.shape[0]
+        lat2 = jnp.concatenate([latents_noisy, latents_noisy], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        ctx2 = jnp.concatenate([ctx_uncond, ctx_text], axis=0)
+        cond2 = None if cond_image is None else jnp.concatenate(
+            [cond_image, cond_image], axis=0)
+        eps = self._eps(params, lat2, t2, ctx2, cond2)
+        eps_uncond, eps_text = eps[:B], eps[B:]
+        return eps_uncond + guidance_scale * (eps_text - eps_uncond), \
+            eps_uncond, eps_text
+
+    def _weight(self, t: jnp.ndarray) -> jnp.ndarray:
+        ac = self.schedule.alphas_cumprod[t]
+        if self.weight_type == "dreamfusion":
+            w = 1.0 - ac
+        elif self.weight_type == "latent-nerf":
+            w = (1.0 - ac) * jnp.sqrt(ac)
+        elif self.weight_type == "ism":
+            w = jnp.sqrt((1.0 - ac) / ac)
+        elif self.weight_type == "sjc":
+            w = jnp.ones_like(ac)
+        else:
+            raise NotImplementedError(self.weight_type)
+        return w[:, None, None, None]
+
+    # -- the loss ----------------------------------------------------------
+
+    def __call__(
+        self,
+        params: GuidanceParams,
+        images: jnp.ndarray,          # (B, H, W, 3) rendered, grads flow
+        text_embeds: jnp.ndarray,     # (B, L, D) view-conditioned prompt
+        uncond_embeds: jnp.ndarray,   # (B, L, D) null or negative prompt
+        t: jnp.ndarray,               # (B,) int32 timesteps
+        key: jax.Array,
+        cond_image: Optional[jnp.ndarray] = None,  # (B, 512, 512, 3)
+        neg_embeds: Optional[jnp.ndarray] = None,  # for csd/nfsd 3-way CFG
+        guidance_scale: Optional[float] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Returns dict with 'loss' (scalar — backprop this), 'gradients',
+        'latents', 'noise_pred' (reference: __call__, basic.py:778-917)."""
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        latents = self.encode_images(params, images)
+
+        k_noise, k_ism = jax.random.split(key)
+        noise = jax.random.normal(k_noise, latents.shape)
+
+        lat_sg = jax.lax.stop_gradient(latents)
+        latents_noisy = self.schedule.add_noise(lat_sg, noise, t)
+
+        if self.loss_type in ("sds", "sjc"):
+            eps_hat, _, _ = self._cfg_eps(
+                params, latents_noisy, t, text_embeds, uncond_embeds,
+                cond_image, gs)
+            grad = eps_hat - noise
+
+        elif self.loss_type == "csd":
+            # classifier score distillation: condition delta only
+            assert neg_embeds is not None
+            _, eps_uncond, eps_text = self._cfg_eps(
+                params, latents_noisy, t, text_embeds, uncond_embeds,
+                cond_image, gs)
+            grad = eps_text - eps_uncond
+
+        elif self.loss_type == "nfsd":
+            assert neg_embeds is not None
+            _, eps_uncond, eps_text = self._cfg_eps(
+                params, latents_noisy, t, text_embeds, uncond_embeds,
+                cond_image, gs)
+            eps_neg = self._eps(params, latents_noisy, t, neg_embeds, cond_image)
+            delta_domain = jnp.where(
+                (t >= 200)[:, None, None, None], eps_uncond - eps_neg, eps_uncond)
+            grad = delta_domain + gs * (eps_text - eps_uncond)
+
+        elif self.loss_type == "ism":
+            # Interval Score Matching, single-inversion-step core
+            # (reference: basic.py:665-776 + ism/sd_step.py ddim_step)
+            t_prev = jnp.maximum(t - self.ism_delta_t, 0)
+            xs_prev = self.schedule.add_noise(lat_sg, noise, t_prev)
+            eps_prev = jax.lax.stop_gradient(
+                self._eps(params, xs_prev, t_prev, uncond_embeds, cond_image))
+            xs_t = self.schedule.ddim_step(xs_prev, eps_prev, t_prev, t)
+            eps_hat, _, _ = self._cfg_eps(
+                params, xs_t, t, text_embeds, uncond_embeds, cond_image, gs)
+            grad = eps_hat - eps_prev
+
+        else:
+            raise NotImplementedError(self.loss_type)
+
+        grad = grad * self._weight(t)
+
+        # latent-gradient guards (reference: basic.py:648-661)
+        if self.grad_latent_clip:
+            g = jnp.nan_to_num(grad)
+            nz = jnp.maximum(jnp.sum(jnp.abs(g) > 0), 1)
+            std = jnp.sqrt(jnp.sum(g * g) / nz) * self.grad_latent_clip_scale
+            grad = jnp.nan_to_num(jnp.clip(grad, -std, std))
+        if self.grad_latent_norm:
+            g = jnp.nan_to_num(grad)
+            n = jnp.sqrt(jnp.sum(g * g, axis=(1, 2, 3), keepdims=True))
+            grad = g / jnp.maximum(n, 1e-8)
+        if self.grad_latent_nan_to_num:
+            grad = jnp.nan_to_num(grad)
+
+        grad = jax.lax.stop_gradient(grad)
+        # SpecifyGradient (reference: basic.py:213-226, 900): d loss / d
+        # latents == grad
+        loss = jnp.sum(latents * grad) / latents.shape[0]
+
+        return {
+            "loss": loss,
+            "gradients": grad,
+            "latents": latents,
+            "target": jax.lax.stop_gradient(latents - grad),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Pixel gradient clipping (PGC) — custom_vjp on the rendered image
+# ---------------------------------------------------------------------------
+
+def make_pgc(clip_value: float = 0.1, mode: str = "clip"):
+    """Identity forward; the backward clips/normalizes per-pixel RGB grads
+    (reference: core/guidance/pgc.py:13-41 build_grad_hook_func)."""
+
+    @jax.custom_vjp
+    def pgc(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        if mode == "clip":
+            return (jnp.clip(g, -clip_value, clip_value),)
+        if mode == "std_clip":
+            std = jnp.std(g) * clip_value
+            return (jnp.clip(g, -std, std),)
+        if mode == "normalize":
+            n = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+            return (g / jnp.maximum(n, 1e-8) * clip_value,)
+        raise NotImplementedError(mode)
+
+    pgc.defvjp(fwd, bwd)
+    return pgc

@@ -1,0 +1,232 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamwaltz_g_tpu.guidance import sds as S
+from dreamwaltz_g_tpu.guidance import time_prior as TP
+from dreamwaltz_g_tpu.guidance.clip_text import (
+    CLIPTextModel,
+    HashTokenizer,
+    tiny_text_config,
+)
+from dreamwaltz_g_tpu.guidance.controlnet import ControlNet
+from dreamwaltz_g_tpu.guidance.text_aug import TextAugmentation
+from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, tiny_unet_config
+from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, tiny_vae_config
+
+
+@pytest.fixture(scope="module")
+def tiny_guidance():
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    cn = ControlNet(ucfg)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, ucfg.cross_attention_dim))
+    unet_p = unet.init(k1, lat, jnp.zeros((1,)), ctx)
+    vae_p = vae.init(k2, image_size=16)
+    cn_p = cn.init(k3, lat, jnp.zeros((1,)), ctx, jnp.zeros((1, 64, 64, 3)))
+    return unet, vae, cn, unet_p, vae_p, cn_p, ucfg
+
+
+def test_unet_shapes(tiny_guidance):
+    unet, _, _, unet_p, _, _, ucfg = tiny_guidance
+    x = jnp.ones((2, 8, 8, 4))
+    ctx = jnp.ones((2, 16, ucfg.cross_attention_dim))
+    out = unet.apply(unet_p, x, jnp.asarray([10.0, 500.0]), ctx)
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_time_conditioning_matters(tiny_guidance):
+    unet, _, _, unet_p, _, _, ucfg = tiny_guidance
+    x = jnp.ones((1, 8, 8, 4))
+    ctx = jnp.ones((1, 16, ucfg.cross_attention_dim))
+    o1 = unet.apply(unet_p, x, jnp.asarray([10.0]), ctx)
+    o2 = unet.apply(unet_p, x, jnp.asarray([900.0]), ctx)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+
+def test_controlnet_zero_init_residuals(tiny_guidance):
+    """Fresh ControlNet (zero convs) must leave the UNet output unchanged."""
+    unet, _, cn, unet_p, _, cn_p, ucfg = tiny_guidance
+    x = jnp.ones((1, 8, 8, 4))
+    ctx = jnp.ones((1, 16, ucfg.cross_attention_dim))
+    cond = jnp.ones((1, 64, 64, 3))
+    down, mid = cn.apply(cn_p, x, jnp.asarray([10.0]), ctx, cond)
+    assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+    assert float(jnp.abs(mid).max()) == 0.0
+    base = unet.apply(unet_p, x, jnp.asarray([10.0]), ctx)
+    with_cn = unet.apply(unet_p, x, jnp.asarray([10.0]), ctx,
+                         down_residuals=down, mid_residual=mid)
+    np.testing.assert_allclose(base, with_cn, atol=1e-6)
+
+
+def test_vae_roundtrip_shapes(tiny_guidance):
+    _, vae, _, _, vae_p, _, _ = tiny_guidance
+    img = jnp.ones((2, 16, 16, 3)) * 0.5
+    lat = vae.encode(vae_p, img)
+    assert lat.shape == (2, 8, 8, 4)
+    dec = vae.decode(vae_p, lat)
+    assert dec.shape == (2, 16, 16, 3)
+    assert float(dec.min()) >= 0 and float(dec.max()) <= 1
+
+
+def test_clip_text_model():
+    cfg = tiny_text_config()
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+    ids = tok(["a wizard", "a knight"])
+    assert ids.shape == (2, cfg.max_length)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    out = model.apply(params, jnp.asarray(ids))
+    assert out.shape == (2, cfg.max_length, cfg.hidden_size)
+    # determinism of the hash tokenizer
+    np.testing.assert_array_equal(ids, tok(["a wizard", "a knight"]))
+    # causality: changing a later token must not affect earlier positions
+    ids2 = ids.copy()
+    ids2[0, 5] = (ids2[0, 5] + 7) % cfg.vocab_size
+    out2 = model.apply(params, jnp.asarray(ids2))
+    np.testing.assert_allclose(out[0, :5], out2[0, :5], atol=1e-5)
+    assert float(jnp.abs(out[0, 5:] - out2[0, 5:]).max()) > 1e-6
+
+
+def test_schedule_math():
+    sch = TP.make_schedule()
+    assert sch.num_train_timesteps == 1000
+    ac = np.asarray(sch.alphas_cumprod)
+    assert ac[0] > 0.99 and ac[-1] < 0.01
+    assert (np.diff(ac) < 0).all()
+    # add_noise at t=0 is nearly x0
+    x0 = jnp.ones((1, 4, 4, 2))
+    noise = jnp.zeros_like(x0)
+    out = sch.add_noise(x0, noise, jnp.asarray([0]))
+    np.testing.assert_allclose(out, np.sqrt(ac[0]) * np.asarray(x0), rtol=1e-5)
+    # pred_x0 inverts add_noise
+    noise = jax.random.normal(jax.random.PRNGKey(0), x0.shape)
+    t = jnp.asarray([500])
+    xt = sch.add_noise(x0, noise, t)
+    np.testing.assert_allclose(sch.pred_x0_from_eps(xt, noise, t), x0, atol=1e-4)
+
+
+def test_C_schedules():
+    assert TP.C(5.0, 100) == 5.0
+    assert TP.C((0, 1.0, 0.0, 10), 0) == 1.0
+    assert TP.C((0, 1.0, 0.0, 10), 10) == 0.0
+    assert TP.C((0, 1.0, 0.0, 10), 5) == 0.5
+    # 3-tuple implies start 0; float steps scale with max_iteration
+    assert TP.C((1.0, 0.0, 10), 5) == 0.5
+    assert TP.C((0.0, 1.0, 0.0, 1.0), 50, max_iteration=100) == 0.5
+
+
+class _FakeGuideCfg:
+    min_timestep = 0.02
+    max_timestep = 0.98
+    time_sampling = "uniform"
+    time_annealing = "linear"
+    time_annealing_window = "impluse"
+    guidance_scale = 50.0
+    guidance_adjust = "constant"
+
+
+def test_timestep_modes():
+    for mode in ("uniform", "constant", "linear", "stage", "annealed"):
+        cfg = _FakeGuideCfg()
+        cfg.time_sampling = mode
+        tp = TP.TimePrioritizedScheduler(cfg)
+        t = tp.get_timestep(4, train_step=100, max_iteration=1000)
+        assert t.shape == (4,)
+        assert (t >= 0).all() and (t <= 999).all()
+        assert (t >= 19).all() and (t <= 980).all()
+    # annealed+dreamtime decreases over training
+    cfg = _FakeGuideCfg()
+    cfg.time_sampling = "annealed"
+    cfg.time_annealing = "dreamtime"
+    tp = TP.TimePrioritizedScheduler(cfg)
+    early = tp.get_timestep(1, 10, 1000)[0]
+    late = tp.get_timestep(1, 990, 1000)[0]
+    assert early > late
+
+
+def test_text_augmentation_views():
+    ta = TextAugmentation("a wizard", mode="dreamwaltz-g")
+    azim = np.asarray([0.0, 90.0, 180.0, 270.0, 10.0, 350.0])
+    elev = np.asarray([90.0] * 6)
+    idx = ta(azim, elev)
+    assert list(idx) == [0, 1, 2, 3, 0, 0]
+    # overhead overrides azimuth (elevation is polar-from-+y)
+    idx2 = ta(np.asarray([90.0]), np.asarray([10.0]))
+    assert idx2[0] == 4
+    idx3 = ta(np.asarray([90.0]), np.asarray([170.0]))
+    assert idx3[0] == 5
+    # body-part override
+    idx4 = ta(np.asarray([0.0]), np.asarray([90.0]), part="face")
+    assert idx4[0] == ta.part2index["face"]
+    assert "face of a wizard" in ta.texts
+
+
+def test_sds_loss_and_gradients(tiny_guidance):
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    guidance = S.ScoreDistillation(
+        unet=unet, vae=vae, controlnet=cn, latent_size=8,
+        loss_type="sds", weight_type="sjc", guidance_scale=7.5)
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p)
+
+    B, H = 2, 16
+    images = jnp.full((B, H, H, 3), 0.5)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 16, ucfg.cross_attention_dim))
+    unctx = jax.random.normal(jax.random.PRNGKey(2), ctx.shape)
+    cond = jnp.zeros((B, 64, 64, 3))
+    t = jnp.asarray([100, 700])
+
+    def loss_fn(images):
+        out = guidance(params, images, ctx, unctx, t,
+                       jax.random.PRNGKey(3), cond_image=cond)
+        return out["loss"]
+
+    loss, g = jax.value_and_grad(loss_fn)(images)
+    assert np.isfinite(float(loss))
+    assert g.shape == images.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_sds_cfg_collapse(tiny_guidance):
+    """With identical text and uncond embeddings, CFG cancels: the gradient
+    must be independent of guidance_scale."""
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p, controlnet=None)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 16, ucfg.cross_attention_dim))
+    images = jnp.full((1, 16, 16, 3), 0.3)
+    t = jnp.asarray([400])
+
+    outs = []
+    for gs in (1.0, 50.0):
+        guidance = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                       guidance_scale=gs)
+        out = guidance(params, images, ctx, ctx, t, jax.random.PRNGKey(0))
+        outs.append(np.asarray(out["gradients"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4)
+
+
+def test_sds_ism_runs(tiny_guidance):
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    guidance = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                   loss_type="ism", weight_type="ism")
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 16, ucfg.cross_attention_dim))
+    unctx = jax.random.normal(jax.random.PRNGKey(2), ctx.shape)
+    images = jnp.full((1, 16, 16, 3), 0.4)
+    out = guidance(params, images, ctx, unctx, jnp.asarray([300]),
+                   jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_pgc_clips_backward():
+    pgc = S.make_pgc(clip_value=0.01, mode="clip")
+    x = jnp.ones((4, 4, 3))
+    g = jax.grad(lambda x: jnp.sum(pgc(x) * 100.0))(x)
+    assert float(jnp.abs(g).max()) <= 0.01 + 1e-8
