@@ -112,7 +112,7 @@ def canonical_params(
     cancellation (reference: get_smpl_inputs, smpl_model.py:211-298)."""
     p = default_params(model, batch_size)
     p = p._replace(body_pose=canonical_body_pose(pose_type, key, batch_size))
-    if flat_hand:
+    if flat_hand and model.pose_mean.shape[0] >= 90:
         # cancel the model's pose_mean on the hands so canonical hands are flat
         lh = -model.pose_mean[-90:-45].reshape(1, 45)
         rh = -model.pose_mean[-45:].reshape(1, 45)
