@@ -1,0 +1,95 @@
+"""NeRF -> point cloud export (the stage-1 -> stage-2 handoff).
+
+(reference: core/nerf/to_point_cloud.py:10-119 — dense grid query of
+sigma/albedo above a density threshold inside the bound, optional bbox
+point removal, latent->RGB decode for latent NeRFs.)
+
+The grid query is a jit'd chunked scan on device; thresholding/compaction is
+host-side numpy (setup-time, dynamic-size output).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.point_cloud import BasicPointCloud
+from .network import NeRFModel, NeRFParams
+
+# latent -> RGB linear decode (the public SD-latent approximation used for
+# latent NeRFs, reference: to_point_cloud.py latent decode matrix)
+LATENT_TO_RGB = np.asarray([
+    [0.298, 0.207, 0.208],
+    [0.187, 0.286, 0.173],
+    [-0.158, 0.189, 0.264],
+    [-0.184, -0.271, -0.473],
+], np.float32)
+
+
+def export_point_cloud(
+    model: NeRFModel,
+    params: NeRFParams,
+    resolution: int = 400,
+    density_thresh: float = 10.0,
+    bound: Optional[float] = None,
+    max_points: Optional[int] = None,
+    bbox_min: Optional[np.ndarray] = None,
+    bbox_max: Optional[np.ndarray] = None,
+    chunk: int = 256 ** 2,
+    key: Optional[jax.Array] = None,
+) -> BasicPointCloud:
+    """Query sigma/albedo on a resolution³ grid and keep dense cells.
+
+    Args:
+        bbox_min/bbox_max: optional (3,) box whose interior points are
+            removed (reference bbox removal, to_point_cloud.py:85-104).
+        max_points: optional random subsample of the kept points.
+    """
+    bound = bound or model.bound
+    r = resolution
+    xs = (np.arange(r, dtype=np.float32) + 0.5) / r * 2 * bound - bound
+    # build per-slab to keep host memory sane: iterate z slabs on host
+    sigmas = np.empty((r, r, r), np.float32)
+    colors = np.empty((r, r, r, model.color_channels), np.float32)
+
+    yy, xx = np.meshgrid(xs, xs, indexing="ij")
+
+    @jax.jit
+    def query(pts):
+        n = pts.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3))])
+        s, a = jax.lax.map(
+            lambda p: model.density(params, p), pts.reshape(-1, chunk, 3))
+        return s.reshape(-1)[:n], a.reshape(-1, a.shape[-1])[:n]
+
+    for iz, z in enumerate(xs):
+        pts = np.stack([xx.reshape(-1), yy.reshape(-1),
+                        np.full(r * r, z, np.float32)], -1)
+        # grid layout (x, y, z) -> index [ix, iy, iz]
+        s, a = query(jnp.asarray(pts))
+        sigmas[:, :, iz] = np.asarray(s).reshape(r, r).T
+        colors[:, :, iz] = np.asarray(a).reshape(r, r, -1).transpose(1, 0, 2)
+
+    mask = sigmas > density_thresh
+    ix, iy, iz = np.nonzero(mask)
+    pts = np.stack([xs[ix], xs[iy], xs[iz]], -1)
+    cols = colors[ix, iy, iz]
+    if cols.shape[-1] == 4:  # latent NeRF -> approximate RGB
+        cols = np.clip(cols @ LATENT_TO_RGB, 0.0, 1.0)
+
+    if bbox_min is not None and bbox_max is not None:
+        inside = np.all((pts > np.asarray(bbox_min))
+                        & (pts < np.asarray(bbox_max)), axis=-1)
+        pts, cols = pts[~inside], cols[~inside]
+
+    if max_points is not None and pts.shape[0] > max_points:
+        rng = np.random.default_rng(0 if key is None else int(key[0]))
+        sel = rng.choice(pts.shape[0], max_points, replace=False)
+        pts, cols = pts[sel], cols[sel]
+
+    return BasicPointCloud(points=pts.astype(np.float32),
+                           colors=cols.astype(np.float32))

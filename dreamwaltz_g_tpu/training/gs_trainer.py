@@ -1,0 +1,196 @@
+"""Stage-2 trainers: animatable-avatar SDS and NeRF->3DGS distillation.
+
+(reference: core/trainer.py — ``train``/``train_forward`` 826-1017 with
+stage='gs' drive Scene.forward through the rasterizer and the diffusion
+guidance, accumulate densification stats from screen-space mean gradients,
+and step the six avatar optimizers; ``pretrain_nerf2gs`` 1281-1386 distills
+frozen stage-1 NeRF renders into the avatar with L1+DSSIM.)
+
+Screen-space mean gradients (the densifier's signal,
+gaussian_densifier.py:206) are obtained with a zero "dummy" offset added to
+the projected means inside the loss: its gradient IS dL/d(means2d), without
+retaining intermediate buffers — the JAX replacement for the reference's
+``retain_grad`` on screenspace_points (gaussian_renderer.py:141-148).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..gaussian.densify import DensifyConfig, reset_opt_slots
+from ..guidance.sds import GuidanceParams, ScoreDistillation
+from ..human.smplx_model import SMPLXParams
+from ..ops import rasterize as R
+from ..system.avatar import (
+    AvatarModel,
+    AvatarState,
+    animate,
+    densify_avatar,
+    merge_gaussians,
+    update_avatar_stats,
+)
+from .losses import image_reconstruction_loss
+
+
+class AvatarTrainState(NamedTuple):
+    avatar: AvatarState
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_avatar_train_state(state: AvatarState,
+                            tx: optax.GradientTransformation,
+                            ) -> AvatarTrainState:
+    return AvatarTrainState(avatar=state, opt_state=tx.init(state.params),
+                            step=jnp.zeros((), jnp.int32))
+
+
+def _render_with_dummy(model: AvatarModel, state: AvatarState, params,
+                       observed_inputs, dummy, extrinsic, intrinsics, tanfov,
+                       background, H, W, raster):
+    """Animate + project (+dummy on means2d) + rasterize + composite."""
+    gs = animate(model, state._replace(params=params), observed_inputs)
+    cov3d = R.covariance3d(gs.quats, gs.scales)
+    g2d = R.project_gaussians(
+        gs.positions, cov3d, gs.opacities, gs.colors, extrinsic, intrinsics,
+        H, W, tanfov=tanfov, alive=gs.alive)
+    g2d = g2d._replace(means2d=g2d.means2d + dummy)
+    out = R.rasterize_projected(g2d, H, W, **raster)
+    image = out.image + (1.0 - out.alpha)[..., None] * background
+    return image, out
+
+
+def make_avatar_sds_step(
+    model: AvatarModel,
+    guidance: ScoreDistillation,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 16,
+    capacity: int = 512,
+    chunk: int = 64,
+    max_tiles_per_gaussian: int = 16,
+    lambda_guidance: float = 1.0,
+):
+    """One avatar SDS step. Returns (state', metrics)."""
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+    n_total = None  # resolved at trace time from the merged output
+
+    @jax.jit
+    def step(tstate: AvatarTrainState, gparams: GuidanceParams,
+             observed_inputs: SMPLXParams,
+             extrinsic, intrinsics, tanfov, background,
+             text_embeds, uncond_embeds, t, key,
+             cond_image=None, guidance_scale=None):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+
+        def loss_fn(params, dummy):
+            image, out = _render_with_dummy(
+                model, state, params, observed_inputs, dummy,
+                extrinsic, intrinsics, tanfov, background, H, W, raster)
+            sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
+                           t, key, cond_image=cond_image,
+                           guidance_scale=guidance_scale)
+            loss = lambda_guidance * sds["loss"]
+            return loss, (out.radii, {"sds_loss": sds["loss"]})
+
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        (loss, (radii, metrics)), (grads, dgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
+
+        updates, opt_state = tx.update(grads, tstate.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_avatar = update_avatar_stats(
+            state._replace(params=params), dgrad[:C], radii[:C])
+        metrics["loss"] = loss
+        return AvatarTrainState(new_avatar, opt_state, tstate.step + 1), metrics
+
+    return step
+
+
+def make_nerf2gs_step(
+    model: AvatarModel,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 16,
+    capacity: int = 512,
+    chunk: int = 64,
+    lambda_dssim: float = 0.2,
+):
+    """Distill frozen NeRF target renders into the avatar
+    (reference: pretrain_nerf2gs, trainer.py:1281-1386: L1+DSSIM on the
+    foreground, target alpha masks the background)."""
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk)
+
+    @jax.jit
+    def step(tstate: AvatarTrainState, observed_inputs,
+             extrinsic, intrinsics, tanfov, background,
+             target_image, target_alpha):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+
+        def loss_fn(params, dummy):
+            image, out = _render_with_dummy(
+                model, state, params, observed_inputs, dummy,
+                extrinsic, intrinsics, tanfov, background, H, W, raster)
+            m = target_alpha[..., None]
+            loss = image_reconstruction_loss(image * m, target_image * m,
+                                             lambda_dssim)
+            return loss, out.radii
+
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        (loss, radii), (grads, dgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
+        updates, opt_state = tx.update(grads, tstate.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_avatar = update_avatar_stats(
+            state._replace(params=params), dgrad[:C], radii[:C])
+        return (AvatarTrainState(new_avatar, opt_state, tstate.step + 1),
+                {"loss": loss})
+
+    return step
+
+
+def densify(tstate: AvatarTrainState, cfg: DensifyConfig, key: jax.Array,
+            ) -> AvatarTrainState:
+    """Clone/split/prune + per-slot optimizer-moment reset
+    (reference: Scene.densify -> GaussianDensifier.__call__ +
+    Adam-state surgery, gaussian_densifier.py:120-182, 338-387)."""
+    new_avatar, written = densify_avatar(tstate.avatar, cfg, key)
+    opt_state = reset_opt_slots(tstate.opt_state, written)
+    return AvatarTrainState(new_avatar, opt_state, tstate.step)
+
+
+def make_avatar_render(model: AvatarModel, image_height: int,
+                       image_width: int, tile_size: int = 16,
+                       capacity: int = 512, chunk: int = 64,
+                       max_tiles_per_gaussian: int = 16):
+    """Jit'd eval/inference render (reference: evaluate + Scene.forward)."""
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    @jax.jit
+    def render(state: AvatarState, observed_inputs,
+               extrinsic, intrinsics, tanfov, background):
+        gs = animate(model, state, observed_inputs)
+        cov3d = R.covariance3d(gs.quats, gs.scales)
+        g2d = R.project_gaussians(
+            gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
+            intrinsics, H, W, tanfov=tanfov, alive=gs.alive)
+        out = R.rasterize_projected(g2d, H, W, **raster)
+        image = out.image + (1.0 - out.alpha)[..., None] * background
+        return image, out.alpha, out.depth
+
+    return render

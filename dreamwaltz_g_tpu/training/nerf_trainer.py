@@ -1,0 +1,185 @@
+"""Stage-1 trainers: NeRF pretrain (depth/mask MSE) and NeRF SDS.
+
+(reference: core/trainer.py — ``pretrain`` 1152-1240 fits the Instant-NGP
+NeRF to SMPL-X depth/mask renders; ``train``/``train_forward`` 826-1017 with
+stage='nerf' runs SDS through the frozen diffusion guidance with sparsity and
+mesh-surface sigma losses 975-1006.)
+
+Everything inside ``*_step`` is jit-compiled once; the host loop only draws
+cameras/poses/timesteps and pipes arrays in.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import TrainConfig
+from ..data.camera import CameraBatch, get_rays
+from ..guidance.sds import GuidanceParams, ScoreDistillation
+from ..nerf.network import NeRFModel, NeRFParams
+from ..nerf.renderer import (
+    OccupancyGrid,
+    render_rays,
+    update_occupancy,
+)
+from .losses import SigmaGuidancePoints, sigma_margin_loss, sparsity_loss
+
+
+class NeRFTrainState(NamedTuple):
+    params: NeRFParams
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+
+
+def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
+                     key: jax.Array,
+                     params: Optional[NeRFParams] = None) -> NeRFTrainState:
+    params = params if params is not None else model.init(key)
+    return NeRFTrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+
+def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
+                  num_steps, bg_color, shading="albedo"):
+    """Render a full (H, W, C) image by marching all pixels in one batch."""
+    rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None], H, W)
+    out = render_rays(model, params, grid, rays_o[0], rays_d[0], key=key,
+                      num_steps=num_steps, perturb=True, shading=shading)
+    img = out.image + (1.0 - out.weights_sum)[:, None] * bg_color
+    return (img.reshape(H, W, -1), out.depth.reshape(H, W),
+            out.weights_sum.reshape(H, W))
+
+
+def make_pretrain_step(
+    model: NeRFModel,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    num_steps: int = 96,
+    lambda_mask: float = 1.0,
+    lambda_depth: float = 1.0,
+):
+    """Depth/mask MSE against SMPL-X 'depth_raw' renders
+    (reference: pretrain_forward, trainer.py:1242-1279: loss =
+    MSE(weights_sum, mask) + MSE(depth, smpl depth) on mask)."""
+
+    @jax.jit
+    def step(state: NeRFTrainState, grid: OccupancyGrid,
+             cam_c2w, cam_intr, gt_depth, gt_mask, key):
+        def loss_fn(params):
+            _, depth, wsum = _render_image(
+                model, params, grid, cam_c2w, cam_intr,
+                image_height, image_width, key, num_steps,
+                jnp.zeros(model.color_channels))
+            m = gt_mask.astype(jnp.float32)
+            mask_loss = jnp.mean((wsum - m) ** 2)
+            depth_loss = jnp.sum(m * (depth - gt_depth) ** 2) \
+                / jnp.maximum(jnp.sum(m), 1.0)
+            loss = lambda_mask * mask_loss + lambda_depth * depth_loss
+            return loss, {"mask_loss": mask_loss, "depth_loss": depth_loss}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        return NeRFTrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_nerf_sds_step(
+    model: NeRFModel,
+    guidance: ScoreDistillation,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    nerf_cfg,
+    num_steps: int = 96,
+    lambda_guidance: float = 1.0,
+    lambda_sigma: float = 1.0,
+    sigma_peak: float = 15.0,
+    sigma_loss_type: str = "margin",
+    max_iteration: int = 10000,
+):
+    """One SDS step on the NeRF (reference: train_forward,
+    trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
+    sparsity + sigma-margin regularizers -> adam update."""
+
+    @functools.partial(jax.jit, static_argnames=("use_sigma",))
+    def step(state: NeRFTrainState, grid: OccupancyGrid,
+             gparams: GuidanceParams,
+             cam_c2w, cam_intr, bg_color,
+             text_embeds, uncond_embeds, t, key,
+             cond_image=None, guidance_scale=None,
+             sigma_pts: Optional[SigmaGuidancePoints] = None,
+             use_sigma: bool = False):
+        k_render, k_sds = jax.random.split(key)
+
+        def loss_fn(params):
+            img, _, wsum = _render_image(
+                model, params, grid, cam_c2w, cam_intr,
+                image_height, image_width, k_render, num_steps, bg_color)
+            sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
+                           t, k_sds, cond_image=cond_image,
+                           guidance_scale=guidance_scale)
+            loss = lambda_guidance * sds["loss"]
+            metrics = {"sds_loss": sds["loss"]}
+            sp = sparsity_loss(wsum.reshape(-1), nerf_cfg, None, None)
+            loss = loss + sp
+            metrics["sparsity_loss"] = sp
+            if use_sigma and sigma_pts is not None:
+                sg = sigma_margin_loss(model, params, sigma_pts,
+                                       peak=sigma_peak,
+                                       loss_type=sigma_loss_type)
+                loss = loss + lambda_sigma * sg
+                metrics["sigma_loss"] = sg
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        return NeRFTrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def maybe_update_occupancy(
+    state: NeRFTrainState,
+    grid: OccupancyGrid,
+    model: NeRFModel,
+    key: jax.Array,
+    interval: int = 16,
+    density_thresh: float = 10.0,
+) -> OccupancyGrid:
+    """Host-side cadence for the EMA occupancy refresh
+    (reference: trainer.py:843-845, every update_extra_interval steps)."""
+    if int(state.step) % interval == 0:
+        return update_occupancy(grid, model, state.params, key,
+                                density_thresh=density_thresh)
+    return grid
+
+
+def make_eval_render(model: NeRFModel, image_height: int, image_width: int,
+                     num_steps: int = 128):
+    """Jit'd full-frame eval render (reference: evaluate, trainer.py:1019)."""
+
+    @jax.jit
+    def render(params: NeRFParams, grid: OccupancyGrid, cam_c2w, cam_intr,
+               bg_color):
+        rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None],
+                                  image_height, image_width)
+        out = render_rays(model, params, grid, rays_o[0], rays_d[0],
+                          num_steps=num_steps, perturb=False)
+        img = out.image + (1.0 - out.weights_sum)[:, None] * bg_color
+        H, W = image_height, image_width
+        return (img.reshape(H, W, -1), out.depth.reshape(H, W),
+                out.weights_sum.reshape(H, W))
+
+    return render

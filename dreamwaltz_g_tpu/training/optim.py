@@ -1,0 +1,222 @@
+"""Optimizer construction: per-attribute param groups as optax transforms.
+
+Replaces the reference's mutable Adam param-group machinery
+(reference: core/gaussian/gaussian_optimizer.py:49-141 canonical 3DGS LRs,
+core/optim/adan.py vendored Adan, core/optim/optim_utils.py:5-30 expon LR)
+with optax: ``multi_transform`` partitions the avatar parameter pytree into
+the same six groups the reference keeps as separate optimizers
+(reference: DreamWaltzG.get_optimizer, core/system/avatar.py:1590-1635).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import NeRFConfig, RenderConfig
+
+
+def expon_lr(lr_init: float, lr_final: float, max_steps: int,
+             lr_delay_steps: int = 0, lr_delay_mult: float = 1.0):
+    """3DGS log-lerp learning rate with optional delayed warmup
+    (reference: get_expon_lr_func, core/optim/optim_utils.py:5-30)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        log_lerp = jnp.exp(
+            jnp.log(max(lr_init, 1e-30)) * (1 - t)
+            + jnp.log(max(lr_final, 1e-30)) * t)
+        if lr_delay_steps > 0:
+            delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0))
+        else:
+            delay = 1.0
+        return delay * log_lerp
+
+    return schedule
+
+
+def adan(
+    learning_rate,
+    b1: float = 0.98,
+    b2: float = 0.92,
+    b3: float = 0.99,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adan (Adaptive Nesterov Momentum) as an optax transform
+    (reference: vendored core/optim/adan.py — used for the MLP background).
+
+    m = EMA_b1(g); v = EMA_b2(g_t - g_{t-1}); n = EMA_b3((g + (1-b2) dg)^2)
+    update = (m + (1-b2) v) / (sqrt(n) + eps), decoupled weight decay.
+    """
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"m": z, "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "n": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "g_prev": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(grads, state, params=None):
+        count = state["count"] + 1
+        first = count == 1
+        t = jax.tree_util.tree_map
+
+        def dg_fn(g, gp):
+            return jnp.where(first, jnp.zeros_like(g), g - gp)
+
+        dg = t(dg_fn, grads, state["g_prev"])
+        m = t(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = t(lambda v_, d: b2 * v_ + (1 - b2) * d, state["v"], dg)
+        n = t(lambda n_, g, d: b3 * n_ + (1 - b3) * (g + (1 - b2) * d) ** 2,
+              state["n"], grads, dg)
+
+        c1 = 1 - b1 ** count
+        c2 = 1 - b2 ** count
+        c3 = 1 - b3 ** count
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def upd(m_, v_, n_, p):
+            denom = jnp.sqrt(n_ / c3) + eps
+            step = (m_ / c1 + (1 - b2) * v_ / c2) / denom
+            u = -lr * step
+            if weight_decay > 0.0 and p is not None:
+                u = (p + u) / (1.0 + lr * weight_decay) - p
+            return u
+
+        if params is None:
+            updates = t(lambda m_, v_, n_: upd(m_, v_, n_, None), m, v, n)
+        else:
+            updates = t(upd, m, v, n, params)
+        return updates, {"m": m, "v": v, "n": n, "g_prev": grads, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(kind: str, lr, **kwargs) -> optax.GradientTransformation:
+    if kind == "adam":
+        return optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+    if kind == "adamw":
+        return optax.adamw(lr, **kwargs)
+    if kind == "adan":
+        return adan(lr, **kwargs)
+    raise ValueError(f"unknown optimizer {kind!r}")
+
+
+def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
+                         ) -> optax.GradientTransformation:
+    """Encoder gets lr x ``encoder_lr_scale`` (reference:
+    nerf_model.py:171-211 get_params: encoder lr x10), MLPs base lr."""
+    base = cfg.lr
+    sched = {
+        "constant": lambda s: base,
+        "cosine": optax.cosine_decay_schedule(base, max_steps),
+    }.get(cfg.lr_policy, lambda s: base)
+
+    def scale_by_group(path_key):
+        def label_fn(params):
+            # NeRFParams NamedTuple: encoder / sigma_mlp / bg_mlp
+            return type(params)(
+                encoder="encoder",
+                sigma_mlp="mlp",
+                bg_mlp=None if params.bg_mlp is None else "bg",
+            )
+        return label_fn
+
+    tx = optax.multi_transform(
+        {
+            "encoder": optax.adam(
+                lambda s: sched(s) * cfg.encoder_lr_scale,
+                b1=0.9, b2=0.99, eps=1e-15),
+            "mlp": optax.adam(sched, b1=0.9, b2=0.99, eps=1e-15),
+            "bg": optax.adam(cfg.bg_lr, b1=0.9, b2=0.99, eps=1e-15),
+        },
+        scale_by_group(None),
+    )
+    return tx
+
+
+def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
+                           spatial_scale: float = 1.0,
+                           ) -> optax.GradientTransformation:
+    """Six param groups over ``AvatarParams``
+    (reference: get_optimizer, avatar.py:1590-1635 + canonical 3DGS LRs,
+    gaussian_optimizer.py:49-121): positions (expon decay x spatial_scale),
+    scales/quats, lbs weights, the NeRF encoder+color MLP (continued at a
+    small lr), the deform net, and mesh-binding params."""
+    pos_lr = expon_lr(
+        cfg.position_lr_init * spatial_scale,
+        cfg.position_lr_final * spatial_scale,
+        max_steps)
+
+    def label_fn(params):
+        # AvatarParams NamedTuple fields
+        return type(params)(
+            positions="pos",
+            log_scales="scale",
+            quats="quat",
+            lbs_weights="lbs",
+            encoder="nerf",
+            color_mlp="nerf",
+            sq_net="deform",
+            mesh=jax.tree_util.tree_map(lambda _: "mesh", params.mesh),
+            extra_betas="betas",
+        )
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+
+    def maybe_frozen(enabled, tx):
+        return tx if enabled else optax.set_to_zero()
+
+    return optax.multi_transform(
+        {
+            "pos": maybe_frozen(cfg.learn_positions, adam(pos_lr)),
+            "scale": maybe_frozen(cfg.learn_scales, adam(cfg.scaling_lr)),
+            "quat": maybe_frozen(cfg.learn_quaternions, adam(cfg.rotation_lr)),
+            "lbs": maybe_frozen(cfg.learn_lbs_weights, adam(cfg.lbs_lr)),
+            "nerf": adam(1e-3),
+            "deform": adam(1e-4),
+            "mesh": adam(cfg.feature_lr),
+            "betas": maybe_frozen(
+                cfg.learn_hand_betas or cfg.learn_face_betas,
+                adam(cfg.betas_lr)),
+        },
+        label_fn,
+    )
+
+
+def build_gaussian_optimizer(cfg: RenderConfig, max_steps: int,
+                             spatial_scale: float = 1.0,
+                             ) -> optax.GradientTransformation:
+    """Vanilla-3DGS per-attribute groups over ``GaussianParams``
+    (reference: gaussian_optimizer.py:49-121; sh_rest lr = feature_lr/20)."""
+    pos_lr = expon_lr(
+        cfg.position_lr_init * spatial_scale,
+        cfg.position_lr_final * spatial_scale,
+        max_steps)
+
+    def label_fn(params):
+        return type(params)(
+            means="pos", sh_dc="dc", sh_rest="rest",
+            opacity_logit="opacity", log_scales="scale", quats="quat")
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+
+    return optax.multi_transform(
+        {
+            "pos": adam(pos_lr),
+            "dc": adam(cfg.feature_lr),
+            "rest": adam(cfg.feature_lr / 20.0),
+            "opacity": adam(cfg.opacity_lr),
+            "scale": adam(cfg.scaling_lr),
+            "quat": adam(cfg.rotation_lr),
+        },
+        label_fn,
+    )

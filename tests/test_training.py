@@ -1,0 +1,272 @@
+"""Tests for optimizers, losses, camera samplers, checkpointing, trainers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dreamwaltz_g_tpu.configs import DataConfig, NeRFConfig, RenderConfig
+from dreamwaltz_g_tpu.data.sampler import (
+    CyclicalCamera,
+    CyclicalCamera4Avatar,
+    RandomCamera,
+    RandomCamera4Avatar,
+    sample_camera_trajectory,
+)
+from dreamwaltz_g_tpu.training import losses as L
+from dreamwaltz_g_tpu.training.optim import (
+    adan,
+    build_gaussian_optimizer,
+    build_nerf_optimizer,
+    expon_lr,
+)
+
+
+class TestExponLR:
+    def test_endpoints(self):
+        f = expon_lr(1e-2, 1e-4, 100)
+        assert np.isclose(float(f(0)), 1e-2, rtol=1e-5)
+        assert np.isclose(float(f(100)), 1e-4, rtol=1e-5)
+        # log-lerp midpoint = geometric mean
+        assert np.isclose(float(f(50)), 1e-3, rtol=1e-4)
+
+
+class TestAdan:
+    def test_converges_on_quadratic(self):
+        # adaptive optimizers oscillate around the optimum at ~lr amplitude
+        # on a quadratic; decay the lr to land tightly
+        tx = adan(lambda step: 0.1 * 0.99 ** step)
+        params = jnp.asarray([5.0, -3.0])
+        state = tx.init(params)
+
+        @jax.jit
+        def step(params, state):
+            grads = 2 * params  # d/dp ||p||^2
+            updates, state = tx.update(grads, state, params)
+            return optax.apply_updates(params, updates), state
+
+        for _ in range(300):
+            params, state = step(params, state)
+        assert float(jnp.abs(params).max()) < 0.2
+
+
+class TestGroupOptimizers:
+    def test_nerf_groups(self):
+        from dreamwaltz_g_tpu.nerf.network import build_nerf
+
+        model = build_nerf(NeRFConfig(num_levels=2, level_dim=2,
+                                      desired_resolution=64,
+                                      log2_hashmap_size=8))
+        params = model.init(jax.random.PRNGKey(0))
+        tx = build_nerf_optimizer(model.cfg, max_steps=100)
+        opt_state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        # encoder step must be ~10x the MLP step
+        enc_mag = float(jnp.abs(updates.encoder.tables).mean())
+        mlp_mag = float(jnp.abs(
+            updates.sigma_mlp["params"]["dense_0"]["kernel"]).mean())
+        assert enc_mag > 5 * mlp_mag
+
+    def test_gaussian_groups(self):
+        from dreamwaltz_g_tpu.gaussian.model import init_state
+
+        state = init_state(jnp.zeros((8, 3)), capacity=8)
+        tx = build_gaussian_optimizer(RenderConfig(), max_steps=100)
+        opt_state = tx.init(state.params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        updates, _ = tx.update(grads, opt_state, state.params)
+        # sh_rest lr is feature_lr / 20
+        dc = float(jnp.abs(updates.sh_dc).mean())
+        rest = float(jnp.abs(updates.sh_rest).mean())
+        assert dc > 10 * rest
+
+
+class TestLosses:
+    def test_sparsity_components(self):
+        ws = jnp.asarray([0.1, 0.9, 0.5])
+        assert float(L.opacity_loss(ws)) > 0
+        assert 0 < float(L.entropy_loss(ws)) <= 1.0
+        assert float(L.emptiness_loss(ws)) > 0
+
+    def test_ssim_identity(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(L.ssim(img, img)) > 0.999
+
+    def test_recon_loss_zero_at_identity(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(L.image_reconstruction_loss(img, img)) < 1e-5
+        other = jnp.zeros_like(img)
+        assert float(L.image_reconstruction_loss(img, other)) > 0.1
+
+    def test_sigma_margin_loss(self):
+        from dreamwaltz_g_tpu.nerf.network import build_nerf
+
+        model = build_nerf(NeRFConfig(num_levels=2, desired_resolution=64,
+                                      log2_hashmap_size=8),
+                           with_background=False)
+        params = model.init(jax.random.PRNGKey(0))
+        pts = L.SigmaGuidancePoints(
+            surface=jnp.zeros((16, 3)), offset=jnp.ones((16, 3)) * 0.5)
+        loss = L.sigma_margin_loss(model, params, pts, peak=15.0)
+        assert float(loss) > 0  # fresh net is far from the margins
+
+    def test_make_sigma_points(self):
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+        f = jnp.asarray(rng.integers(0, 20, size=(30, 3)))
+        pts = L.make_sigma_guidance_points(jax.random.PRNGKey(0), v, f,
+                                           num_points=64)
+        assert pts.surface.shape == (64, 3) and pts.offset.shape == (64, 3)
+
+    def test_knn_regularizer(self):
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+        reg = L.KnnRegularizer.build(v, k=4)
+        # tiny offsets/scales are free; huge ones are penalized
+        assert float(reg.offset_loss(jnp.zeros((32, 3)))) == 0.0
+        assert float(reg.offset_loss(jnp.ones((32, 3)) * 10)) > 0
+        assert float(reg.scale_loss(jnp.full((32, 3), 1e-6))) == 0.0
+        assert float(reg.scale_loss(jnp.ones((32, 3)) * 10)) > 0
+
+
+class TestCameraSamplers:
+    def test_random_camera_ranges(self):
+        cfg = DataConfig(radius_range=(1.0, 2.0), fovy_range=(40, 70))
+        cam = RandomCamera(cfg, 64, 64, seed=0)(4)
+        assert cam.extrinsic.shape == (4, 4, 4)
+        r = np.asarray(cam.radius)
+        assert (r >= 1.0).all() and (r <= 2.0).all()
+
+    def test_multi_interval_azimuth(self):
+        cfg = DataConfig(face_azimuth_range="(0, 10),(350,360)")
+        sampler = RandomCamera(cfg, 32, 32, seed=1)
+        sampler.azimuth_range = cfg.face_azimuth_range
+        az = np.concatenate([np.asarray(sampler(8).azimuth) for _ in range(8)])
+        assert ((az <= 10.0) | (az >= 350.0)).all()
+
+    def test_body_part_sampler(self):
+        cfg = DataConfig(body_prob=0.0, face_prob=1.0, head_prob=0.0,
+                         hand_prob=0.0, foot_prob=0.0, arm_prob=0.0)
+        sampler = RandomCamera4Avatar(cfg, 32, 32, seed=0)
+        kp = np.zeros((1, 128, 3), np.float32)
+        kp[0, :, 1] = 1.5  # ears etc at head height
+        sampler.setup_camera_offset(kp)
+        cam, part = sampler(1)
+        assert part == "face"
+        r = float(cam.radius[0])
+        assert 0.5 <= r <= 1.0
+
+    def test_trajectories(self):
+        assert sample_camera_trajectory(0.5, trajectory="circle")[0] == 180.0
+        a, e = sample_camera_trajectory(0.25, azimuth=10, elevation=80,
+                                        trajectory="fixed")
+        assert (a, e) == (10, 80)
+
+    def test_cyclical_camera(self):
+        cfg = DataConfig(eval_radius=2.4)
+        cam = CyclicalCamera(cfg, 64, 64)(0.5)
+        assert float(cam.azimuth[0]) == 180.0
+
+    def test_cyclical_body_part_offset(self):
+        cfg = DataConfig(eval_body_part="head")
+        cam = CyclicalCamera4Avatar(cfg, 64, 64)
+        kp = np.zeros((1, 128, 3), np.float32)
+        kp[0, 16, :] = [0, 1.6, 0]
+        kp[0, 17, :] = [0, 1.6, 0]
+        cam.setup_camera_offset(kp)
+        np.testing.assert_allclose(cam.camera_offset, [0, 1.6, 0], atol=1e-6)
+
+
+class TestCheckpointer:
+    def test_save_restore_rotation(self, tmp_path):
+        from dreamwaltz_g_tpu.training.checkpoint import Checkpointer
+
+        ck = Checkpointer(tmp_path / "ckpts", max_keep=2)
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+        for s in (10, 20, 30):
+            ck.save(s, jax.tree_util.tree_map(lambda x: x * s, tree))
+        assert ck.all_steps() == [20, 30]  # rotated
+        restored, step = ck.restore()
+        assert step == 30
+        np.testing.assert_allclose(restored["a"], np.arange(4.0) * 30)
+
+
+class TestPretrainStep:
+    def test_mask_loss_decreases(self):
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+        from dreamwaltz_g_tpu.nerf.network import build_nerf
+        from dreamwaltz_g_tpu.nerf.renderer import init_occupancy
+        from dreamwaltz_g_tpu.training.nerf_trainer import (
+            init_train_state,
+            make_pretrain_step,
+        )
+
+        cfg = NeRFConfig(num_levels=4, desired_resolution=64,
+                         log2_hashmap_size=10, bound=1.0)
+        model = build_nerf(cfg, with_background=False)
+        tx = build_nerf_optimizer(cfg, 50)
+        state = init_train_state(model, tx, jax.random.PRNGKey(0))
+        grid = None
+        H = W = 16
+        cam = make_camera_batch(2.0, 0.0, 90.0, 60.0, H, W)
+        # target: circular mask, flat depth
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        mask = ((yy - H / 2) ** 2 + (xx - W / 2) ** 2 < (H / 4) ** 2)
+        gt_mask = jnp.asarray(mask, jnp.float32)
+        gt_depth = jnp.where(gt_mask > 0, 2.0, 0.0)
+
+        step = make_pretrain_step(model, tx, H, W, num_steps=32)
+        grid_none = init_occupancy(8)._replace(
+            occupied=jnp.ones((8, 8, 8), bool))
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for i in range(30):
+            key, k = jax.random.split(key)
+            state, m = step(state, grid_none, cam.c2w[0], cam.intrinsics[0],
+                            gt_depth, gt_mask, k)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.8
+
+
+class TestAvatarSDSStepShapes:
+    def test_avatar_step_runs_with_tiny_guidance(self):
+        import dreamwaltz_g_tpu.tests_support as ts
+
+        pytest.importorskip("flax")
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            densify,
+            init_avatar_train_state,
+            make_avatar_sds_step,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+        from dreamwaltz_g_tpu.gaussian.densify import DensifyConfig
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+        tstate = init_avatar_train_state(setup.state, tx)
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+
+        H = W = 32
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
+                                    tile_size=8, capacity=64, chunk=32)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jnp.zeros((1, 4, D))
+        t = jnp.asarray([500], jnp.int32)
+        bg = jnp.zeros((H, W, 3))
+        tstate2, metrics = step(
+            tstate, gparams, setup.observed, cam.extrinsic[0],
+            cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t,
+            jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(tstate2.step) == 1
+        # stats accumulated on at least some visible gaussians
+        assert float(tstate2.avatar.grad_denom.sum()) > 0
+
+        # densify runs and keeps shapes
+        tstate3 = densify(tstate2, DensifyConfig(grad_threshold=0.0,
+                                                 spatial_scale=1.0),
+                          jax.random.PRNGKey(3))
+        assert tstate3.avatar.capacity == 64
