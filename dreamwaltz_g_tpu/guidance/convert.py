@@ -206,3 +206,140 @@ def convert_clip_text(clip_module, torch_sd, strict: bool = True):
     if strict and missing:
         raise KeyError(f"missing {len(missing)} clip keys, e.g. {missing[:5]}")
     return {"params": _unflatten(out)}, missing
+
+
+# ---------------------------------------------------------------------------
+# On-disk format: one msgpack per component under a weights dir
+# ---------------------------------------------------------------------------
+
+def save_params(path, params) -> None:
+    """flax-serialized msgpack (unet.msgpack / vae.msgpack / ...)."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(path, template):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def load_converted_guidance(
+    weights_dir: str,
+    use_controlnet: bool = True,
+    loss_type: str = "sds",
+    weight_type: str = "sjc",
+    guidance_scale: float = 50.0,
+    controlnet_scale: float = 1.0,
+):
+    """Build the SD1.5 guidance stack from a converted-weights directory:
+    ``unet.msgpack``, ``vae.msgpack``, ``clip.msgpack``, optional
+    ``controlnet_{pose,depth,...}.msgpack``, plus the CLIP tokenizer
+    ``vocab.json``/``merges.txt``.
+
+    Returns (ScoreDistillation, GuidanceParams, text_embed_fn) where
+    ``text_embed_fn(list[str]) -> (N, 77, 768)`` runs the frozen text
+    encoder (reference: get_text_embeds, stable_diffusion.py:31-50).
+    """
+    import os.path as osp
+
+    import jax
+
+    from .clip_text import CLIPTextConfig, CLIPTextModel, CLIPTokenizer
+    from .controlnet import ControlNet
+    from .sds import GuidanceParams, ScoreDistillation
+    from .unet import UNet2DCondition, sd15_unet_config
+    from .vae import AutoencoderKL, sd_vae_config
+
+    ucfg = sd15_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(sd_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 64, 64, 4))
+    ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim))
+    unet_p = load_params(
+        osp.join(weights_dir, "unet.msgpack"),
+        unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx))
+    vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
+                        vae.init(key, image_size=512))
+
+    cn, cn_p = None, None
+    if use_controlnet:
+        cn = ControlNet(ucfg)
+        for cand in ("controlnet_pose.msgpack", "controlnet.msgpack"):
+            p = osp.join(weights_dir, cand)
+            if osp.isfile(p):
+                cn_p = load_params(
+                    p, cn.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
+                               jnp.zeros((1, 512, 512, 3))))
+                break
+        if cn_p is None:
+            cn = None
+
+    clip_cfg = CLIPTextConfig()
+    clip = CLIPTextModel(clip_cfg)
+    clip_p = load_params(
+        osp.join(weights_dir, "clip.msgpack"),
+        clip.init(key, jnp.zeros((1, 77), jnp.int32)))
+    tokenizer = CLIPTokenizer(osp.join(weights_dir, "vocab.json"),
+                              osp.join(weights_dir, "merges.txt"))
+
+    encode = jax.jit(lambda ids: clip.apply(clip_p, ids))
+
+    def text_embed_fn(texts):
+        ids = tokenizer(list(texts))
+        return encode(jnp.asarray(ids))
+
+    sd = ScoreDistillation(
+        unet=unet, vae=vae, controlnet=cn,
+        loss_type=loss_type, weight_type=weight_type,
+        guidance_scale=guidance_scale, controlnet_scale=controlnet_scale)
+    return sd, GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p), \
+        text_embed_fn
+
+
+def convert_from_hf_cache(hf_root: str, out_dir: str,
+                          conditions=("pose",)) -> None:
+    """Offline conversion entry: read diffusers/transformers torch weights
+    (safetensors or .bin) for SD1.5 + ControlNet v1.1 and write the msgpack
+    bundle ``load_converted_guidance`` consumes
+    (reference model cards: basic.py:29-89)."""
+    import os.path as osp
+
+    from .clip_text import CLIPTextConfig, CLIPTextModel
+    from .controlnet import ControlNet
+    from .unet import UNet2DCondition, sd15_unet_config
+    from .vae import AutoencoderKL, sd_vae_config
+
+    def load_sd(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+
+    ucfg = sd15_unet_config()
+    unet_p, _ = convert_unet(UNet2DCondition(ucfg),
+                             load_sd(osp.join(hf_root, "unet.safetensors")))
+    save_params(osp.join(out_dir, "unet.msgpack"), unet_p)
+    vae_p, _ = convert_vae(AutoencoderKL(sd_vae_config()),
+                           load_sd(osp.join(hf_root, "vae.safetensors")))
+    save_params(osp.join(out_dir, "vae.msgpack"), vae_p)
+    clip_p, _ = convert_clip_text(
+        CLIPTextModel(CLIPTextConfig()),
+        load_sd(osp.join(hf_root, "text_encoder.safetensors")))
+    save_params(osp.join(out_dir, "clip.msgpack"), clip_p)
+    for cond in conditions:
+        path = osp.join(hf_root, f"controlnet_{cond}.safetensors")
+        if osp.isfile(path):
+            cn_p, _ = convert_controlnet(ControlNet(ucfg), load_sd(path))
+            save_params(osp.join(out_dir, f"controlnet_{cond}.msgpack"), cn_p)

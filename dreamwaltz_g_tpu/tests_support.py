@@ -96,7 +96,9 @@ def tiny_guidance(key: jax.Array, with_controlnet: bool = False,
     cn = None
     cn_p = None
     if with_controlnet:
-        cn = ControlNet(ucfg)
+        # cond embedding downsamples by 2^(len(cond_block_channels)-1);
+        # tiny vae factor is 2, so use two cond blocks (real SD uses four)
+        cn = ControlNet(ucfg, cond_block_channels=(16, 32))
         cn_p = cn.init(k3, lat, jnp.zeros((1,), jnp.int32), ctx,
                        jnp.zeros((1, image_size, image_size, 3)))
     sd = ScoreDistillation(unet=unet, vae=vae, controlnet=cn,

@@ -1,0 +1,569 @@
+"""Top-level trainer: wires config -> models -> data -> train loops -> eval.
+
+Functional re-design of the reference god-Trainer
+(reference: core/trainer.py:302-1386). The reference mutates one giant
+object; here the Trainer owns *static* builders and host-side providers
+(pose prompt, camera samplers, timestep scheduler, checkpointer) while all
+device state lives in explicit pytrees (NeRFTrainState / AvatarTrainState)
+flowing through jitted step functions.
+
+Asset gating: the licensed SMPL-X npz and converted SD weights are external.
+When they are absent and ``cfg.log.debug`` is set, synthetic fixtures stand
+in (tiny body + randomly-initialized tiny SD) so the full pipeline runs
+anywhere — the CPU smoke-test strategy of SURVEY.md §4.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as osp
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import TrainConfig, save_config, to_dict
+from ..configs.paths import GUIDANCE_WEIGHTS, HUMAN_TEMPLATES
+from ..data.camera import CameraBatch, make_camera_batch
+from ..data.sampler import CyclicalCamera4Avatar, RandomCamera4Avatar
+from ..gaussian.densify import DensifyConfig
+from ..guidance.sds import GuidanceParams, ScoreDistillation
+from ..guidance.text_aug import TextAugmentation
+from ..guidance.time_prior import TimePrioritizedScheduler
+from ..human.condition import conditions_to_batch
+from ..human.keypoints import load_landmark_data, openpose_keypoints
+from ..human.prompt import SMPLPrompt, load_hand_components
+from ..human.smplx_model import load_smplx_npz, make_synthetic_model
+from ..nerf.network import build_nerf
+from ..nerf.renderer import init_occupancy
+from ..utils.media import save_image, write_video
+from . import gs_trainer, nerf_trainer
+from .checkpoint import Checkpointer, load_pytree, save_pytree
+from .losses import make_sigma_guidance_points
+from .optim import build_avatar_optimizer, build_nerf_optimizer
+
+logger = logging.getLogger("dreamwaltz_g_tpu")
+
+
+def _find_smplx_npz(cfg: TrainConfig) -> Optional[str]:
+    """(reference: smplx model card resolution, core/human/smpl_model.py:75-99)"""
+    root = Path(HUMAN_TEMPLATES)
+    candidates = [
+        root / "smplx" / "SMPLX_NEUTRAL_2020.npz",
+        root / "smplx" / f"SMPLX_{cfg.prompt.smpl_gender.upper()}.npz",
+    ]
+    for c in candidates:
+        if c.is_file():
+            return str(c)
+    return None
+
+
+class Trainer:
+    """(reference: Trainer.__init__, core/trainer.py:303-384)"""
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.exp_dir = Path(cfg.log.exp_dir)
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, self.exp_dir / "config.json")
+        if not logger.handlers:  # console + log.txt (reference: _Logger,
+            # trainer.py:282-287)
+            logger.setLevel(logging.INFO)
+            fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+            for h in (logging.StreamHandler(),
+                      logging.FileHandler(self.exp_dir / "log.txt")):
+                h.setFormatter(fmt)
+                logger.addHandler(h)
+            logger.propagate = False
+
+        self.rng = np.random.default_rng(cfg.optim.seed)
+        self.key = jax.random.PRNGKey(cfg.optim.seed)
+        self.max_iteration = cfg.optim.iters
+        self.train_step = 0
+
+        self._init_human()
+        self._init_guidance()
+        self._init_cameras()
+        self.checkpointer = Checkpointer(self.exp_dir / "checkpoints",
+                                         max_keep=cfg.log.max_keep_ckpts)
+        if cfg.stage == "nerf":
+            self._init_nerf()
+        else:
+            self._init_avatar()
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    # builders
+    # ------------------------------------------------------------------
+
+    def _init_human(self):
+        cfg = self.cfg
+        npz = _find_smplx_npz(cfg)
+        if npz is not None:
+            self.smpl = load_smplx_npz(npz, flat_hand_mean=cfg.prompt.flat_hand_mean)
+            landmarks = load_landmark_data(npz)
+            hand_components = load_hand_components(npz)
+        else:
+            assert cfg.log.debug, (
+                "SMPL-X npz not found under HUMAN_TEMPLATES; "
+                "pass --log.debug true to run with the synthetic body")
+            logger.warning("debug: using the synthetic stick body")
+            self.smpl = make_synthetic_model()
+            landmarks, hand_components = None, None
+
+        cond_h = cond_w = 512  # ControlNet native condition resolution
+        self.prompt = SMPLPrompt(
+            cfg.prompt, self.smpl,
+            cond_type=list(cfg.guide.controlnet_condition),
+            height=cond_h, width=cond_w,
+            landmarks=landmarks, hand_components=hand_components,
+            seed=cfg.optim.seed)
+
+    def _init_guidance(self):
+        """(reference: init_diffusion + init_text_embeddings,
+        trainer.py:445-476, 647-678)"""
+        cfg = self.cfg
+        self.view_prompt = TextAugmentation(
+            cfg.guide.text or "a person",
+            mode=cfg.prompt.text_augmentation_mode
+            if cfg.prompt.text_augmentation else "suffix",
+            angle_front=cfg.prompt.angle_front,
+            angle_overhead=cfg.prompt.angle_overhead)
+
+        weights_dir = cfg.guide.weights_dir or GUIDANCE_WEIGHTS
+        if osp.isdir(weights_dir) and osp.isfile(
+                osp.join(weights_dir, "unet.msgpack")):
+            from ..guidance.convert import load_converted_guidance
+
+            (self.guidance, self.guidance_params,
+             text_embed_fn) = load_converted_guidance(
+                weights_dir, use_controlnet=cfg.guide.use_controlnet,
+                loss_type=cfg.guide.sds_loss_type,
+                weight_type=cfg.guide.sds_weight_type,
+                guidance_scale=cfg.guide.guidance_scale,
+                controlnet_scale=cfg.guide.controlnet_scale)
+            texts = list(self.view_prompt.texts)
+            uncond = cfg.guide.negative_text if cfg.guide.use_negative_text \
+                else cfg.guide.null_text
+            self.text_embeds = text_embed_fn(texts)          # (V, L, D)
+            self.uncond_embeds = text_embed_fn([uncond])     # (1, L, D)
+        else:
+            assert cfg.log.debug, (
+                f"converted guidance weights not found at {weights_dir}; "
+                "run the converter or pass --log.debug true")
+            logger.warning("debug: using tiny randomly-initialized guidance")
+            from ..tests_support import tiny_guidance
+
+            self.guidance, self.guidance_params = tiny_guidance(
+                self._next_key(),
+                with_controlnet=cfg.guide.use_controlnet)
+            self.guidance.loss_type = cfg.guide.sds_loss_type
+            self.guidance.weight_type = cfg.guide.sds_weight_type
+            self.guidance.guidance_scale = cfg.guide.guidance_scale
+            D = self.guidance.unet.cfg.cross_attention_dim
+            V = len(self.view_prompt.texts)
+            self.text_embeds = jax.random.normal(
+                self._next_key(), (V, 4, D)) * 0.02
+            self.uncond_embeds = jnp.zeros((1, 4, D))
+
+        self.t_scheduler = TimePrioritizedScheduler(
+            cfg.guide, schedule=self.guidance.schedule,
+            seed=cfg.optim.seed)
+        self.guidance.schedule = self.t_scheduler.schedule
+
+        vae_factor = 2 ** (len(self.guidance.vae.cfg.block_out_channels) - 1)
+        self.cond_size = self.guidance.latent_size * vae_factor
+
+    def _init_cameras(self):
+        """(reference: init_dataloaders, trainer.py:607-631)"""
+        cfg = self.cfg
+        train_res = int(cfg.data.train_w) if not isinstance(cfg.data.train_w, str) \
+            else int(str(cfg.data.train_w).split(",")[-1])
+        self.train_res = train_res
+        self.train_camera = RandomCamera4Avatar(
+            cfg.data, train_res, train_res, seed=cfg.optim.seed)
+        self.eval_camera = CyclicalCamera4Avatar(
+            cfg.data, cfg.data.eval_h, cfg.data.eval_w)
+        self.test_camera = CyclicalCamera4Avatar(
+            cfg.data, cfg.data.test_h, cfg.data.test_w)
+        # keypoint-derived body-part camera offsets from the canonical body
+        kp = np.asarray(openpose_keypoints(
+            self.smpl, self.prompt.canonical_outputs,
+            self.prompt.condition.landmarks))
+        if np.isfinite(kp[:, :18]).all():
+            self.train_camera.setup_camera_offset(kp)
+            self.eval_camera.setup_camera_offset(kp)
+            self.test_camera.setup_camera_offset(kp)
+
+    def _init_nerf(self):
+        """(reference: init_nerf_model path, trainer.py:498-512)"""
+        cfg = self.cfg
+        self.nerf = build_nerf(cfg.nerf)
+        tx = build_nerf_optimizer(cfg.nerf, self.max_iteration)
+        self.tx = tx
+        params = None
+        if cfg.optim.ckpt and Path(cfg.optim.ckpt).exists():
+            params = load_pytree(cfg.optim.ckpt)["params"]
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.nerf.init(jax.random.PRNGKey(0))),
+                jax.tree_util.tree_leaves(params))
+        self.state = nerf_trainer.init_train_state(
+            self.nerf, tx, self._next_key(), params=params)
+        self.grid = init_occupancy(cfg.nerf.grid_size)
+        H = self.train_res
+        self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
+            self.nerf, tx, H, H, num_steps=cfg.nerf.num_steps)
+        self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
+            self.nerf, self.guidance, tx, H, H, cfg.nerf,
+            num_steps=cfg.nerf.num_steps,
+            lambda_guidance=cfg.guide.lambda_guidance,
+            lambda_sigma=cfg.lambda_sigma_sigma,
+            sigma_peak=cfg.sigma_guidance_peak,
+            sigma_loss_type=cfg.sigma_loss_type,
+            max_iteration=self.max_iteration)
+        self.eval_render = nerf_trainer.make_eval_render(
+            self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
+
+    def _build_avatar_model(self):
+        from ..human.deform import DeformNetwork
+        from ..nerf.encoder import GridEncoderConfig
+        from ..nerf.network import SigmaMLP
+        from ..system import avatar as A
+
+        cfg = self.cfg
+        enc_cfg = GridEncoderConfig(
+            num_levels=cfg.nerf.num_levels, level_dim=cfg.nerf.level_dim,
+            base_resolution=cfg.nerf.base_resolution,
+            desired_resolution=int(cfg.nerf.desired_resolution * cfg.nerf.bound),
+            log2_hashmap_size=cfg.nerf.log2_hashmap_size,
+            gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash")
+
+        mesh_parts = {}
+        # hands/face submesh binding requires the semantic tables of the real
+        # SMPL-X; for the synthetic debug body bind the top of the chain
+        if self.smpl.num_vertices < 1000:
+            faces = self.smpl.faces
+            v = np.asarray(self.smpl.v_template)
+            top = np.argsort(-v[faces].mean(1)[:, 1])[:10]
+            vids = np.unique(faces[top].reshape(-1))
+            mesh_parts["face"] = A.make_mesh_binding_static(
+                faces, vids, top, n_per_triangle=cfg.render.n_gaussians_per_triangle)
+        else:
+            from ..human.semantics import get_semantic_parts
+
+            for name in self.cfg.predefined_body_parts.split(","):
+                part = get_semantic_parts(self.smpl, name)
+                if part is not None:
+                    vids, fids = part
+                    mesh_parts[name] = A.make_mesh_binding_static(
+                        self.smpl.faces, vids, fids,
+                        n_per_triangle=cfg.render.n_gaussians_per_triangle)
+
+        out_ch = 1 + (4 if cfg.nerf.nerf_type == "latent" else 3)
+        return A.AvatarModel(
+            smpl=self.smpl,
+            canonical_inputs=self.prompt.canonical_inputs,
+            enc_cfg=enc_cfg,
+            nerf_bound=cfg.nerf.bound,
+            color_mlp=SigmaMLP(hidden=64, num_layers=3, out_channels=out_ch),
+            sq_net=DeformNetwork(xyz_input_ch=enc_cfg.output_dim),
+            mesh_parts=mesh_parts,
+            init_scale=cfg.render.init_scale,
+            max_scale=cfg.render.max_scale,
+            init_offset=cfg.render.init_offset,
+            use_non_rigid_offsets=cfg.render.use_non_rigid_offsets,
+            use_non_rigid_scales=cfg.render.use_non_rigid_scales,
+            use_non_rigid_rotations=cfg.render.use_non_rigid_rotations,
+        )
+
+    def _init_avatar(self):
+        """(reference: init_gaussian_model, trainer.py:528-576)"""
+        from ..system import avatar as A
+
+        cfg = self.cfg
+        self.avatar_model = self._build_avatar_model()
+
+        nerf_params = None
+        if cfg.render.from_nerf and Path(cfg.render.from_nerf).exists():
+            # stage-1 handoff: NeRF checkpoint -> point cloud + continued nets
+            nerf = build_nerf(cfg.nerf, with_background=False)
+            raw = load_pytree(cfg.render.from_nerf)
+            template = {"params": nerf.init(jax.random.PRNGKey(0)),
+                        "step": 0}
+            raw = load_pytree(cfg.render.from_nerf, target=template)
+            nerf_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+            from ..nerf.export import export_point_cloud
+
+            pc = export_point_cloud(nerf, nerf_params,
+                                    resolution=cfg.render.nerf_resolution,
+                                    density_thresh=cfg.nerf.density_thresh,
+                                    max_points=cfg.render.n_gaussians)
+            cloud = jnp.asarray(pc.points)
+            logger.info("NeRF point cloud: %d points", cloud.shape[0])
+        else:
+            assert cfg.log.debug, (
+                "--render.from_nerf checkpoint missing; stage gs needs the "
+                "stage-1 NeRF (or --log.debug true)")
+            rng = np.random.default_rng(cfg.optim.seed)
+            cloud = jnp.asarray(rng.normal(size=(256, 3)) * 0.2, jnp.float32)
+
+        capacity = min(cfg.render.n_gaussians,
+                       max(2 * cloud.shape[0], cloud.shape[0] + 1024))
+        avatar_state = A.init_avatar_state(
+            self.avatar_model, cloud, self._next_key(), capacity=capacity,
+            nerf_params=nerf_params,
+            prune_dists_close_to_mesh=cfg.render.prune_dists_close_to_mesh
+            if cfg.render.prune_points_close_to_mesh
+            and self.avatar_model.mesh_parts else None,
+            lbs_weight_smooth=cfg.render.lbs_weight_smooth)
+
+        spatial = cfg.render.spatial_scale or 1.0
+        tx = build_avatar_optimizer(cfg.render, self.max_iteration,
+                                    spatial_scale=spatial)
+        self.tx = tx
+        self.state = gs_trainer.init_avatar_train_state(avatar_state, tx)
+
+        H = self.train_res
+        rk = dict(tile_size=cfg.render.tile_size,
+                  capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
+        self.sds_step_fn = gs_trainer.make_avatar_sds_step(
+            self.avatar_model, self.guidance, tx, H, H,
+            lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        self.nerf2gs_step_fn = None
+        self.eval_render = gs_trainer.make_avatar_render(
+            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
+        self.test_render = gs_trainer.make_avatar_render(
+            self.avatar_model, cfg.data.test_h, cfg.data.test_w, **rk)
+        self.densify_cfg = DensifyConfig(
+            grad_threshold=cfg.render.densify_grad_threshold,
+            spatial_scale=spatial,
+            enable_clone=not cfg.render.densify_disable_clone,
+            enable_split=not cfg.render.densify_disable_split,
+            enable_prune=not cfg.render.densify_disable_prune)
+
+    # ------------------------------------------------------------------
+    # data assembly (host side)
+    # ------------------------------------------------------------------
+
+    def _train_batch(self) -> Dict[str, Any]:
+        """One training draw: camera + pose + conditions + text
+        (reference: CameraDatasetWithSMPL.collate, data/camera/__init__.py:127-163)."""
+        cam, part = self.train_camera(1)
+        frame_idx = None
+        if self.prompt.scene_type == "motion":
+            frame_idx = int(self.rng.integers(0, self.prompt.num_frame))
+        smpl_inputs, smpl_outputs = self.prompt(
+            frame_idx=frame_idx, batch_idx=self.train_step)
+
+        cond_image = None
+        if self.cfg.guide.use_controlnet:
+            imgs = self.prompt.get_cond_images(
+                smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
+                cond_type=self.cfg.guide.controlnet_condition[0],
+                height=self.cond_size, width=self.cond_size)
+            cond_image = conditions_to_batch(imgs)
+
+        view_idx = int(self.view_prompt(
+            np.asarray(cam.azimuth), np.asarray(cam.elevation), part)[0])
+        t = jnp.asarray(self.t_scheduler.get_timestep(
+            1, self.train_step, self.max_iteration))
+        gs_scale = self.t_scheduler.get_guidance_scale(
+            self.train_step, self.max_iteration)
+        return dict(cam=cam, part=part, smpl_inputs=smpl_inputs,
+                    cond_image=cond_image,
+                    text=self.text_embeds[view_idx][None],
+                    uncond=self.uncond_embeds, t=t, guidance_scale=gs_scale)
+
+    def _bg_color(self) -> jnp.ndarray:
+        mode = self.cfg.nerf.bg_mode if self.cfg.stage == "nerf" \
+            else "black"
+        from ..system.background import COLOR_PRESETS
+
+        c = COLOR_PRESETS.get(mode, (0.0, 0.0, 0.0))
+        if self.cfg.nerf.rand_bg_prob and self.rng.random() < self.cfg.nerf.rand_bg_prob:
+            c = tuple(self.rng.random(3))
+        return jnp.asarray(c, jnp.float32)
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        """(reference: Trainer.train, trainer.py:826-931)"""
+        cfg = self.cfg
+        log_interval = max(cfg.log.snapshot_interval, 1)
+        t0 = time.time()
+        while self.train_step < self.max_iteration:
+            self.train_step += 1
+            self.prompt.training_ratio = self.train_step / self.max_iteration
+            self.train_camera.training_ratio = self.prompt.training_ratio
+            batch = self._train_batch()
+            metrics = self._train_one(batch)
+
+            if self.train_step % log_interval == 0 or self.train_step == 1:
+                loss = float(metrics.get("loss", np.nan))
+                logger.info("step %d/%d loss=%.4f (%.2f s/it)",
+                            self.train_step, self.max_iteration, loss,
+                            (time.time() - t0) / self.train_step)
+            if cfg.log.evaluate_interval and \
+                    self.train_step % cfg.log.evaluate_interval == 0:
+                self.evaluate()
+            if cfg.log.save_interval and \
+                    self.train_step % cfg.log.save_interval == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
+    def _train_one(self, batch) -> Dict[str, float]:
+        cfg = self.cfg
+        cam: CameraBatch = batch["cam"]
+        if cfg.stage == "nerf":
+            self.grid = nerf_trainer.maybe_update_occupancy(
+                self.state, self.grid, self.nerf, self._next_key(),
+                interval=cfg.nerf.update_extra_interval,
+                density_thresh=cfg.nerf.density_thresh)
+            sigma_pts = None
+            use_sigma = cfg.use_sigma_guidance \
+                and self.rng.random() < cfg.sigma_prob
+            if use_sigma:
+                verts = self.prompt.canonical_outputs.vertices[0]
+                sigma_pts = make_sigma_guidance_points(
+                    self._next_key(), verts, jnp.asarray(self.smpl.faces),
+                    num_points=cfg.sigma_num_points,
+                    noise_range=cfg.sigma_noise_range,
+                    surface_thickness=cfg.sigma_surface_thickness)
+            self.state, metrics = self.sds_step_fn(
+                self.state, self.grid, self.guidance_params,
+                cam.c2w[0], cam.intrinsics[0], self._bg_color(),
+                batch["text"], batch["uncond"], batch["t"], self._next_key(),
+                cond_image=batch["cond_image"],
+                guidance_scale=batch["guidance_scale"],
+                sigma_pts=sigma_pts, use_sigma=use_sigma)
+        else:
+            bg = jnp.broadcast_to(self._bg_color(),
+                                  (self.train_res, self.train_res, 3))
+            self.state, metrics = self.sds_step_fn(
+                self.state, self.guidance_params, batch["smpl_inputs"],
+                cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0], bg,
+                batch["text"], batch["uncond"], batch["t"], self._next_key(),
+                cond_image=batch["cond_image"],
+                guidance_scale=batch["guidance_scale"])
+            r = cfg.render
+            if r.use_densifier and r.densify_from_iter is not None \
+                    and r.densify_from_iter <= self.train_step \
+                    and (r.densify_until_iter is None
+                         or self.train_step < r.densify_until_iter) \
+                    and self.train_step % 100 == 0:
+                self.state = gs_trainer.densify(
+                    self.state, self.densify_cfg, self._next_key())
+        return {k: float(v) for k, v in metrics.items()}
+
+    def pretrain(self) -> None:
+        """NeRF pretrain against SMPL-X depth/mask
+        (reference: Trainer.pretrain, trainer.py:1152-1240)."""
+        cfg = self.cfg
+        assert cfg.stage == "nerf"
+        H = self.train_res
+        while self.train_step < self.max_iteration:
+            self.train_step += 1
+            cam, _ = self.train_camera(1)
+            _, smpl_outputs = self.prompt()
+            depth, mask = self.prompt.condition.render_depth(
+                smpl_outputs, cam.extrinsic[0], cam.intrinsics[0], H, H,
+                raw=True)
+            self.grid = nerf_trainer.maybe_update_occupancy(
+                self.state, self.grid, self.nerf, self._next_key(),
+                interval=cfg.nerf.update_extra_interval,
+                density_thresh=cfg.nerf.density_thresh)
+            self.state, metrics = self.pretrain_step_fn(
+                self.state, self.grid, cam.c2w[0], cam.intrinsics[0],
+                jnp.asarray(depth), jnp.asarray(mask), self._next_key())
+            if self.train_step % max(cfg.log.snapshot_interval, 1) == 0 \
+                    or self.train_step == 1:
+                logger.info("pretrain %d/%d loss=%.5f", self.train_step,
+                            self.max_iteration, float(metrics["loss"]))
+        self.save_checkpoint()
+
+    # ------------------------------------------------------------------
+    # eval / io
+    # ------------------------------------------------------------------
+
+    def evaluate(self, size: Optional[int] = None, save_dir: Optional[Path] = None,
+                 use_test_res: bool = False) -> List[np.ndarray]:
+        """Render the cyclical eval track
+        (reference: Trainer.evaluate, trainer.py:1019-1112)."""
+        cfg = self.cfg
+        size = size or cfg.data.eval_size
+        save_dir = Path(save_dir or (self.exp_dir / "results"))
+        camera = self.test_camera if use_test_res else self.eval_camera
+        render = getattr(self, "test_render", None) if use_test_res \
+            else self.eval_render
+        if render is None:
+            render = self.eval_render
+        H = cfg.data.test_h if use_test_res else cfg.data.eval_h
+        frames = []
+        for i in range(size):
+            p = i / max(size, 1)
+            cam = camera(p)
+            if self.prompt.scene_type == "motion" and not cfg.data.eval_fix_animation:
+                smpl_inputs, smpl_outputs = self.prompt(frame_idx=i)
+            else:
+                smpl_inputs, smpl_outputs = self.prompt(frame_idx=0) \
+                    if self.prompt.scene_type == "motion" else self.prompt()
+            bg = jnp.zeros((H, H, 3)) if cfg.stage == "gs" \
+                else jnp.asarray([0.5, 0.5, 0.5])
+            if cfg.stage == "nerf":
+                img, _, _ = self.eval_render(
+                    self.state.params, self.grid, cam.c2w[0],
+                    cam.intrinsics[0], bg)
+            else:
+                img, _, _ = render(
+                    self.state.avatar, smpl_inputs, cam.extrinsic[0],
+                    cam.intrinsics[0], cam.tanfov[0], bg)
+            frames.append(np.asarray(jnp.clip(img, 0, 1)))
+        if cfg.data.eval_save_image:
+            for i, f in enumerate(frames):
+                save_image(str(save_dir / f"step_{self.train_step:06d}"
+                               / f"{i:04d}.png"), f)
+        if cfg.data.eval_save_video and len(frames) > 1:
+            write_video(str(save_dir / f"step_{self.train_step:06d}.mp4"),
+                        frames, fps=cfg.data.eval_video_fps)
+        return frames
+
+    def full_eval(self) -> List[np.ndarray]:
+        """(reference: Trainer.full_eval, trainer.py:1114-1150)"""
+        return self.evaluate(size=self.cfg.data.full_eval_size,
+                             use_test_res=True)
+
+    def save_checkpoint(self) -> None:
+        tree = {"params": self.state.params
+                if self.cfg.stage == "nerf" else self.state.avatar,
+                "opt_state": self.state.opt_state,
+                "step": np.asarray(self.train_step)}
+        self.checkpointer.save(self.train_step, tree)
+        logger.info("saved checkpoint at step %d", self.train_step)
+
+    def load_checkpoint(self, step: Optional[int] = None) -> None:
+        """(reference: _Checkpointer.init_checkpoints, trainer.py:172-278)"""
+        template = {"params": self.state.params
+                    if self.cfg.stage == "nerf" else self.state.avatar,
+                    "opt_state": self.state.opt_state,
+                    "step": np.asarray(0)}
+        restored, step = self.checkpointer.restore(step, target=template)
+        self.train_step = int(restored["step"])
+        if self.cfg.stage == "nerf":
+            self.state = self.state._replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                step=jnp.asarray(self.train_step))
+        else:
+            self.state = self.state._replace(
+                avatar=restored["params"], opt_state=restored["opt_state"],
+                step=jnp.asarray(self.train_step))
+        logger.info("restored checkpoint step %d", step)
