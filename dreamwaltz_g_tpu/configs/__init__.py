@@ -384,6 +384,9 @@ class OptimConfig:
     resume: bool = False
     ckpt: Optional[str] = None
     ckpt_extra: Optional[str] = None
+    # accepted for reference-script compatibility; TPU precision policy is
+    # parallel.compute_dtype (bf16), not torch AMP (reference fp16 flag)
+    fp16: bool = False
 
 
 @dataclass

@@ -49,6 +49,20 @@ from .optim import build_avatar_optimizer, build_nerf_optimizer
 logger = logging.getLogger("dreamwaltz_g_tpu")
 
 
+def resolve_ckpt_path(path) -> Optional[Path]:
+    """Accept an orbax step dir, a checkpoints/ dir, or an exp dir
+    (reference: latest-checkpoint glob discovery, trainer.py:175-192)."""
+    p = Path(path)
+    if not p.exists():
+        return None
+    if p.name.startswith("step_"):
+        return p
+    if (p / "checkpoints").is_dir():
+        p = p / "checkpoints"
+    steps = sorted(d for d in p.iterdir() if d.name.startswith("step_"))
+    return steps[-1] if steps else None
+
+
 def _find_smplx_npz(cfg: TrainConfig) -> Optional[str]:
     """(reference: smplx model card resolution, core/human/smpl_model.py:75-99)"""
     root = Path(HUMAN_TEMPLATES)
@@ -182,10 +196,21 @@ class Trainer:
         self.cond_size = self.guidance.latent_size * vae_factor
 
     def _init_cameras(self):
-        """(reference: init_dataloaders, trainer.py:607-631)"""
+        """(reference: init_dataloaders, trainer.py:607-631 +
+        DataLoaderManager progressive resolution, data/iterator.py:8-109)"""
         cfg = self.cfg
-        train_res = int(cfg.data.train_w) if not isinstance(cfg.data.train_w, str) \
-            else int(str(cfg.data.train_w).split(",")[-1])
+        if isinstance(cfg.data.train_w, str):
+            self.train_resolutions = [int(x) for x in
+                                      str(cfg.data.train_w).split(",")]
+        else:
+            self.train_resolutions = [int(cfg.data.train_w)]
+        if cfg.data.grid_milestone:
+            self.grid_milestones = list(cfg.data.grid_milestone)
+        else:  # equal splits of the training run (reference default)
+            n = len(self.train_resolutions)
+            self.grid_milestones = [i / n for i in range(1, n)]
+        self._res_index = 0
+        train_res = self.train_resolutions[0]
         self.train_res = train_res
         self.train_camera = RandomCamera4Avatar(
             cfg.data, train_res, train_res, seed=cfg.optim.seed)
@@ -208,15 +233,20 @@ class Trainer:
         self.nerf = build_nerf(cfg.nerf)
         tx = build_nerf_optimizer(cfg.nerf, self.max_iteration)
         self.tx = tx
-        params = None
-        if cfg.optim.ckpt and Path(cfg.optim.ckpt).exists():
-            params = load_pytree(cfg.optim.ckpt)["params"]
-            params = jax.tree_util.tree_map(jnp.asarray, params)
-            params = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.nerf.init(jax.random.PRNGKey(0))),
-                jax.tree_util.tree_leaves(params))
         self.state = nerf_trainer.init_train_state(
-            self.nerf, tx, self._next_key(), params=params)
+            self.nerf, tx, self._next_key())
+        if cfg.optim.ckpt:
+            # model-only warm start (reference: 'ckpt' load, trainer.py:223)
+            step_dir = resolve_ckpt_path(cfg.optim.ckpt)
+            if step_dir is not None:
+                template = {"params": self.state.params,
+                            "opt_state": self.state.opt_state,
+                            "step": np.asarray(0)}
+                restored = load_pytree(step_dir, target=template)
+                self.state = self.state._replace(
+                    params=jax.tree_util.tree_map(
+                        jnp.asarray, restored["params"]))
+                logger.info("warm-started NeRF from %s", step_dir)
         self.grid = init_occupancy(cfg.nerf.grid_size)
         H = self.train_res
         self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
@@ -290,15 +320,21 @@ class Trainer:
 
         cfg = self.cfg
         self.avatar_model = self._build_avatar_model()
+        self._nerf_guidance = None
 
         nerf_params = None
-        if cfg.render.from_nerf and Path(cfg.render.from_nerf).exists():
+        nerf_step_dir = resolve_ckpt_path(cfg.render.from_nerf) \
+            if cfg.render.from_nerf else None
+        if nerf_step_dir is not None:
             # stage-1 handoff: NeRF checkpoint -> point cloud + continued nets
-            nerf = build_nerf(cfg.nerf, with_background=False)
-            raw = load_pytree(cfg.render.from_nerf)
-            template = {"params": nerf.init(jax.random.PRNGKey(0)),
-                        "step": 0}
-            raw = load_pytree(cfg.render.from_nerf, target=template)
+            nerf = build_nerf(cfg.nerf)
+            nerf_tx = build_nerf_optimizer(cfg.nerf, 1)
+            tmpl_state = nerf_trainer.init_train_state(
+                nerf, nerf_tx, jax.random.PRNGKey(0))
+            template = {"params": tmpl_state.params,
+                        "opt_state": tmpl_state.opt_state,
+                        "step": np.asarray(0)}
+            raw = load_pytree(nerf_step_dir, target=template)
             nerf_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
             from ..nerf.export import export_point_cloud
 
@@ -308,15 +344,28 @@ class Trainer:
                                     max_points=cfg.render.n_gaussians)
             cloud = jnp.asarray(pc.points)
             logger.info("NeRF point cloud: %d points", cloud.shape[0])
-        else:
+            self._nerf_guidance = (nerf, nerf_params)  # frozen, for nerf2gs
+        forced_capacity = None
+        if nerf_step_dir is None and cfg.optim.ckpt \
+                and resolve_ckpt_path(cfg.optim.ckpt) is not None:
+            # sub-stage handoff without from_nerf: size buffers exactly like
+            # the checkpoint (its arrays overwrite everything learnable below)
+            raw = load_pytree(resolve_ckpt_path(cfg.optim.ckpt))
+            forced_capacity = np.asarray(
+                raw["params"]["params"]["positions"]).shape[0]
+            rng = np.random.default_rng(cfg.optim.seed)
+            cloud = jnp.asarray(
+                rng.normal(size=(forced_capacity, 3)) * 0.2, jnp.float32)
+        elif nerf_step_dir is None:
             assert cfg.log.debug, (
                 "--render.from_nerf checkpoint missing; stage gs needs the "
                 "stage-1 NeRF (or --log.debug true)")
             rng = np.random.default_rng(cfg.optim.seed)
             cloud = jnp.asarray(rng.normal(size=(256, 3)) * 0.2, jnp.float32)
 
-        capacity = min(cfg.render.n_gaussians,
-                       max(2 * cloud.shape[0], cloud.shape[0] + 1024))
+        capacity = forced_capacity or min(
+            cfg.render.n_gaussians,
+            max(2 * cloud.shape[0], cloud.shape[0] + 1024))
         avatar_state = A.init_avatar_state(
             self.avatar_model, cloud, self._next_key(), capacity=capacity,
             nerf_params=nerf_params,
@@ -330,6 +379,28 @@ class Trainer:
                                     spatial_scale=spatial)
         self.tx = tx
         self.state = gs_trainer.init_avatar_train_state(avatar_state, tx)
+
+        if cfg.optim.ckpt:
+            # stage-2 sub-stage handoff: warm-start the avatar from a prior
+            # gs checkpoint (reference: scripts/train_w_expr.sh:72-97 pass
+            # --optim.ckpt between the cnl/rcnl/rand sub-stages; the
+            # reference resizes tensors via reset_by_state_dict — our
+            # capacities match by construction, shapes are static)
+            step_dir = resolve_ckpt_path(cfg.optim.ckpt)
+            if step_dir is not None:
+                template = {"params": self.state.avatar,
+                            "opt_state": self.state.opt_state,
+                            "step": np.asarray(0)}
+                try:
+                    restored = load_pytree(step_dir, target=template)
+                    self.state = self.state._replace(
+                        avatar=jax.tree_util.tree_map(
+                            jnp.asarray, restored["params"]))
+                    logger.info("warm-started avatar from %s", step_dir)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"avatar checkpoint at {step_dir} does not match "
+                        f"this configuration (capacity/mesh parts): {e}")
 
         H = self.train_res
         rk = dict(tile_size=cfg.render.tile_size,
@@ -382,14 +453,62 @@ class Trainer:
                     text=self.text_embeds[view_idx][None],
                     uncond=self.uncond_embeds, t=t, guidance_scale=gs_scale)
 
-    def _bg_color(self) -> jnp.ndarray:
-        mode = self.cfg.nerf.bg_mode if self.cfg.stage == "nerf" \
-            else "black"
-        from ..system.background import COLOR_PRESETS
+    def _maybe_switch_resolution(self):
+        """Progressive 64->128->256 training resolution
+        (reference: DataLoaderManager.__call__, data/iterator.py:60-109)."""
+        ratio = self.train_step / self.max_iteration
+        target = 0
+        for m in self.grid_milestones:
+            if ratio >= m:
+                target += 1
+        target = min(target, len(self.train_resolutions) - 1)
+        if target != self._res_index:
+            self._res_index = target
+            self.train_res = self.train_resolutions[target]
+            logger.info("switching train resolution to %d", self.train_res)
+            seed = self.cfg.optim.seed + target
+            self.train_camera = RandomCamera4Avatar(
+                self.cfg.data, self.train_res, self.train_res, seed=seed)
+            self.train_camera.training_ratio = ratio
+            kp = np.asarray(openpose_keypoints(
+                self.smpl, self.prompt.canonical_outputs,
+                self.prompt.condition.landmarks))
+            if np.isfinite(kp[:, :18]).all():
+                self.train_camera.setup_camera_offset(kp)
+            self._rebuild_train_step()
 
-        c = COLOR_PRESETS.get(mode, (0.0, 0.0, 0.0))
-        if self.cfg.nerf.rand_bg_prob and self.rng.random() < self.cfg.nerf.rand_bg_prob:
-            c = tuple(self.rng.random(3))
+    def _rebuild_train_step(self):
+        cfg = self.cfg
+        H = self.train_res
+        if cfg.stage == "nerf":
+            self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
+                self.nerf, self.tx, H, H, num_steps=cfg.nerf.num_steps)
+            self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
+                self.nerf, self.guidance, self.tx, H, H, cfg.nerf,
+                num_steps=cfg.nerf.num_steps,
+                lambda_guidance=cfg.guide.lambda_guidance,
+                lambda_sigma=cfg.lambda_sigma_sigma,
+                sigma_peak=cfg.sigma_guidance_peak,
+                sigma_loss_type=cfg.sigma_loss_type,
+                max_iteration=self.max_iteration)
+        else:
+            rk = dict(tile_size=cfg.render.tile_size,
+                      capacity=cfg.render.tile_capacity,
+                      chunk=cfg.render.chunk)
+            self.sds_step_fn = gs_trainer.make_avatar_sds_step(
+                self.avatar_model, self.guidance, self.tx, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+
+    def _bg_color(self) -> jnp.ndarray:
+        if self.cfg.stage == "nerf":
+            from ..system.background import COLOR_PRESETS
+
+            c = COLOR_PRESETS.get(self.cfg.nerf.bg_mode, (0.5, 0.5, 0.5))
+            if self.cfg.nerf.rand_bg_prob \
+                    and self.rng.random() < self.cfg.nerf.rand_bg_prob:
+                c = tuple(self.rng.random(3))
+        else:
+            c = tuple(self.cfg.render.bg_color)
         return jnp.asarray(c, jnp.float32)
 
     # ------------------------------------------------------------------
@@ -405,6 +524,7 @@ class Trainer:
             self.train_step += 1
             self.prompt.training_ratio = self.train_step / self.max_iteration
             self.train_camera.training_ratio = self.prompt.training_ratio
+            self._maybe_switch_resolution()
             batch = self._train_batch()
             metrics = self._train_one(batch)
 
@@ -488,6 +608,41 @@ class Trainer:
             if self.train_step % max(cfg.log.snapshot_interval, 1) == 0 \
                     or self.train_step == 1:
                 logger.info("pretrain %d/%d loss=%.5f", self.train_step,
+                            self.max_iteration, float(metrics["loss"]))
+        self.save_checkpoint()
+
+    def pretrain_nerf2gs(self) -> None:
+        """Distill frozen stage-1 NeRF renders into the avatar
+        (reference: Trainer.pretrain_nerf2gs, trainer.py:1281-1386:
+        L1+DSSIM on the NeRF's foreground from random cameras)."""
+        cfg = self.cfg
+        assert cfg.stage == "gs" and self._nerf_guidance is not None, (
+            "nerf2gs needs --render.from_nerf pointing at a stage-1 ckpt")
+        nerf, nerf_params = self._nerf_guidance
+        H = self.train_res
+        from ..nerf.renderer import init_occupancy
+
+        grid = init_occupancy(cfg.nerf.grid_size)
+        nerf_render = nerf_trainer.make_eval_render(nerf, H, H,
+                                                    num_steps=cfg.nerf.num_steps)
+        rk = dict(tile_size=cfg.render.tile_size,
+                  capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
+        step_fn = gs_trainer.make_nerf2gs_step(
+            self.avatar_model, self.tx, H, H, **rk)
+        while self.train_step < self.max_iteration:
+            self.train_step += 1
+            cam, _ = self.train_camera(1)
+            smpl_inputs, _ = self.prompt()
+            bg = self._bg_color()
+            target, _, alpha = nerf_render(nerf_params, grid, cam.c2w[0],
+                                           cam.intrinsics[0], bg)
+            bg_img = jnp.broadcast_to(bg, (H, H, 3))
+            self.state, metrics = step_fn(
+                self.state, smpl_inputs, cam.extrinsic[0], cam.intrinsics[0],
+                cam.tanfov[0], bg_img, target, alpha)
+            if self.train_step % max(cfg.log.snapshot_interval, 1) == 0 \
+                    or self.train_step == 1:
+                logger.info("nerf2gs %d/%d loss=%.5f", self.train_step,
                             self.max_iteration, float(metrics["loss"]))
         self.save_checkpoint()
 

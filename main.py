@@ -29,6 +29,8 @@ def run(cfg: TrainConfig) -> None:
         trainer.full_eval()
     elif cfg.log.pretrain_only:
         trainer.pretrain()
+    elif cfg.log.nerf2gs:
+        trainer.pretrain_nerf2gs()
     else:
         trainer.train()
 

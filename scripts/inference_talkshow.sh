@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+set -e
+exp_name="${1:?usage: inference_talkshow.sh <exp_name>}"
+python main.py --stage gs --log.eval_only true --optim.resume true \
+    --log.exp_name "${exp_name}" --prompt.scene demo,talkshow \
+    --data.eval_camera_track fixed --data.eval_elevation 90

@@ -1,0 +1,131 @@
+"""Tests for R-Precision, VPoser, PLY io, media io, semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamwaltz_g_tpu.human.vposer import (
+    VPoser,
+    matrix_to_axis_angle,
+    rot6d_to_matrix,
+    vposer_from_torch,
+)
+from dreamwaltz_g_tpu.utils.media import (
+    read_video,
+    save_image,
+    to_uint8,
+    write_gif,
+    write_video,
+)
+from dreamwaltz_g_tpu.utils.point_cloud import BasicPointCloud, load_ply, save_ply
+from dreamwaltz_g_tpu.utils.r_precision import make_tiny_r_precision
+
+
+class TestRPrecision:
+    def test_identical_pairs_score_high(self):
+        rp = make_tiny_r_precision(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 1, size=(6, 32, 32, 3)).astype(np.float32)
+        ids = rng.integers(1, 200, size=(6, 16)).astype(np.int32)
+        score = rp.retrieve(imgs, ids, top_k=1)
+        assert 0.0 <= score <= 1.0
+        # retrieving with top_k = N is always a hit
+        assert rp.retrieve(imgs, ids, top_k=6) == 1.0
+
+    def test_feature_shapes(self):
+        rp = make_tiny_r_precision(jax.random.PRNGKey(1))
+        f = rp.image_features(np.zeros((2, 16, 16, 3), np.float32))
+        assert f.shape == (2, 16)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(f), axis=-1),
+                                   1.0, atol=1e-5)
+
+
+class TestVPoser:
+    def test_rot6d_roundtrip(self):
+        rng = np.random.default_rng(0)
+        aa = rng.normal(size=(10, 3)) * 0.6
+        from dreamwaltz_g_tpu.utils.transforms import axis_angle_to_matrix
+        R = axis_angle_to_matrix(jnp.asarray(aa)[None])[0]
+        six = jnp.concatenate([R[..., 0], R[..., 1]], axis=-1)
+        R2 = rot6d_to_matrix(six)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+        aa2 = matrix_to_axis_angle(R2)
+        np.testing.assert_allclose(np.asarray(aa2), aa, atol=1e-4)
+
+    def test_sample_shape(self):
+        vp = VPoser()
+        pose = vp.sample(jax.random.PRNGKey(0), 4)
+        assert pose.shape == (4, 63)
+        assert np.isfinite(np.asarray(pose)).all()
+
+    def test_torch_conversion_layout(self):
+        rng = np.random.default_rng(0)
+        sd = {}
+        dims = [(512, 32), (512, 512), (126, 512)]
+        for i, (o, c) in zip((1, 3, 5), dims):
+            sd[f"decoder_net.{i}.weight"] = rng.normal(size=(o, c)).astype(np.float32)
+            sd[f"decoder_net.{i}.bias"] = np.zeros(o, np.float32)
+        vp = vposer_from_torch(sd)
+        pose = vp.sample(jax.random.PRNGKey(1), 2)
+        assert pose.shape == (2, 63)
+
+
+class TestPointCloudIO:
+    def test_ply_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pc = BasicPointCloud(
+            points=rng.normal(size=(100, 3)).astype(np.float32),
+            colors=rng.uniform(0, 1, size=(100, 3)).astype(np.float32),
+            normals=rng.normal(size=(100, 3)).astype(np.float32))
+        p = save_ply(str(tmp_path / "x.ply"), pc)
+        back = load_ply(p)
+        np.testing.assert_allclose(back.points, pc.points, atol=1e-6)
+        np.testing.assert_allclose(back.colors, pc.colors, atol=1 / 255.0)
+
+
+class TestMedia:
+    def test_to_uint8(self):
+        img = np.linspace(0, 1, 12).reshape(2, 2, 3)
+        u = to_uint8(img)
+        assert u.dtype == np.uint8 and u.max() == 255
+
+    def test_video_roundtrip(self, tmp_path):
+        frames = [np.full((32, 32, 3), c, np.float32) for c in (0.1, 0.5, 0.9)]
+        p = write_video(str(tmp_path / "v.mp4"), frames, fps=5)
+        back = read_video(p)
+        assert back.shape == (3, 32, 32, 3)
+        # mp4 is lossy; mid-gray frame should survive approximately
+        assert abs(float(back[1].mean()) - 0.5) < 0.1
+
+    def test_gif_and_image(self, tmp_path):
+        frames = [np.zeros((8, 8, 3)), np.ones((8, 8, 3))]
+        write_gif(str(tmp_path / "a.gif"), frames, fps=2)
+        save_image(str(tmp_path / "i.png"), frames[1])
+        assert (tmp_path / "a.gif").exists() and (tmp_path / "i.png").exists()
+
+
+class TestSemantics:
+    def test_parts_without_segmentation(self):
+        from dreamwaltz_g_tpu.human.semantics import get_semantic_parts
+        from dreamwaltz_g_tpu.human.smplx_model import make_synthetic_model
+
+        model = make_synthetic_model()
+        assert get_semantic_parts(model, "hands", root="/nonexistent") is None
+
+    def test_parts_with_fixture_segmentation(self):
+        from dreamwaltz_g_tpu.human.semantics import (
+            faces_of_vertices,
+            get_semantic_parts,
+        )
+        from dreamwaltz_g_tpu.human.smplx_model import make_synthetic_model
+
+        model = make_synthetic_model()
+        seg = {"head": list(range(0, 30)), "leftHand": list(range(30, 50)),
+               "rightHand": list(range(50, 70)),
+               "leftHandIndex1": [], "rightHandIndex1": []}
+        out = get_semantic_parts(model, "hands", segmentation=seg)
+        assert out is not None
+        vids, fids = out
+        assert set(vids) == set(range(30, 70))
+        # every returned face uses only part vertices
+        f = np.asarray(model.faces)[fids]
+        assert np.isin(f, vids).all()
