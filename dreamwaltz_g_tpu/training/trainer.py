@@ -405,9 +405,25 @@ class Trainer:
         H = self.train_res
         rk = dict(tile_size=cfg.render.tile_size,
                   capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
-        self.sds_step_fn = gs_trainer.make_avatar_sds_step(
-            self.avatar_model, self.guidance, tx, H, H,
-            lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        self.mesh = None
+        if cfg.optim.batch_size > 1:
+            # data-parallel SDS: one view per chip (SURVEY.md §7.10; no
+            # reference counterpart — the reference is single-GPU B=1)
+            from ..parallel.dp import make_avatar_sds_step_dp
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            assert cfg.optim.batch_size % max(n_dev, 1) == 0 or n_dev == 1, (
+                f"batch_size {cfg.optim.batch_size} must divide over "
+                f"{n_dev} devices")
+            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+            self.sds_step_fn = make_avatar_sds_step_dp(
+                self.avatar_model, self.guidance, tx, self.mesh, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        else:
+            self.sds_step_fn = gs_trainer.make_avatar_sds_step(
+                self.avatar_model, self.guidance, tx, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance, **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_avatar_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
@@ -427,31 +443,41 @@ class Trainer:
     def _train_batch(self) -> Dict[str, Any]:
         """One training draw: camera + pose + conditions + text
         (reference: CameraDatasetWithSMPL.collate, data/camera/__init__.py:127-163)."""
-        cam, part = self.train_camera(1)
+        B = self.cfg.optim.batch_size if self.cfg.stage == "gs" else 1
         frame_idx = None
         if self.prompt.scene_type == "motion":
             frame_idx = int(self.rng.integers(0, self.prompt.num_frame))
         smpl_inputs, smpl_outputs = self.prompt(
             frame_idx=frame_idx, batch_idx=self.train_step)
 
-        cond_image = None
-        if self.cfg.guide.use_controlnet:
-            imgs = self.prompt.get_cond_images(
-                smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
-                cond_type=self.cfg.guide.controlnet_condition[0],
-                height=self.cond_size, width=self.cond_size)
-            cond_image = conditions_to_batch(imgs)
+        cams, parts, conds, texts, uncs = [], [], [], [], []
+        for _ in range(B):
+            cam, part = self.train_camera(1)
+            cams.append(cam)
+            parts.append(part)
+            if self.cfg.guide.use_controlnet:
+                imgs = self.prompt.get_cond_images(
+                    smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
+                    cond_type=self.cfg.guide.controlnet_condition[0],
+                    height=self.cond_size, width=self.cond_size)
+                conds.append(np.asarray(imgs[0], np.float32) / 255.0)
+            view_idx = int(self.view_prompt(
+                np.asarray(cam.azimuth), np.asarray(cam.elevation), part)[0])
+            texts.append(self.text_embeds[view_idx])
+            uncs.append(self.uncond_embeds[0])
 
-        view_idx = int(self.view_prompt(
-            np.asarray(cam.azimuth), np.asarray(cam.elevation), part)[0])
+        cam = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0)
+            if hasattr(xs[0], "ndim") and xs[0].ndim > 0 else xs[0], *cams)
+        cond_image = jnp.asarray(np.stack(conds)) if conds else None
         t = jnp.asarray(self.t_scheduler.get_timestep(
-            1, self.train_step, self.max_iteration))
+            B, self.train_step, self.max_iteration))
         gs_scale = self.t_scheduler.get_guidance_scale(
             self.train_step, self.max_iteration)
-        return dict(cam=cam, part=part, smpl_inputs=smpl_inputs,
+        return dict(cam=cam, part=parts[0], smpl_inputs=smpl_inputs,
                     cond_image=cond_image,
-                    text=self.text_embeds[view_idx][None],
-                    uncond=self.uncond_embeds, t=t, guidance_scale=gs_scale)
+                    text=jnp.stack(texts), uncond=jnp.stack(uncs),
+                    t=t, guidance_scale=gs_scale)
 
     def _maybe_switch_resolution(self):
         """Progressive 64->128->256 training resolution
@@ -495,9 +521,16 @@ class Trainer:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
                       chunk=cfg.render.chunk)
-            self.sds_step_fn = gs_trainer.make_avatar_sds_step(
-                self.avatar_model, self.guidance, self.tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+            if self.mesh is not None:
+                from ..parallel.dp import make_avatar_sds_step_dp
+
+                self.sds_step_fn = make_avatar_sds_step_dp(
+                    self.avatar_model, self.guidance, self.tx, self.mesh,
+                    H, H, lambda_guidance=cfg.guide.lambda_guidance, **rk)
+            else:
+                self.sds_step_fn = gs_trainer.make_avatar_sds_step(
+                    self.avatar_model, self.guidance, self.tx, H, H,
+                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
 
     def _bg_color(self) -> jnp.ndarray:
         if self.cfg.stage == "nerf":
@@ -566,24 +599,41 @@ class Trainer:
                 cond_image=batch["cond_image"],
                 guidance_scale=batch["guidance_scale"],
                 sigma_pts=sigma_pts, use_sigma=use_sigma)
+        elif self.mesh is not None:
+            B = cam.extrinsic.shape[0]
+            bg = jnp.broadcast_to(self._bg_color(),
+                                  (B, self.train_res, self.train_res, 3))
+            keys = jax.random.split(self._next_key(), B)
+            with self.mesh:
+                self.state, metrics = self.sds_step_fn(
+                    self.state, self.guidance_params, batch["smpl_inputs"],
+                    cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
+                    batch["text"], batch["uncond"], batch["t"], keys,
+                    cond_image=batch["cond_image"])
+            self._maybe_densify()
         else:
             bg = jnp.broadcast_to(self._bg_color(),
                                   (self.train_res, self.train_res, 3))
             self.state, metrics = self.sds_step_fn(
                 self.state, self.guidance_params, batch["smpl_inputs"],
                 cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0], bg,
-                batch["text"], batch["uncond"], batch["t"], self._next_key(),
+                batch["text"][:1], batch["uncond"][:1], batch["t"][:1],
+                self._next_key(),
                 cond_image=batch["cond_image"],
                 guidance_scale=batch["guidance_scale"])
-            r = cfg.render
-            if r.use_densifier and r.densify_from_iter is not None \
-                    and r.densify_from_iter <= self.train_step \
-                    and (r.densify_until_iter is None
-                         or self.train_step < r.densify_until_iter) \
-                    and self.train_step % 100 == 0:
-                self.state = gs_trainer.densify(
-                    self.state, self.densify_cfg, self._next_key())
+            self._maybe_densify()
         return {k: float(v) for k, v in metrics.items()}
+
+    def _maybe_densify(self):
+        """(reference: densify cadence, trainer.py:879-885)"""
+        r = self.cfg.render
+        if r.use_densifier and r.densify_from_iter is not None \
+                and r.densify_from_iter <= self.train_step \
+                and (r.densify_until_iter is None
+                     or self.train_step < r.densify_until_iter) \
+                and self.train_step % 100 == 0:
+            self.state = gs_trainer.densify(
+                self.state, self.densify_cfg, self._next_key())
 
     def pretrain(self) -> None:
         """NeRF pretrain against SMPL-X depth/mask
