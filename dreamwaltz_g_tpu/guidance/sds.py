@@ -58,7 +58,10 @@ class ScoreDistillation:
     grad_latent_norm: bool = False
     grad_latent_nan_to_num: bool = True
     ism_delta_t: int = 80
+    ism_delta_t_start: int = 25   # inversion step size (LucidDreamer denoise_guidance_scale path)
+    ism_inversion_steps: int = 0  # 0 = single-step core; >0 = full DDIM chain
     latent_size: int = 64
+    latent_input: bool = False    # 4-channel renders ARE latents (Latent-NeRF)
 
     def __post_init__(self):
         if self.schedule is None:
@@ -70,8 +73,17 @@ class ScoreDistillation:
                       ) -> jnp.ndarray:
         """(B, H, W, 3) in [0,1] -> latents; resizes to the VAE's native
         resolution first (reference: prepare_latents + input_interpolate,
-        basic.py:354-383)."""
-        B, H, W, _ = images.shape
+        basic.py:354-383). With ``latent_input`` (Latent-NeRF: the renderer
+        emits 4 channels that ARE latents, basic.py:55-64) the VAE is
+        bypassed and the render is only resized to the latent grid."""
+        B, H, W, C = images.shape
+        if self.latent_input:
+            assert C == 4, "latent_input expects 4-channel renders"
+            if H != self.latent_size or W != self.latent_size:
+                images = jax.image.resize(
+                    images, (B, self.latent_size, self.latent_size, 4),
+                    "bilinear")
+            return images
         vae_factor = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
         target = self.latent_size * vae_factor
         if H != target or W != target:
@@ -171,10 +183,31 @@ class ScoreDistillation:
             grad = delta_domain + gs * (eps_text - eps_uncond)
 
         elif self.loss_type == "ism":
-            # Interval Score Matching, single-inversion-step core
-            # (reference: basic.py:665-776 + ism/sd_step.py ddim_step)
+            # Interval Score Matching (reference: basic.py:665-776 +
+            # ism/sd_step.py ddim_step). t_prev = t - delta_t; x_{t_prev} is
+            # reached by DDIM-inverting x_0 with unconditional eps — either
+            # one step (core) or a chained inversion of
+            # ``ism_inversion_steps`` strides (ism_add_noise_with_cfg).
             t_prev = jnp.maximum(t - self.ism_delta_t, 0)
-            xs_prev = self.schedule.add_noise(lat_sg, noise, t_prev)
+            if self.ism_inversion_steps > 0:
+                n_steps = self.ism_inversion_steps
+                stride = self.ism_delta_t_start
+
+                def invert(i, carry):
+                    x, cur_t = carry
+                    nxt = jnp.minimum(cur_t + stride, t_prev)
+                    eps_u = self._eps(params, x, cur_t, uncond_embeds,
+                                      cond_image)
+                    x = self.schedule.ddim_step(x, eps_u, cur_t, nxt)
+                    return (x, nxt)
+
+                x0 = lat_sg
+                xs_prev, _ = jax.lax.fori_loop(
+                    0, n_steps, invert,
+                    (x0, jnp.zeros_like(t_prev)))
+                xs_prev = jax.lax.stop_gradient(xs_prev)
+            else:
+                xs_prev = self.schedule.add_noise(lat_sg, noise, t_prev)
             eps_prev = jax.lax.stop_gradient(
                 self._eps(params, xs_prev, t_prev, uncond_embeds, cond_image))
             xs_t = self.schedule.ddim_step(xs_prev, eps_prev, t_prev, t)

@@ -74,9 +74,9 @@ class SigmaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden, use_bias=False, name=f"dense_{i}")(x)
+            x = nn.Dense(self.hidden, name=f"dense_{i}")(x)
             x = nn.relu(x)
-        return nn.Dense(self.out_channels, use_bias=False,
+        return nn.Dense(self.out_channels,
                         name=f"dense_{self.num_layers - 1}")(x)
 
 
@@ -93,9 +93,9 @@ class BackgroundMLP(nn.Module):
     def __call__(self, dirs):
         x = frequency_encode(dirs, degree=self.degree)
         for i in range(self.num_layers - 1):
-            x = nn.Dense(self.hidden, use_bias=False, name=f"dense_{i}")(x)
+            x = nn.Dense(self.hidden, name=f"dense_{i}")(x)
             x = nn.relu(x)
-        return nn.Dense(self.out_channels, use_bias=False,
+        return nn.Dense(self.out_channels,
                         name=f"dense_{self.num_layers - 1}")(x)
 
 

@@ -549,6 +549,21 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self) -> None:
+        """Crash-safe wrapper: a runtime failure saves an emergency
+        checkpoint and renders the eval track before re-raising
+        (reference: train's RuntimeError handler, trainer.py:839, 919-923)."""
+        try:
+            self._train_loop()
+        except (RuntimeError, jax.errors.JaxRuntimeError):
+            logger.exception("training crashed at step %d — saving "
+                             "emergency checkpoint", self.train_step)
+            self.save_checkpoint()
+            try:
+                self.evaluate()
+            finally:
+                raise
+
+    def _train_loop(self) -> None:
         """(reference: Trainer.train, trainer.py:826-931)"""
         cfg = self.cfg
         log_interval = max(cfg.log.snapshot_interval, 1)
@@ -566,6 +581,9 @@ class Trainer:
                 logger.info("step %d/%d loss=%.4f (%.2f s/it)",
                             self.train_step, self.max_iteration, loss,
                             (time.time() - t0) / self.train_step)
+            if cfg.log.snapshot_interval and \
+                    self.train_step % cfg.log.snapshot_interval == 0:
+                self._snapshot(batch)
             if cfg.log.evaluate_interval and \
                     self.train_step % cfg.log.evaluate_interval == 0:
                 self.evaluate()
@@ -573,6 +591,29 @@ class Trainer:
                     self.train_step % cfg.log.save_interval == 0:
                 self.save_checkpoint()
         self.save_checkpoint()
+
+    def _snapshot(self, batch) -> None:
+        """Dump the current train view + condition image
+        (reference: _Visualizer.snapshot, trainer.py:139-169)."""
+        d = self.exp_dir / "snapshots" / "train"
+        cam = self.eval_camera(0.0)  # fixed front view at eval resolution
+        try:
+            if self.cfg.stage == "gs":
+                img, _, _ = self.eval_render(
+                    self.state.avatar, batch["smpl_inputs"],
+                    cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0],
+                    jnp.zeros((self.cfg.data.eval_h, self.cfg.data.eval_w, 3)))
+            else:
+                img, _, _ = self.eval_render(
+                    self.state.params, self.grid, cam.c2w[0],
+                    cam.intrinsics[0], jnp.asarray([0.5, 0.5, 0.5]))
+            save_image(str(d / f"{self.train_step:06d}_rgb.png"),
+                       np.asarray(jnp.clip(img, 0, 1)))
+            if batch.get("cond_image") is not None:
+                save_image(str(d / f"{self.train_step:06d}_cond.png"),
+                           np.asarray(batch["cond_image"][0]))
+        except Exception as e:  # snapshots must never kill training
+            logger.warning("snapshot failed: %s", e)
 
     def _train_one(self, batch) -> Dict[str, float]:
         cfg = self.cfg
@@ -713,25 +754,70 @@ class Trainer:
         if render is None:
             render = self.eval_render
         H = cfg.data.test_h if use_test_res else cfg.data.eval_h
+        W = cfg.data.test_w if use_test_res else cfg.data.eval_w
+
+        # predefined camera tracks + video backgrounds: the reenactment
+        # path (reference: evaluate with reenact/tram sequences,
+        # trainer.py:1019-1112 + VideoBackground, background.py:92-160)
+        predefined = self.prompt.camera_sequences is not None \
+            and cfg.data.cameras != "cyclical" and cfg.stage == "gs"
+        video_bg = None
+        if cfg.render.use_video_background:
+            from ..system.background import VideoBackground
+            from ..utils.media import read_video
+
+            frames_arr = read_video(cfg.render.use_video_background) \
+                if str(cfg.render.use_video_background).endswith(".mp4") \
+                else None
+            if frames_arr is not None and frames_arr.size:
+                video_bg = VideoBackground(frames_arr)
+        reenact_render = None
+
         frames = []
         for i in range(size):
             p = i / max(size, 1)
-            cam = camera(p)
             if self.prompt.scene_type == "motion" and not cfg.data.eval_fix_animation:
                 smpl_inputs, smpl_outputs = self.prompt(frame_idx=i)
             else:
                 smpl_inputs, smpl_outputs = self.prompt(frame_idx=0) \
                     if self.prompt.scene_type == "motion" else self.prompt()
-            bg = jnp.zeros((H, H, 3)) if cfg.stage == "gs" \
-                else jnp.asarray([0.5, 0.5, 0.5])
+
+            if predefined:
+                cp = self.prompt.get_camera_params_from_sequences(i)
+                extr = cp["extrinsic"]
+                intr = cp["intrinsics"]
+                tanfov = jnp.asarray(cp["tanfov"])
+                vh, vw = cp["image_height"], cp["image_width"]
+                if reenact_render is None and cfg.stage == "gs":
+                    reenact_render = gs_trainer.make_avatar_render(
+                        self.avatar_model, vh, vw,
+                        tile_size=cfg.render.tile_size,
+                        capacity=cfg.render.tile_capacity,
+                        chunk=cfg.render.chunk)
+                Hc, Wc = vh, vw
+            else:
+                cam = camera(p)
+                extr, intr = cam.extrinsic[0], cam.intrinsics[0]
+                tanfov = cam.tanfov[0]
+                Hc, Wc = H, W
+
+            if video_bg is not None:
+                bg = video_bg.frames[i % video_bg.frames.shape[0]]
+                bg = jax.image.resize(bg, (Hc, Wc, 3), "bilinear")
+            elif cfg.stage == "gs":
+                bg = jnp.broadcast_to(
+                    jnp.asarray(cfg.render.bg_color, jnp.float32), (Hc, Wc, 3))
+            else:
+                bg = jnp.asarray([0.5, 0.5, 0.5])
+
             if cfg.stage == "nerf":
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
                     cam.intrinsics[0], bg)
             else:
-                img, _, _ = render(
-                    self.state.avatar, smpl_inputs, cam.extrinsic[0],
-                    cam.intrinsics[0], cam.tanfov[0], bg)
+                r = reenact_render if predefined else render
+                img, _, _ = r(self.state.avatar, smpl_inputs, extr, intr,
+                              tanfov, bg)
             frames.append(np.asarray(jnp.clip(img, 0, 1)))
         if cfg.data.eval_save_image:
             for i, f in enumerate(frames):

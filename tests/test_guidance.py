@@ -230,3 +230,42 @@ def test_pgc_clips_backward():
     x = jnp.ones((4, 4, 3))
     g = jax.grad(lambda x: jnp.sum(pgc(x) * 100.0))(x)
     assert float(jnp.abs(g).max()) <= 0.01 + 1e-8
+
+
+def test_sds_latent_input(tiny_guidance):
+    """Latent-NeRF mode: 4-channel renders bypass the VAE."""
+    import dataclasses
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
+
+    sd = ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                           latent_input=True)
+    params = GuidanceParams(unet=unet_p, vae=vae_p)
+    D = ucfg.cross_attention_dim
+    latents = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 4))
+    out = sd(params, latents, jnp.zeros((1, 4, D)), jnp.zeros((1, 4, D)),
+             jnp.asarray([400], jnp.int32), jax.random.PRNGKey(1))
+    assert out["latents"].shape == (1, 8, 8, 4)
+    assert np.isfinite(float(out["loss"]))
+    # gradients flow back to the latent render
+    g = jax.grad(lambda x: sd(params, x, jnp.zeros((1, 4, D)),
+                              jnp.zeros((1, 4, D)),
+                              jnp.asarray([400], jnp.int32),
+                              jax.random.PRNGKey(1))["loss"])(latents)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_sds_ism_chain(tiny_guidance):
+    """Full DDIM-inversion ISM runs and is finite."""
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
+
+    sd = ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                           loss_type="ism", ism_inversion_steps=3,
+                           ism_delta_t=100, ism_delta_t_start=50)
+    params = GuidanceParams(unet=unet_p, vae=vae_p)
+    D = ucfg.cross_attention_dim
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    out = sd(params, imgs, jnp.zeros((1, 4, D)), jnp.zeros((1, 4, D)),
+             jnp.asarray([500], jnp.int32), jax.random.PRNGKey(1))
+    assert np.isfinite(float(out["loss"]))
