@@ -27,7 +27,7 @@ unchanged while inference/eval rendering takes the fast path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,11 +43,15 @@ def _on_tpu() -> bool:
         return False
 
 
+_LOG_T_EPS = -9.2  # ln(1e-4): CUDA rasterizer's early-termination threshold
+
+
 def _make_kernel(tile_size: int, tiles_x: int, chunk: int,
                  alpha_clip: float, min_alpha: float):
     P = tile_size * tile_size
 
-    def kernel(triu_ref, attrs_ref, values_ref, out_ref, acc_ref, logt_ref):
+    def kernel(counts_ref, triu_ref, attrs_ref, values_ref, out_ref,
+               acc_ref, logt_ref):
         k = pl.program_id(1)
         nk = pl.num_programs(1)
         t = pl.program_id(0)
@@ -57,40 +61,48 @@ def _make_kernel(tile_size: int, tiles_x: int, chunk: int,
             acc_ref[:] = jnp.zeros_like(acc_ref)
             logt_ref[:] = jnp.zeros_like(logt_ref)
 
-        # pixel centers of this tile
-        base_x = (t % tiles_x) * tile_size
-        base_y = (t // tiles_x) * tile_size
-        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-        px = (base_x + pid % tile_size).astype(jnp.float32) + 0.5
-        py = (base_y + pid // tile_size).astype(jnp.float32) + 0.5
+        # skip chunks past this tile's entry count, and terminate early once
+        # every pixel's transmittance saturates (the CUDA rasterizer's
+        # per-pixel T<1e-4 cutoff, tile-granular here)
+        nonempty = k * chunk < counts_ref[t]
+        live = jnp.max(logt_ref[:, 0]) > _LOG_T_EPS
 
-        a = attrs_ref[0]                       # (8, C) lane-resident fields
-        mx = a[0:1, :]                         # (1, C)
-        my = a[1:2, :]
-        ca = a[2:3, :]
-        cb = a[3:4, :]
-        cc = a[4:5, :]
-        op = a[5:6, :]
+        @pl.when(nonempty & live)
+        def _():
+            # pixel centers of this tile
+            base_x = (t % tiles_x) * tile_size
+            base_y = (t // tiles_x) * tile_size
+            pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = (base_x + pid % tile_size).astype(jnp.float32) + 0.5
+            py = (base_y + pid // tile_size).astype(jnp.float32) + 0.5
 
-        dx = px - mx                           # (P, C)
-        dy = py - my
-        q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-        w = op * jnp.exp(-0.5 * q)
-        w = jnp.where((q >= 0) & (w >= min_alpha),
-                      jnp.minimum(w, alpha_clip), 0.0)
-        l = jnp.log1p(-w)
+            a = attrs_ref[0]                       # (8, C) lane-resident
+            mx = a[0:1, :]                         # (1, C)
+            my = a[1:2, :]
+            ca = a[2:3, :]
+            cb = a[3:4, :]
+            cc = a[4:5, :]
+            op = a[5:6, :]
 
-        log_t = logt_ref[:, 0:1]               # (P, 1)
-        excl = jax.lax.dot_general(
-            l, triu_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + log_t
-        contrib = jnp.exp(excl) * w            # (P, C)
+            dx = px - mx                           # (P, C)
+            dy = py - my
+            q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+            w = op * jnp.exp(-0.5 * q)
+            w = jnp.where((q >= 0) & (w >= min_alpha),
+                          jnp.minimum(w, alpha_clip), 0.0)
+            l = jnp.log1p(-w)
 
-        vals = values_ref[0]                   # (8, C)
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            contrib, vals, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        logt_ref[:, 0:1] = log_t + jnp.sum(l, axis=1, keepdims=True)
+            log_t = logt_ref[:, 0:1]               # (P, 1)
+            excl = jax.lax.dot_general(
+                l, triu_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + log_t
+            contrib = jnp.exp(excl) * w            # (P, C)
+
+            vals = values_ref[0]                   # (8, C)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                contrib, vals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logt_ref[:, 0:1] = log_t + jnp.sum(l, axis=1, keepdims=True)
 
         @pl.when(k == nk - 1)
         def _():
@@ -115,6 +127,7 @@ def blend_tiles_pallas(
     alpha_clip: float = 0.999,
     min_alpha: float = 1.0 / 255.0,
     interpret: bool = False,
+    tile_counts: Optional[jnp.ndarray] = None,  # (T,) live entries per tile
 ) -> jnp.ndarray:
     """Returns (H, W, CV) like ops/rasterize.blend_tiles."""
     T, K = tile_lists.shape
@@ -141,12 +154,15 @@ def blend_tiles_pallas(
     triu = jnp.triu(jnp.ones((C, C), jnp.float32), k=1)
     Tx = -(-image_width // tile_size)
     Ty = -(-image_height // tile_size)
+    if tile_counts is None:
+        tile_counts = jnp.sum(tile_lists < N, axis=-1).astype(jnp.int32)
 
     kernel = _make_kernel(tile_size, Tx, C, alpha_clip, min_alpha)
     out = pl.pallas_call(
         kernel,
         grid=(T, n_chunks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((C, C), lambda t, k: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, C), lambda t, k: (t, 0, k),
@@ -162,7 +178,7 @@ def blend_tiles_pallas(
             pltpu.VMEM((P, 8), jnp.float32),
         ],
         interpret=interpret,
-    )(triu, g_attrs, g_vals)
+    )(tile_counts, triu, g_attrs, g_vals)
 
     img = out[..., :CV].reshape(Ty, Tx, tile_size, tile_size, CV)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

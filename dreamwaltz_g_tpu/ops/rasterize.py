@@ -212,20 +212,23 @@ def bin_gaussians(
     assert (T + 1) * (N + 1) < 2 ** 31, "pack overflow: shard the cloud"
     key = flat_tile * np.int32(N + 1) + flat_rank
     s_key = jax.lax.sort(key)
-    s_tile = s_key // np.int32(N + 1)
-    s_idx = jnp.take(order.astype(jnp.int32), s_key % np.int32(N + 1),
-                     mode="clip")
 
-    seg_start = jnp.searchsorted(s_tile, jnp.arange(T, dtype=jnp.int32))
-    pos = jnp.arange(N * D, dtype=jnp.int32) - seg_start[jnp.clip(s_tile, 0, T - 1)]
-    in_range = (s_tile < T) & (pos < capacity)
-    dest = jnp.where(in_range, s_tile * capacity + pos, T * capacity)
+    # Gather-only extraction: tile t's entries sit at
+    # s_key[seg_start[t] : seg_end[t]]; read its first `capacity` slots
+    # directly — a (T, K) gather instead of an (N*D,) scatter (TPU scatters
+    # measured 5x slower than the equivalent gathers at this size).
+    seg_start = jnp.searchsorted(
+        s_key, jnp.arange(T, dtype=jnp.int32) * np.int32(N + 1))
+    seg_end = jnp.searchsorted(
+        s_key, jnp.arange(1, T + 1, dtype=jnp.int32) * np.int32(N + 1))
+    k_ar = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    src = seg_start[:, None] + k_ar                      # (T, K)
+    in_seg = src < seg_end[:, None]
+    key_at = jnp.take(s_key, jnp.minimum(src, N * D - 1), mode="clip")
+    rank_at = key_at % np.int32(N + 1)
+    idx_at = jnp.take(order.astype(jnp.int32), rank_at, mode="clip")
+    tile_lists = jnp.where(in_seg, idx_at, N)
 
-    tile_lists = jnp.full((T * capacity,), N, jnp.int32)
-    tile_lists = tile_lists.at[dest].set(s_idx, mode="drop")
-    tile_lists = tile_lists.reshape(T, capacity)
-
-    seg_end = jnp.searchsorted(s_tile, jnp.arange(1, T + 1, dtype=jnp.int32))
     tile_counts = jnp.minimum(seg_end - seg_start, capacity).astype(jnp.int32)
     return tile_lists, tile_counts
 
@@ -330,7 +333,7 @@ class RasterOutput(NamedTuple):
 
 def _blend_dispatch(tile_lists, means2d, conic, opacity, colors, depth, mask,
                     image_height, image_width, tile_size, chunk,
-                    pallas_interpret):
+                    pallas_interpret, tile_counts=None):
     """Pallas-forward / jnp-backward blend. The Pallas kernel
     (ops/pallas_blend.py) keeps per-tile state in VMEM — ~10x less HBM
     traffic than the scan — while gradients recompute through the jnp blend
@@ -347,7 +350,7 @@ def _blend_dispatch(tile_lists, means2d, conic, opacity, colors, depth, mask,
         return blend_tiles_pallas(
             tile_lists, means2d, conic, op, values,
             image_height, image_width, tile_size=tile_size, chunk=chunk,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret, tile_counts=tile_counts)
 
     def _jnp_blend(means2d, conic, op, values):
         g = Gaussians2D(
@@ -384,7 +387,7 @@ def rasterize_projected(
     fields of ``g`` (binning is a stop-gradient index structure, as in the
     CUDA rasterizer). ``use_pallas=None`` auto-selects the Pallas blend on
     TPU devices."""
-    tile_lists, _ = bin_gaussians(
+    tile_lists, tile_counts = bin_gaussians(
         jax.lax.stop_gradient(g.means2d),
         jax.lax.stop_gradient(g.radius),
         jax.lax.stop_gradient(g.depth),
@@ -401,7 +404,7 @@ def rasterize_projected(
         out = _blend_dispatch(
             tile_lists, g.means2d, g.conic, g.opacity, g.colors, g.depth,
             g.mask, image_height, image_width, tile_size, chunk,
-            pallas_interpret)
+            pallas_interpret, tile_counts=tile_counts)
     else:
         out = blend_tiles(tile_lists, g, image_height, image_width,
                           tile_size, chunk)
