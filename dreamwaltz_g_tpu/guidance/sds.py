@@ -274,3 +274,42 @@ def make_pgc(clip_value: float = 0.1, mode: str = "clip"):
 
     pgc.defvjp(fwd, bwd)
     return pgc
+
+
+def make_pgc_suppress(clip_value: float, suppress_type: int = 0):
+    """The reference's numbered PGC suppress family as a custom_vjp
+    (reference: build_pgc_hook_func, pgc.py:44-79; channel dim last here
+    vs the torch CHW dim-1):
+
+    0 pixel-wise clip · 1 clip · 2 global scale · 3 sigmoid ·
+    4 PNGD · 5 pixel-max PNGD · other: identity."""
+
+    @jax.custom_vjp
+    def pgc(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        c = clip_value
+        if suppress_type == 0:
+            ratio = jnp.minimum(c / jnp.maximum(jnp.abs(g), 1e-20), 1.0)
+            out = g * jnp.min(ratio, axis=-1, keepdims=True)
+        elif suppress_type == 1:
+            out = jnp.clip(g, -c, c)
+        elif suppress_type == 2:
+            out = g / jnp.maximum(jnp.max(jnp.abs(g)), 1e-20) * c
+        elif suppress_type == 3:
+            out = (jax.nn.sigmoid(g) - 0.5) * c
+        elif suppress_type == 4:
+            out = c * g / (jnp.abs(g) + c)
+        elif suppress_type == 5:
+            n = jnp.max(jnp.abs(g), axis=-1, keepdims=True)
+            out = c * g / (n + c)
+        else:
+            out = g
+        return (out,)
+
+    pgc.defvjp(fwd, bwd)
+    return pgc

@@ -308,3 +308,25 @@ class TimePrioritizedScheduler:
             r = train_step / max(max_iteration, 1)
             return float(base * (1.0 - 0.5 * r))
         raise NotImplementedError(adjust)
+
+
+class TimePrioritizedLR:
+    """Timestep-dependent learning-rate weight: lr(t) = lr * w_ddpm(t)/max(w)
+    (reference: time_prior.py:394-431 — mutates torch param groups; here a
+    pure weight provider to fold into optax schedules or scale updates)."""
+
+    def __init__(self, schedule: DiffusionSchedule):
+        ac = np.asarray(schedule.alphas_cumprod)
+        w = np.sqrt((1 - ac) / ac)
+        self.weights = w / w.max()
+
+    def __call__(self, timestep) -> float:
+        t = int(np.clip(int(timestep), 0, len(self.weights) - 1))
+        return float(self.weights[t])
+
+    def scale_updates(self, updates, timestep):
+        """Scale an optax update pytree by the timestep weight."""
+        import jax
+
+        s = self(timestep)
+        return jax.tree_util.tree_map(lambda u: u * s, updates)

@@ -11,6 +11,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nerf.network import NeRFModel, NeRFParams
 from ..ops.mesh import knn, sample_mesh_surface
@@ -201,3 +202,49 @@ class KnnRegularizer(NamedTuple):
         s = jnp.max(scales, axis=-1)[:, None]
         err = jnp.clip(s / self.knn_norms - 1.0, 0.0, None)
         return jnp.sum(jnp.mean(err, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Mesh regularizers (reference: core/optim/loss/mesh_loss.py — DMTet finetune)
+# ---------------------------------------------------------------------------
+
+def normal_consistency_loss(vertices: jnp.ndarray, faces: jnp.ndarray,
+                            face_adjacency: jnp.ndarray) -> jnp.ndarray:
+    """1 - cos between adjacent face normals. ``face_adjacency`` (A, 2)
+    pairs of face ids sharing an edge (static topology)."""
+    tri = vertices[faces]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    n0 = n[face_adjacency[:, 0]]
+    n1 = n[face_adjacency[:, 1]]
+    return jnp.mean(1.0 - jnp.sum(n0 * n1, axis=-1))
+
+
+def laplacian_smoothing_loss(vertices: jnp.ndarray, faces: jnp.ndarray,
+                             ) -> jnp.ndarray:
+    """Uniform-Laplacian magnitude: ||v - mean(neighbors)||²."""
+    V = vertices.shape[0]
+    deg = jnp.zeros((V,)).at[faces.reshape(-1)].add(2.0)
+    nbr = jnp.zeros((V, 3))
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        nbr = nbr.at[faces[:, a]].add(vertices[faces[:, b]])
+        nbr = nbr.at[faces[:, b]].add(vertices[faces[:, a]])
+    mean_nbr = nbr / jnp.maximum(deg[:, None], 1.0)
+    lap = jnp.where(deg[:, None] > 0, vertices - mean_nbr, 0.0)
+    return jnp.mean(jnp.sum(lap ** 2, axis=-1))
+
+
+def face_adjacency_from_faces(faces: np.ndarray) -> np.ndarray:
+    """Host-side: (A, 2) adjacent-face pairs sharing an edge."""
+    import collections
+
+    edge_map = collections.defaultdict(list)
+    f = np.asarray(faces)
+    for fi in range(f.shape[0]):
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = tuple(sorted((int(f[fi, a]), int(f[fi, b]))))
+            edge_map[key].append(fi)
+    pairs = [tuple(v[:2]) for v in edge_map.values() if len(v) >= 2]
+    if not pairs:
+        return np.zeros((0, 2), np.int64)
+    return np.asarray(pairs, np.int64)

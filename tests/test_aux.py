@@ -129,3 +129,90 @@ class TestSemantics:
         # every returned face uses only part vertices
         f = np.asarray(model.faces)[fids]
         assert np.isin(f, vids).all()
+
+
+class TestVanillaAvatar:
+    def test_init_and_animate(self):
+        from dreamwaltz_g_tpu.human.smplx_model import (
+            default_params,
+            make_synthetic_model,
+        )
+        from dreamwaltz_g_tpu.system.vanilla import (
+            VanillaAvatarModel,
+            animate_vanilla,
+            init_vanilla_avatar,
+        )
+
+        smpl = make_synthetic_model()
+        model = VanillaAvatarModel(smpl=smpl,
+                                   canonical_inputs=default_params(smpl))
+        rng = np.random.default_rng(0)
+        cloud = jnp.asarray(rng.normal(size=(50, 3)) * 0.15
+                            + np.asarray([0, 0.7, 0]), jnp.float32)
+        state = init_vanilla_avatar(model, cloud, capacity=80)
+        assert state.capacity == 80
+        gs = animate_vanilla(model, state)
+        # canonical animate reproduces the input cloud (inverse then forward)
+        np.testing.assert_allclose(np.asarray(gs.positions[:50]),
+                                   np.asarray(cloud), atol=1e-3)
+        # posed animate moves points
+        p = default_params(smpl)._replace(
+            body_pose=jnp.ones((1, 63)) * 0.3)
+        gs2 = animate_vanilla(model, state, p)
+        assert not np.allclose(np.asarray(gs2.positions[:50]),
+                               np.asarray(cloud), atol=1e-3)
+
+
+class TestMeshLosses:
+    def _mesh(self):
+        # two triangles sharing an edge, initially coplanar
+        v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+        f = np.asarray([[0, 1, 2], [1, 3, 2]])
+        return jnp.asarray(v), jnp.asarray(f)
+
+    def test_normal_consistency(self):
+        from dreamwaltz_g_tpu.training.losses import (
+            face_adjacency_from_faces,
+            normal_consistency_loss,
+        )
+
+        v, f = self._mesh()
+        adj = jnp.asarray(face_adjacency_from_faces(np.asarray(f)))
+        assert adj.shape[0] == 1
+        flat = normal_consistency_loss(v, f, adj)
+        assert float(flat) < 1e-6
+        v_bent = v.at[3, 2].set(1.0)
+        assert float(normal_consistency_loss(v_bent, f, adj)) > 0.1
+
+    def test_laplacian(self):
+        from dreamwaltz_g_tpu.training.losses import laplacian_smoothing_loss
+
+        v, f = self._mesh()
+        smooth = laplacian_smoothing_loss(v, f)
+        spike = laplacian_smoothing_loss(v.at[0, 2].set(2.0), f)
+        assert float(spike) > float(smooth)
+
+
+class TestTimePrioritizedLR:
+    def test_weights(self):
+        from dreamwaltz_g_tpu.guidance.time_prior import (
+            TimePrioritizedLR,
+            make_schedule,
+        )
+
+        tplr = TimePrioritizedLR(make_schedule())
+        assert tplr(999) == 1.0  # max-noise timestep has max weight
+        assert 0 < tplr(100) < tplr(500) < 1.0
+
+
+class TestPGCSuppress:
+    def test_all_types_bound_gradients(self):
+        from dreamwaltz_g_tpu.guidance.sds import make_pgc_suppress
+
+        x = jnp.ones((4, 4, 3))
+        for st in range(6):
+            pgc = make_pgc_suppress(0.1, st)
+            g = jax.grad(lambda v: jnp.sum(pgc(v) * 100.0))(x)
+            assert np.isfinite(np.asarray(g)).all()
+            if st in (0, 1, 2, 4, 5):
+                assert float(jnp.abs(g).max()) <= 0.1 + 1e-6

@@ -269,3 +269,45 @@ def test_sds_ism_chain(tiny_guidance):
     out = sd(params, imgs, jnp.zeros((1, 4, D)), jnp.zeros((1, 4, D)),
              jnp.asarray([500], jnp.int32), jax.random.PRNGKey(1))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_sdxl_unet_and_guidance():
+    """SDXL-style UNet (addition embeds, per-block depth, head_dim) + the XL
+    score distillation wrapper run on a tiny config."""
+    from dreamwaltz_g_tpu.guidance.sdxl import (
+        ScoreDistillationXL,
+        make_add_time_ids,
+    )
+    from dreamwaltz_g_tpu.guidance.sds import GuidanceParams
+    from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, UNetConfig
+    from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, tiny_vae_config
+
+    cfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                     cross_attention_dim=32, head_dim=16,
+                     transformer_depth=(1, 2), attn_down=(False, True),
+                     addition_embed=True, addition_pooled_dim=24)
+    unet = UNet2DCondition(cfg)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, 32))
+    pooled = jnp.zeros((1, 24))
+    tids = make_add_time_ids(1)
+    p = unet.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,), jnp.int32),
+                  ctx, pooled_embeds=pooled, add_time_ids=tids)
+    out = unet.apply(p, lat, jnp.asarray([10], jnp.int32), ctx,
+                     pooled_embeds=pooled, add_time_ids=tids)
+    assert out.shape == (1, 8, 8, 4)
+    # pooled conditioning matters
+    out2 = unet.apply(p, lat, jnp.asarray([10], jnp.int32), ctx,
+                      pooled_embeds=pooled + 1.0, add_time_ids=tids)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    vae = AutoencoderKL(tiny_vae_config())
+    vae_p = vae.init(jax.random.PRNGKey(1), image_size=16)
+    sd = ScoreDistillationXL(
+        unet=unet, vae=vae, latent_size=8,
+        pooled_text=jnp.zeros((1, 24)), pooled_uncond=jnp.ones((1, 24)))
+    gp = GuidanceParams(unet=p, vae=vae_p)
+    imgs = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 16, 3))
+    res = sd(gp, imgs, ctx, ctx, jnp.asarray([300], jnp.int32),
+             jax.random.PRNGKey(3))
+    assert np.isfinite(float(res["loss"]))
