@@ -343,3 +343,61 @@ def convert_from_hf_cache(hf_root: str, out_dir: str,
         if osp.isfile(path):
             cn_p, _ = convert_controlnet(ControlNet(ucfg), load_sd(path))
             save_params(osp.join(out_dir, f"controlnet_{cond}.msgpack"), cn_p)
+
+
+def convert_clip_vision(vision_module, torch_sd, strict: bool = True):
+    """openai/clip ViT vision tower + visual projection -> our
+    utils/r_precision.CLIPVisionModel params (HF CLIPVisionModel naming)."""
+    import jax
+
+    cfg = vision_module.cfg
+    params = vision_module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))
+
+    def rename(n):
+        vm = "vision_model."
+        if n == "patch_embedding.kernel":
+            return vm + "embeddings.patch_embedding.weight"
+        if n == "class_embedding":
+            return vm + "embeddings.class_embedding"
+        if n == "position_embedding":
+            return vm + "embeddings.position_embedding.weight"
+        if n.startswith("pre_layernorm"):
+            return vm + n.replace("pre_layernorm", "pre_layrnorm")
+        if n.startswith("post_layernorm"):
+            return vm + n
+        if n.startswith("visual_projection"):
+            return "visual_projection.weight"
+        return vm + "encoder." + n
+
+    flat = _flatten(params["params"])
+    out = {}
+    missing = []
+    for path, leaf_val in flat.items():
+        name = ".".join(path)
+        if path[-1] == "kernel":
+            tname = rename(".".join(path[:-1]) + ".kernel"
+                           if path[0] == "patch_embedding" else
+                           _torch_name(path, ""))
+            if path[0] == "visual_projection":
+                tname = "visual_projection.weight"
+        elif path == ("class_embedding",) or path == ("position_embedding",):
+            tname = rename(name)
+        else:
+            tname = rename(_torch_name(path, ""))
+        if tname not in torch_sd:
+            missing.append(tname)
+            out[path] = leaf_val
+            continue
+        arr = np.asarray(torch_sd[tname])
+        if path[0] == "patch_embedding" and path[-1] == "kernel":
+            # torch conv OIHW -> flax HWIO
+            arr = arr.transpose(2, 3, 1, 0)
+        elif path[-1] == "kernel":
+            arr = arr.T
+        out[path] = jnp.asarray(arr.reshape(leaf_val.shape))
+    if strict and missing:
+        raise KeyError(f"missing {len(missing)} clip-vision keys, "
+                       f"e.g. {missing[:5]}")
+    return {"params": _unflatten(out)}, missing

@@ -175,16 +175,38 @@ def densify(tstate: AvatarTrainState, cfg: DensifyConfig, key: jax.Array,
 def make_avatar_render(model: AvatarModel, image_height: int,
                        image_width: int, tile_size: int = 16,
                        capacity: int = 512, chunk: int = 64,
-                       max_tiles_per_gaussian: int = 16):
-    """Jit'd eval/inference render (reference: evaluate + Scene.forward)."""
+                       max_tiles_per_gaussian: int = 16,
+                       extra_models: tuple = ()):
+    """Jit'd eval/inference render (reference: evaluate + Scene.forward).
+
+    ``extra_models`` enables scene composition: additional avatars loaded
+    from second checkpoints render together (reference: ckpt_extra +
+    load_extra_avatar_from_state_dict, scene.py:213-222); pass their states
+    as the ``extra_states`` tuple. Multi-person poses: observed_inputs with
+    batch dim B>1 assigns person i to avatar i (scene.py:104-121)."""
+    from ..system.avatar import merge_gaussians
+
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
                   max_tiles_per_gaussian=max_tiles_per_gaussian)
 
+    def _person(observed_inputs, i):
+        return jax.tree_util.tree_map(lambda x: x[i: i + 1], observed_inputs)
+
     @jax.jit
     def render(state: AvatarState, observed_inputs,
-               extrinsic, intrinsics, tanfov, background):
-        gs = animate(model, state, observed_inputs)
+               extrinsic, intrinsics, tanfov, background,
+               extra_states: tuple = ()):
+        B = observed_inputs.body_pose.shape[0]
+        gs = animate(model, state,
+                     _person(observed_inputs, 0) if B > 1 else observed_inputs)
+        if extra_states:
+            parts = [
+                animate(m, s, _person(observed_inputs, min(i + 1, B - 1))
+                        if B > 1 else observed_inputs)
+                for i, (m, s) in enumerate(zip(extra_models, extra_states))
+            ]
+            gs = merge_gaussians(gs, *parts)
         cov3d = R.covariance3d(gs.quats, gs.scales)
         g2d = R.project_gaussians(
             gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,

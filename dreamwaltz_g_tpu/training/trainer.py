@@ -98,6 +98,8 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.optim.seed)
         self.max_iteration = cfg.optim.iters
         self.train_step = 0
+        self.extra_states = ()
+        self.extra_models = ()
 
         self._init_human()
         self._init_guidance()
@@ -424,11 +426,39 @@ class Trainer:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        # scene composition: a second avatar from another run's checkpoint
+        # (reference: ckpt_extra, trainer.py:273-278 + scene.py:213-222)
+        self.extra_states = ()
+        self.extra_models = ()
+        if cfg.optim.ckpt_extra:
+            step_dir = resolve_ckpt_path(cfg.optim.ckpt_extra)
+            if step_dir is not None:
+                raw = load_pytree(step_dir)
+                cap2 = np.asarray(
+                    raw["params"]["params"]["positions"]).shape[0]
+                rng = np.random.default_rng(cfg.optim.seed + 7)
+                cloud2 = jnp.asarray(
+                    rng.normal(size=(cap2, 3)) * 0.2, jnp.float32)
+                model2 = self._build_avatar_model()
+                state2 = A.init_avatar_state(
+                    model2, cloud2, self._next_key(), capacity=cap2,
+                    prune_dists_close_to_mesh=None)
+                template = {"params": state2,
+                            "opt_state": tx.init(state2.params),
+                            "step": np.asarray(0)}
+                restored = load_pytree(step_dir, target=template)
+                self.extra_states = (jax.tree_util.tree_map(
+                    jnp.asarray, restored["params"]),)
+                self.extra_models = (model2,)
+                logger.info("loaded extra avatar from %s", step_dir)
+
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_avatar_render(
-            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
+            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w,
+            extra_models=self.extra_models, **rk)
         self.test_render = gs_trainer.make_avatar_render(
-            self.avatar_model, cfg.data.test_h, cfg.data.test_w, **rk)
+            self.avatar_model, cfg.data.test_h, cfg.data.test_w,
+            extra_models=self.extra_models, **rk)
         self.densify_cfg = DensifyConfig(
             grad_threshold=cfg.render.densify_grad_threshold,
             spatial_scale=spatial,
@@ -602,7 +632,8 @@ class Trainer:
                 img, _, _ = self.eval_render(
                     self.state.avatar, batch["smpl_inputs"],
                     cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0],
-                    jnp.zeros((self.cfg.data.eval_h, self.cfg.data.eval_w, 3)))
+                    jnp.zeros((self.cfg.data.eval_h, self.cfg.data.eval_w, 3)),
+                    self.extra_states)
             else:
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
@@ -793,7 +824,8 @@ class Trainer:
                         self.avatar_model, vh, vw,
                         tile_size=cfg.render.tile_size,
                         capacity=cfg.render.tile_capacity,
-                        chunk=cfg.render.chunk)
+                        chunk=cfg.render.chunk,
+                        extra_models=self.extra_models)
                 Hc, Wc = vh, vw
             else:
                 cam = camera(p)
@@ -817,7 +849,7 @@ class Trainer:
             else:
                 r = reenact_render if predefined else render
                 img, _, _ = r(self.state.avatar, smpl_inputs, extr, intr,
-                              tanfov, bg)
+                              tanfov, bg, self.extra_states)
             frames.append(np.asarray(jnp.clip(img, 0, 1)))
         if cfg.data.eval_save_image:
             for i, f in enumerate(frames):

@@ -61,3 +61,28 @@ def test_save_obj(tmp_path):
     p = save_obj(str(tmp_path / "s.obj"), v, f, colors=np.ones_like(v) * 0.5)
     text = open(p).read()
     assert text.count("\nf ") + text.startswith("f ") == f.shape[0]
+
+
+def test_dmtet_render_and_grads():
+    """DMTet sphere renders a silhouette and gradients reach the SDF."""
+    import jax
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.nerf.dmtet import DMTetModel, render_dmtet_splats
+
+    model = DMTetModel.create(resolution=12, bound=1.0)
+    params = model.init_sphere(0.5)
+    cam = make_camera_batch(2.5, 0.0, 90.0, 60.0, 32, 32)
+
+    def loss(p):
+        soup = model.extract(p)
+        M = soup.vertices.shape[0]
+        colors = jnp.ones((M, 3)) * 0.8
+        out = render_dmtet_splats(
+            soup, colors, cam.extrinsic[0], cam.intrinsics[0], 32, 32,
+            tile_size=8, capacity=128, chunk=64)
+        return jnp.mean(out.alpha), out
+
+    (alpha_mean, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+    assert float(alpha_mean) > 0.05  # sphere covers part of the frame
+    assert float(jnp.abs(g.sdf).sum()) > 0
+    assert float(jnp.abs(g.deform).sum()) > 0
