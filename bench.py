@@ -37,7 +37,7 @@ def main():
         lambda m, q, s, o, c: R.rasterize(
             m, q, s, o, c, cam.extrinsic[0], cam.intrinsics[0], H, W,
             tile_size=32, capacity=1024, chunk=128,
-            max_tiles_per_gaussian=4).image
+            max_tiles_per_gaussian=4, pallas_mode="eval").image
     )
     out = f(means3d, quats, scales, opac, colors)
     out.block_until_ready()

@@ -184,3 +184,301 @@ def blend_tiles_pallas(
     img = img.transpose(0, 2, 1, 3, 4).reshape(
         Ty * tile_size, Tx * tile_size, CV)
     return img[:image_height, :image_width]
+
+
+# ---------------------------------------------------------------------------
+# Training path: Pallas forward + Pallas backward over pre-gathered panels
+# ---------------------------------------------------------------------------
+#
+# Backward math (per tile, pixels p, chunk-local splat j, suffix chunks R):
+#   contrib_j = T_j * w_j,  T_j = exp(logT_k + sum_{j'<j} log1p(-w_{j'}))
+#   G_j(p)    = sum_v g(p, v) * vals_j(v)                      [(P,C) matmul]
+#   dL/dw_j   = G_j T_j - (S_j + R) / (1 - w_j)
+#     with S_j = sum_{j'>j in chunk} G_{j'} contrib_{j'}       [strict-lower
+#     triangular (P,C)@(C,C) matmul] and R the running suffix sum over later
+#     chunks (carried in VMEM scratch while the chunk grid runs reversed).
+#   dvals_j(v) = sum_p contrib_j(p) g(p, v)                    [(8,C) matmul]
+# then chain dw -> d(mean, conic, opacity) through the gaussian weight
+# (this mirrors the CUDA rasterizer's back-to-front backward pass).
+
+
+def _make_fwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
+                           alpha_clip: float, min_alpha: float):
+    P = tile_size * tile_size
+
+    def kernel(counts_ref, triu_ref, attrs_ref, values_ref,
+               out_ref, ckpt_ref, acc_ref, logt_ref):
+        k = pl.program_id(1)
+        nk = pl.num_programs(1)
+        t = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            logt_ref[:] = jnp.zeros_like(logt_ref)
+
+        # checkpoint the transmittance entering this chunk (the ckpt block
+        # is (1, 8, P), revisited for 8 consecutive chunks: row = k % 8)
+        ckpt_ref[0, k % 8] = logt_ref[:, 0]
+
+        nonempty = k * chunk < counts_ref[t]
+        live = jnp.max(logt_ref[:, 0]) > _LOG_T_EPS
+
+        @pl.when(nonempty & live)
+        def _():
+            base_x = (t % tiles_x) * tile_size
+            base_y = (t // tiles_x) * tile_size
+            pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = (base_x + pid % tile_size).astype(jnp.float32) + 0.5
+            py = (base_y + pid // tile_size).astype(jnp.float32) + 0.5
+
+            a = attrs_ref[0]
+            dx = px - a[0:1, :]
+            dy = py - a[1:2, :]
+            q = a[2:3, :] * dx * dx + 2.0 * a[3:4, :] * dx * dy \
+                + a[4:5, :] * dy * dy
+            w = a[5:6, :] * jnp.exp(-0.5 * q)
+            w = jnp.where((q >= 0) & (w >= min_alpha),
+                          jnp.minimum(w, alpha_clip), 0.0)
+            l = jnp.log1p(-w)
+            log_t = logt_ref[:, 0:1]
+            excl = jax.lax.dot_general(
+                l, triu_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + log_t
+            contrib = jnp.exp(excl) * w
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                contrib, values_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logt_ref[:, 0:1] = log_t + jnp.sum(l, axis=1, keepdims=True)
+
+        @pl.when(k == nk - 1)
+        def _():
+            out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+def _make_bwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
+                           alpha_clip: float, min_alpha: float):
+    P = tile_size * tile_size
+
+    def kernel(counts_ref, tril_ref, triu_ref, attrs_ref, values_ref,
+               ckpt_ref, g_ref, dattrs_ref, dvals_ref, suffix_ref):
+        k = pl.program_id(1)          # reversed by the index maps
+        t = pl.program_id(0)
+
+        @pl.when(k == 0)              # first program = LAST chunk
+        def _():
+            suffix_ref[:] = jnp.zeros_like(suffix_ref)
+
+        dattrs_ref[0] = jnp.zeros_like(dattrs_ref[0])
+        dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
+
+        kf = pl.num_programs(1) - 1 - k  # forward chunk index
+        nonempty = kf * chunk < counts_ref[t]
+        live = jnp.max(ckpt_ref[0, kf % 8]) > _LOG_T_EPS
+
+        @pl.when(nonempty & live)
+        def _():
+            base_x = (t % tiles_x) * tile_size
+            base_y = (t // tiles_x) * tile_size
+            pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            px = (base_x + pid % tile_size).astype(jnp.float32) + 0.5
+            py = (base_y + pid // tile_size).astype(jnp.float32) + 0.5
+
+            a = attrs_ref[0]
+            op = a[5:6, :]
+            dx = px - a[0:1, :]
+            dy = py - a[1:2, :]
+            q = a[2:3, :] * dx * dx + 2.0 * a[3:4, :] * dx * dy \
+                + a[4:5, :] * dy * dy
+            w_raw = op * jnp.exp(-0.5 * q)
+            active = (q >= 0) & (w_raw >= min_alpha) & (w_raw <= alpha_clip)
+            w = jnp.where((q >= 0) & (w_raw >= min_alpha),
+                          jnp.minimum(w_raw, alpha_clip), 0.0)
+            l = jnp.log1p(-w)
+            log_t = ckpt_ref[0, kf % 8].reshape(P, 1)
+            excl = jax.lax.dot_general(
+                l, triu_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + log_t
+            contrib = jnp.exp(excl) * w                     # (P, C)
+
+            g = g_ref[0]                                    # (P, 8)
+            # G = g @ vals^T : contract the 8 value lanes
+            G = jax.lax.dot_general(
+                g, values_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (P, C)
+            Gc = G * contrib
+
+            # dvals (8, C): contract pixels
+            dvals_ref[0] = jax.lax.dot_general(
+                g, contrib, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            # suffix within the chunk + across later chunks
+            S = jax.lax.dot_general(
+                Gc, tril_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + suffix_ref[:, 0:1]
+            T_excl = jnp.exp(excl)
+            dw = G * T_excl - S / jnp.maximum(1.0 - w, 1e-6)
+            dw = jnp.where(active, dw, 0.0)
+
+            dq = dw * w * (-0.5)                            # (P, C)
+            ones = jnp.ones((1, P), jnp.float32)
+
+            def colsum(x):                                   # (P, C) -> (1, C)
+                return jax.lax.dot_general(
+                    ones, x, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            d_op = colsum(jnp.where(op > 0, dw * w / jnp.maximum(op, 1e-12),
+                                    0.0))
+            dqdx = 2.0 * a[2:3, :] * dx + 2.0 * a[3:4, :] * dy
+            dqdy = 2.0 * a[4:5, :] * dy + 2.0 * a[3:4, :] * dx
+            d_mx = colsum(-dq * dqdx)
+            d_my = colsum(-dq * dqdy)
+            d_ca = colsum(dq * dx * dx)
+            d_cb = colsum(dq * 2.0 * dx * dy)
+            d_cc = colsum(dq * dy * dy)
+            z = jnp.zeros((1, dw.shape[1]), jnp.float32)
+            dattrs_ref[0] = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_op, z, z], axis=0)
+
+            # accumulate this chunk into the cross-chunk suffix
+            suffix_ref[:, 0:1] = suffix_ref[:, 0:1] \
+                + jnp.sum(Gc, axis=1, keepdims=True)
+
+    return kernel
+
+
+def blend_tiles_pallas_train(
+    tile_lists: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    means2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    values: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    chunk: int = 128,
+    alpha_clip: float = 0.999,
+    min_alpha: float = 1.0 / 255.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable Pallas blend: VMEM forward AND backward kernels.
+
+    Gradients flow to means2d/conic/opacity/values; the panel->gaussian
+    reduction is the XLA vjp of the pre-gather (a segment scatter-add).
+    """
+    T, K = tile_lists.shape
+    N, CV = values.shape
+    assert CV <= 6
+    P = tile_size * tile_size
+    C = min(chunk, K)
+    n_chunks = -(-K // C)
+    if K % C:
+        tile_lists = jnp.pad(tile_lists, ((0, 0), (0, n_chunks * C - K)),
+                             constant_values=N)
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+
+    attrs = jnp.zeros((N + 1, 8), jnp.float32)
+    attrs = attrs.at[:N, 0:2].set(means2d)
+    attrs = attrs.at[:N, 2:5].set(conic)
+    attrs = attrs.at[:N, 5].set(opacity)
+    vals8 = jnp.zeros((N + 1, 8), jnp.float32)
+    vals8 = vals8.at[:N, :CV].set(values)
+
+    # differentiable pre-gather: its vjp is the per-gaussian scatter-add
+    g_attrs = jnp.swapaxes(attrs[tile_lists], 1, 2)
+    g_vals = jnp.swapaxes(vals8[tile_lists], 1, 2)
+
+    triu = jnp.triu(jnp.ones((C, C), jnp.float32), k=1)
+    tril = jnp.tril(jnp.ones((C, C), jnp.float32), k=-1)
+
+    @jax.custom_vjp
+    def panels_blend(g_attrs, g_vals):
+        out, _ = _fwd_impl(g_attrs, g_vals)
+        return out
+
+    def _fwd_impl(g_attrs, g_vals):
+        kernel = _make_fwd_train_kernel(tile_size, Tx, C, alpha_clip,
+                                        min_alpha)
+        out, ckpt = pl.pallas_call(
+            kernel,
+            grid=(T, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, C), lambda t, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, C), lambda t, k: (t, 0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, C), lambda t, k: (t, 0, k),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, P, 8), lambda t, k: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P), lambda t, k: (t, k // 8, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (T, -(-n_chunks // 8) * 8, P), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((P, 8), jnp.float32),
+                pltpu.VMEM((P, 8), jnp.float32),
+            ],
+            interpret=interpret,
+        )(tile_counts, triu, g_attrs, g_vals)
+        return out, ckpt
+
+    def fwd(g_attrs, g_vals):
+        out, ckpt = _fwd_impl(g_attrs, g_vals)
+        return out, (g_attrs, g_vals, ckpt)
+
+    def bwd(res, g_out):
+        g_attrs, g_vals, ckpt = res
+        kernel = _make_bwd_train_kernel(tile_size, Tx, C, alpha_clip,
+                                        min_alpha)
+        rev = lambda t, k: (t, 0, n_chunks - 1 - k)  # noqa: E731
+        d_attrs, d_vals = pl.pallas_call(
+            kernel,
+            grid=(T, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, C), lambda t, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda t, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, C), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, C), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, P),
+                             lambda t, k: (t, (n_chunks - 1 - k) // 8, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, 8), lambda t, k: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 8, C), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, C), rev, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(g_attrs.shape, jnp.float32),
+                jax.ShapeDtypeStruct(g_vals.shape, jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
+            interpret=interpret,
+        )(tile_counts, tril, triu, g_attrs, g_vals, ckpt, g_out)
+        return d_attrs, d_vals
+
+    panels_blend.defvjp(fwd, bwd)
+    out = panels_blend(g_attrs, g_vals)
+
+    img = out[..., :CV].reshape(Ty, Tx, tile_size, tile_size, CV)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        Ty * tile_size, Tx * tile_size, CV)
+    return img[:image_height, :image_width]

@@ -333,43 +333,32 @@ class RasterOutput(NamedTuple):
 
 def _blend_dispatch(tile_lists, means2d, conic, opacity, colors, depth, mask,
                     image_height, image_width, tile_size, chunk,
-                    pallas_interpret, tile_counts=None):
-    """Pallas-forward / jnp-backward blend. The Pallas kernel
-    (ops/pallas_blend.py) keeps per-tile state in VMEM — ~10x less HBM
-    traffic than the scan — while gradients recompute through the jnp blend
-    so training results are bit-identical to the pure-XLA path."""
+                    pallas_interpret, tile_counts=None,
+                    pallas_mode="train"):
+    """Fully-Pallas blend. ``pallas_mode='train'`` uses the differentiable
+    pair (VMEM forward + hand-derived VMEM backward,
+    ops/pallas_blend.blend_tiles_pallas_train — the CUDA-style back-to-front
+    pass as reversed-chunk suffix accumulation). ``'eval'`` uses the leaner
+    forward-only kernel (no transmittance checkpoints) for inference."""
     N, CH = colors.shape
     values = jnp.concatenate(
         [colors, depth[:, None], jnp.ones((N, 1), colors.dtype)], axis=-1)
     op = opacity * mask.astype(opacity.dtype)
-
-    @jax.custom_vjp
-    def blend(means2d, conic, op, values):
+    if tile_counts is None:
+        tile_counts = jnp.sum(tile_lists < N, axis=-1).astype(jnp.int32)
+    if pallas_mode == "eval":
         from .pallas_blend import blend_tiles_pallas
 
         return blend_tiles_pallas(
             tile_lists, means2d, conic, op, values,
             image_height, image_width, tile_size=tile_size, chunk=chunk,
             interpret=pallas_interpret, tile_counts=tile_counts)
+    from .pallas_blend import blend_tiles_pallas_train
 
-    def _jnp_blend(means2d, conic, op, values):
-        g = Gaussians2D(
-            means2d=means2d, conic=conic, depth=values[:, CH],
-            radius=jnp.ones(N), opacity=op, colors=values[:, :CH],
-            mask=jnp.ones(N, bool))
-        return blend_tiles(tile_lists, g, image_height, image_width,
-                           tile_size, chunk)
-
-    def fwd(means2d, conic, op, values):
-        return blend(means2d, conic, op, values), (means2d, conic, op, values)
-
-    def bwd(res, gr):
-        _, vjp = jax.vjp(_jnp_blend, *res)
-        return vjp(gr)
-
-    blend.defvjp(fwd, bwd)
-    out = blend(means2d, conic, op, values)
-    return out
+    return blend_tiles_pallas_train(
+        tile_lists, tile_counts, means2d, conic, op, values,
+        image_height, image_width, tile_size=tile_size, chunk=chunk,
+        interpret=pallas_interpret)
 
 
 def rasterize_projected(
@@ -382,11 +371,13 @@ def rasterize_projected(
     max_tiles_per_gaussian: int = 8,
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
+    pallas_mode: str = "train",
 ) -> RasterOutput:
     """Bin + blend already-projected Gaussians. Differentiable wrt all float
     fields of ``g`` (binning is a stop-gradient index structure, as in the
     CUDA rasterizer). ``use_pallas=None`` auto-selects the Pallas blend on
-    TPU devices."""
+    TPU devices; ``pallas_mode='eval'`` picks the faster non-differentiable
+    forward for pure rendering."""
     tile_lists, tile_counts = bin_gaussians(
         jax.lax.stop_gradient(g.means2d),
         jax.lax.stop_gradient(g.radius),
@@ -404,7 +395,8 @@ def rasterize_projected(
         out = _blend_dispatch(
             tile_lists, g.means2d, g.conic, g.opacity, g.colors, g.depth,
             g.mask, image_height, image_width, tile_size, chunk,
-            pallas_interpret, tile_counts=tile_counts)
+            pallas_interpret, tile_counts=tile_counts,
+            pallas_mode=pallas_mode)
     else:
         out = blend_tiles(tile_lists, g, image_height, image_width,
                           tile_size, chunk)
@@ -433,6 +425,7 @@ def rasterize(
     chunk: int = 128,
     max_tiles_per_gaussian: int = 8,
     use_pallas: Optional[bool] = None,
+    pallas_mode: str = "train",
 ) -> RasterOutput:
     """One-call rasterization from 3D Gaussian parameters (the
     `GaussianRasterizer` equivalent, reference: gaussian_renderer.py:130-224)."""
@@ -444,6 +437,7 @@ def rasterize(
     return rasterize_projected(
         g2d, image_height, image_width, tile_size, capacity, chunk,
         max_tiles_per_gaussian, use_pallas=use_pallas,
+        pallas_mode=pallas_mode,
     )
 
 

@@ -211,7 +211,7 @@ def make_avatar_render(model: AvatarModel, image_height: int,
         g2d = R.project_gaussians(
             gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
             intrinsics, H, W, tanfov=tanfov, alive=gs.alive)
-        out = R.rasterize_projected(g2d, H, W, **raster)
+        out = R.rasterize_projected(g2d, H, W, pallas_mode="eval", **raster)
         image = out.image + (1.0 - out.alpha)[..., None] * background
         return image, out.alpha, out.depth
 
