@@ -44,12 +44,20 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 
 
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
-                  num_steps, bg_color, shading="albedo"):
-    """Render a full (H, W, C) image by marching all pixels in one batch."""
+                  num_steps, bg_color, shading="albedo", bg_mode="color"):
+    """Render a full (H, W, C) image by marching all pixels in one batch.
+
+    ``bg_mode='nerf'`` composites the learned ray-direction background MLP
+    instead of the constant color (reference: bg net path,
+    nerf_model.py:247-256 + nerf_renderer.py:404-472)."""
     rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None], H, W)
     out = render_rays(model, params, grid, rays_o[0], rays_d[0], key=key,
                       num_steps=num_steps, perturb=True, shading=shading)
-    img = out.image + (1.0 - out.weights_sum)[:, None] * bg_color
+    if bg_mode == "nerf" and model.bg_mlp is not None:
+        bg = model.background(params, rays_d[0])
+    else:
+        bg = bg_color
+    img = out.image + (1.0 - out.weights_sum)[:, None] * bg
     return (img.reshape(H, W, -1), out.depth.reshape(H, W),
             out.weights_sum.reshape(H, W))
 
@@ -105,6 +113,7 @@ def make_nerf_sds_step(
     sigma_peak: float = 15.0,
     sigma_loss_type: str = "margin",
     max_iteration: int = 10000,
+    bg_mode: str = "color",
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
@@ -123,7 +132,8 @@ def make_nerf_sds_step(
         def loss_fn(params):
             img, _, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
-                image_height, image_width, k_render, num_steps, bg_color)
+                image_height, image_width, k_render, num_steps, bg_color,
+                bg_mode=bg_mode)
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,
                            guidance_scale=guidance_scale)

@@ -260,7 +260,8 @@ class Trainer:
             lambda_sigma=cfg.lambda_sigma_sigma,
             sigma_peak=cfg.sigma_guidance_peak,
             sigma_loss_type=cfg.sigma_loss_type,
-            max_iteration=self.max_iteration)
+            max_iteration=self.max_iteration,
+            bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color")
         self.eval_render = nerf_trainer.make_eval_render(
             self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
 
@@ -546,7 +547,8 @@ class Trainer:
                 lambda_sigma=cfg.lambda_sigma_sigma,
                 sigma_peak=cfg.sigma_guidance_peak,
                 sigma_loss_type=cfg.sigma_loss_type,
-                max_iteration=self.max_iteration)
+                max_iteration=self.max_iteration,
+                bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color")
         else:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
@@ -862,8 +864,56 @@ class Trainer:
 
     def full_eval(self) -> List[np.ndarray]:
         """(reference: Trainer.full_eval, trainer.py:1114-1150)"""
-        return self.evaluate(size=self.cfg.data.full_eval_size,
-                             use_test_res=True)
+        frames = self.evaluate(size=self.cfg.data.full_eval_size,
+                               use_test_res=True)
+        score = self.compute_r_precision(frames)
+        if score is not None:
+            logger.info("CLIP R-Precision(top-1) vs view prompts: %.3f", score)
+        return frames
+
+    def compute_r_precision(self, frames) -> Optional[float]:
+        """CLIP retrieval score of rendered frames against this run's prompt
+        (the paper's quantitative protocol; reference ships the tool unwired,
+        utils/r_precision.py:7-69). Needs converted CLIP towers under the
+        guidance weights dir; falls back to the tiny random towers in debug
+        (pipeline-exercise only, not a meaningful score)."""
+        try:
+            if self.cfg.log.debug:
+                from ..utils.r_precision import make_tiny_r_precision
+
+                rp = make_tiny_r_precision(self._next_key())
+                ids = np.asarray(
+                    self.rng.integers(1, 200, size=(len(frames), 16)),
+                    np.int32)
+                return rp.retrieve(np.stack(frames), ids)
+            weights_dir = self.cfg.guide.weights_dir or GUIDANCE_WEIGHTS
+            vp = Path(weights_dir) / "clip_vision.msgpack"
+            if not vp.is_file():
+                return None
+            from ..guidance.clip_text import CLIPTextConfig, CLIPTokenizer
+            from ..guidance.convert import load_params
+            from ..utils.r_precision import (
+                CLIPTextTower,
+                CLIPVisionModel,
+                RPrecision,
+            )
+
+            vision = CLIPVisionModel()
+            text = CLIPTextTower(CLIPTextConfig())
+            vparams = load_params(str(vp), vision.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
+            tparams = load_params(
+                str(Path(weights_dir) / "clip_retrieval_text.msgpack"),
+                text.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 77), jnp.int32)))
+            tok = CLIPTokenizer(str(Path(weights_dir) / "vocab.json"),
+                                str(Path(weights_dir) / "merges.txt"))
+            rp = RPrecision(vision, text, vparams, tparams, tokenizer=tok)
+            texts = [self.cfg.guide.text] * len(frames)
+            return rp.retrieve(np.stack(frames), texts)
+        except Exception as e:
+            logger.warning("R-Precision skipped: %s", e)
+            return None
 
     def save_checkpoint(self) -> None:
         tree = {"params": self.state.params
