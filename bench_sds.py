@@ -1,0 +1,88 @@
+"""Secondary benchmark: full stage-2 SDS training-step throughput.
+
+Measures one avatar SDS step end-to-end — animate (GLBS + NeRF-field decode)
+-> project -> bin -> Pallas blend fwd -> VAE encode -> SD1.5-sized UNet
+CFG forward -> blend bwd (Pallas) -> optimizer — with random weights at the
+real architecture sizes (512² render, 200k gaussians, 64² latents).
+
+Reference budget: 15k stage-2 iters in "several hours" total on one L40S
+(BASELINE.md) — roughly 2-3 SDS it/s. Prints one JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dreamwaltz_g_tpu import tests_support as ts
+    from dreamwaltz_g_tpu.configs import RenderConfig
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
+    from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, sd15_unet_config
+    from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, sd_vae_config
+    from dreamwaltz_g_tpu.training.gs_trainer import (
+        init_avatar_train_state,
+        make_avatar_sds_step,
+    )
+    from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+
+    H = W = 512
+    setup = ts.tiny_avatar_setup(capacity=200_000, n_points=180_000,
+                                 num_vertices=2048)
+
+    # real-size frozen guidance, random weights, bf16
+    ucfg = sd15_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(sd_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 64, 64, 4))
+    ctx = jnp.zeros((1, 77, 768))
+    unet_p = unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx)
+    vae_p = vae.init(key, image_size=512)
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    gparams = GuidanceParams(unet=cast(unet_p), vae=cast(vae_p))
+    guidance = ScoreDistillation(unet=unet, vae=vae, latent_size=64,
+                                 guidance_scale=50.0)
+
+    tx = build_avatar_optimizer(RenderConfig(), max_steps=5000)
+    tstate = init_avatar_train_state(setup.state, tx)
+    step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
+                                tile_size=32, capacity=512, chunk=128,
+                                max_tiles_per_gaussian=4)
+
+    cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, W)
+    txt = jnp.zeros((1, 77, 768), jnp.bfloat16)
+    t = jnp.asarray([500], jnp.int32)
+    bg = jnp.zeros((H, W, 3))
+
+    k = jax.random.PRNGKey(1)
+    tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                     cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, k)
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.time()
+    for i in range(iters):
+        k = jax.random.fold_in(k, i)
+        tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt,
+                         t, k)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / iters
+
+    print(json.dumps({
+        "metric": "sds_train_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "SDS it/s (512^2, 200k gaussians, SD1.5-size UNet, 1 chip)",
+        "vs_baseline": round((1.0 / dt) / 2.5, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

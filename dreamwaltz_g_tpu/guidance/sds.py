@@ -150,10 +150,14 @@ class ScoreDistillation:
         """Returns dict with 'loss' (scalar — backprop this), 'gradients',
         'latents', 'noise_pred' (reference: __call__, basic.py:778-917)."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
-        latents = self.encode_images(params, images)
+        # run the frozen stack in the embeds' dtype (bf16 policy casts params
+        # and embeds together; f32 inputs would silently promote everything
+        # back to f32 and halve UNet throughput)
+        dt = text_embeds.dtype
+        latents = self.encode_images(params, images.astype(dt))
 
         k_noise, k_ism = jax.random.split(key)
-        noise = jax.random.normal(k_noise, latents.shape)
+        noise = jax.random.normal(k_noise, latents.shape, dtype=dt)
 
         lat_sg = jax.lax.stop_gradient(latents)
         latents_noisy = self.schedule.add_noise(lat_sg, noise, t)
@@ -233,10 +237,10 @@ class ScoreDistillation:
         if self.grad_latent_nan_to_num:
             grad = jnp.nan_to_num(grad)
 
-        grad = jax.lax.stop_gradient(grad)
+        grad = jax.lax.stop_gradient(grad).astype(jnp.float32)
         # SpecifyGradient (reference: basic.py:213-226, 900): d loss / d
-        # latents == grad
-        loss = jnp.sum(latents * grad) / latents.shape[0]
+        # latents == grad; the reduction runs in f32 for gradient fidelity
+        loss = jnp.sum(latents.astype(jnp.float32) * grad) / latents.shape[0]
 
         return {
             "loss": loss,

@@ -330,3 +330,31 @@ class TimePrioritizedLR:
 
         s = self(timestep)
         return jax.tree_util.tree_map(lambda u: u * s, updates)
+
+
+def draw_curves(tp_scheduler: "TimePrioritizedScheduler", max_iteration: int,
+                path: str, batch_probe: int = 1) -> str:
+    """Plot the timestep-annealing curve over training
+    (reference: TimePrioritizedScheduler.draw_curves, time_prior.py:354-391).
+    Saves a PNG and returns the path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps = np.linspace(1, max_iteration, 200).astype(int)
+    ts = [tp_scheduler.get_timestep(batch_probe, int(s), max_iteration).mean()
+          for s in steps]
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.plot(steps, ts, lw=1.5)
+    ax.set_xlabel("train step")
+    ax.set_ylabel("sampled timestep t")
+    ax.set_title(f"{tp_scheduler.time_sampling} timestep schedule")
+    ax.set_ylim(0, tp_scheduler.T)
+    fig.tight_layout()
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

@@ -110,6 +110,8 @@ class Trainer:
             self._init_nerf()
         else:
             self._init_avatar()
+        if cfg.log.check:
+            self.check()
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -170,6 +172,7 @@ class Trainer:
                 else cfg.guide.null_text
             self.text_embeds = text_embed_fn(texts)          # (V, L, D)
             self.uncond_embeds = text_embed_fn([uncond])     # (1, L, D)
+            self._cast_guidance_dtype()
         else:
             assert cfg.log.debug, (
                 f"converted guidance weights not found at {weights_dir}; "
@@ -188,7 +191,9 @@ class Trainer:
             self.text_embeds = jax.random.normal(
                 self._next_key(), (V, 4, D)) * 0.02
             self.uncond_embeds = jnp.zeros((1, 4, D))
+            self._cast_guidance_dtype()
 
+        self._guidance_cast_done = True
         self.t_scheduler = TimePrioritizedScheduler(
             cfg.guide, schedule=self.guidance.schedule,
             seed=cfg.optim.seed)
@@ -196,6 +201,25 @@ class Trainer:
 
         vae_factor = 2 ** (len(self.guidance.vae.cfg.block_out_channels) - 1)
         self.cond_size = self.guidance.latent_size * vae_factor
+
+    def _cast_guidance_dtype(self):
+        """Frozen guidance weights in the configured compute dtype
+        (cfg.guide.dtype, default bf16 — the TPU analog of the reference's
+        fp16 diffusion, configs/__init__.py fp16; ~2x UNet throughput and
+        half the HBM footprint)."""
+        dt = {"bf16": jnp.bfloat16, "fp16": jnp.bfloat16,
+              "fp32": jnp.float32, "f32": jnp.float32}.get(
+            self.cfg.guide.dtype, jnp.bfloat16)
+        if dt == jnp.float32:
+            return
+
+        def cast(x):
+            return x.astype(dt) if hasattr(x, "dtype") \
+                and x.dtype == jnp.float32 else x
+
+        self.guidance_params = jax.tree_util.tree_map(cast, self.guidance_params)
+        self.text_embeds = self.text_embeds.astype(dt)
+        self.uncond_embeds = self.uncond_embeds.astype(dt)
 
     def _init_cameras(self):
         """(reference: init_dataloaders, trainer.py:607-631 +
@@ -467,6 +491,34 @@ class Trainer:
             enable_split=not cfg.render.densify_disable_split,
             enable_prune=not cfg.render.densify_disable_prune)
 
+    def check(self) -> None:
+        """Pre-training sanity exports: condition images around the body and
+        the timestep-annealing curve (reference: --log.check path,
+        trainer.py:374-443 + draw_curves, time_prior.py:354-391)."""
+        from ..guidance.time_prior import draw_curves
+
+        d = self.exp_dir / "check"
+        try:
+            draw_curves(self.t_scheduler, self.max_iteration,
+                        str(d / "timestep_curve.png"))
+        except Exception as e:
+            logger.warning("timestep curve export failed: %s", e)
+        _, smpl_outputs = self.prompt()
+        for azim in (0.0, 90.0, 180.0, 270.0):
+            cam = make_camera_batch(2.0, azim, 80.0, 60.0,
+                                    self.cond_size, self.cond_size)
+            for cond in self.cfg.guide.controlnet_condition:
+                try:
+                    img = self.prompt.get_cond_images(
+                        smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
+                        cond_type=cond)[0]
+                    if isinstance(img, tuple):
+                        continue  # depth_raw returns arrays, skip
+                    save_image(str(d / f"cond_{cond}_az{int(azim)}.png"), img)
+                except Exception as e:
+                    logger.warning("condition export %s failed: %s", cond, e)
+        logger.info("sanity exports written to %s", d)
+
     # ------------------------------------------------------------------
     # data assembly (host side)
     # ------------------------------------------------------------------
@@ -609,6 +661,8 @@ class Trainer:
             metrics = self._train_one(batch)
 
             if self.train_step % log_interval == 0 or self.train_step == 1:
+                # only sync with the device on log steps — JAX async dispatch
+                # overlaps the next host-side batch prep with this step
                 loss = float(metrics.get("loss", np.nan))
                 logger.info("step %d/%d loss=%.4f (%.2f s/it)",
                             self.train_step, self.max_iteration, loss,
@@ -696,7 +750,7 @@ class Trainer:
                 cond_image=batch["cond_image"],
                 guidance_scale=batch["guidance_scale"])
             self._maybe_densify()
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics  # device arrays — pulled lazily at log cadence
 
     def _maybe_densify(self):
         """(reference: densify cadence, trainer.py:879-885)"""
