@@ -530,8 +530,17 @@ class Trainer:
         frame_idx = None
         if self.prompt.scene_type == "motion":
             frame_idx = int(self.rng.integers(0, self.prompt.num_frame))
-        smpl_inputs, smpl_outputs = self.prompt(
-            frame_idx=frame_idx, batch_idx=self.train_step)
+        # random-pose caching: hold the sampled pose fixed for N consecutive
+        # steps (reference: random_pose_iter, data/camera/__init__.py:66-163)
+        rpi = self.cfg.data.random_pose_iter
+        if rpi and self.prompt.scene_type == "random" \
+                and getattr(self, "_pose_cache", None) is not None \
+                and self.train_step % rpi != 0:
+            smpl_inputs, smpl_outputs = self._pose_cache
+        else:
+            smpl_inputs, smpl_outputs = self.prompt(
+                frame_idx=frame_idx, batch_idx=self.train_step)
+            self._pose_cache = (smpl_inputs, smpl_outputs)
 
         cams, parts, conds, texts, uncs = [], [], [], [], []
         for _ in range(B):

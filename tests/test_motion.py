@@ -236,3 +236,85 @@ class TestSMPLPrompt:
         cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, 32, 32)
         imgs = prompt.get_cond_images(out, cam.extrinsic[0], cam.intrinsics[0])
         assert len(imgs) == 1 and imgs[0].shape == (32, 32, 3)
+
+
+class TestReenactLoader:
+    def test_zip_roundtrip(self, tmp_path):
+        import json
+        import zipfile
+
+        F = 6
+        rng = np.random.default_rng(0)
+        annos = []
+        for i in range(F):
+            annos.append({
+                "smplx_params": {
+                    "root_orient": rng.normal(size=3).tolist(),
+                    "pose_body": rng.normal(size=63).tolist(),
+                    "pose_hand": rng.normal(size=90).tolist(),
+                    "pose_jaw": [0.0, 0.0, 0.0],
+                    "trans": [0.0, 0.0, float(i)],
+                    "betas": rng.normal(size=10).tolist(),
+                },
+                "cam_params": {
+                    "world_scale": 1.0,
+                    "cam_R": np.eye(3).tolist(),
+                    "cam_T": [0.0, 0.0, 3.0],
+                    "intrins": [500.0, 500.0, 256.0, 256.0],
+                },
+            })
+        zpath = tmp_path / "Motion-X-ReEnact.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.writestr("motion/dance01.json",
+                       json.dumps({"images": [], "annotations": annos}))
+            z.writestr("video/dance01.mp4", b"fake")
+            z.writestr("inpainting/dance01_inpainting.mp4", b"fakebg")
+
+        from dreamwaltz_g_tpu.data.motion.loaders import MotionXReEnact
+
+        loader = MotionXReEnact(root=str(tmp_path))
+        seqs, cams = loader.get_smpl_params("dance01")
+        assert seqs["body_pose"].shape == (1, F, 63)
+        assert seqs["left_hand_pose"].shape == (1, F, 45)
+        assert cams["extrinsic"].shape == (F, 4, 4)
+        assert cams["image_width"] == 512 and cams["image_height"] == 512
+        # y-flip applied to the extrinsic
+        np.testing.assert_allclose(cams["extrinsic"][0, 1, 1], -1.0)
+        # negative-fy intrinsics convention
+        assert cams["intrinsics"][0, 1, 1] < 0
+        # video extraction
+        out = loader.extract_video("dance01", str(tmp_path / "bg.mp4"))
+        assert open(out, "rb").read() == b"fakebg"
+
+
+class TestTramLoader:
+    def test_npy_roundtrip(self, tmp_path):
+        from dreamwaltz_g_tpu.data.motion.loaders import Tram
+        from dreamwaltz_g_tpu.utils.transforms import axis_angle_to_matrix
+
+        F = 5
+        rng = np.random.default_rng(1)
+        aa = rng.normal(size=(F, 24, 3)).astype(np.float32) * 0.4
+        import jax.numpy as jnp
+        rotmat = np.asarray(axis_angle_to_matrix(jnp.asarray(aa.reshape(F*24, 3))[None])[0]).reshape(F, 24, 3, 3)
+        seq_dir = tmp_path / "run1"
+        (seq_dir / "animation").mkdir(parents=True)
+        (seq_dir / "camera").mkdir(parents=True)
+        np.save(seq_dir / "animation" / "hps_track_0.npy", {
+            "pred_rotmat": rotmat,
+            "pred_shape": rng.normal(size=(F, 10)).astype(np.float32),
+            "pred_trans": rng.normal(size=(F, 1, 3)).astype(np.float32),
+        })
+        np.save(seq_dir / "camera" / "camera.npy", {
+            "pred_cam_R": np.tile(np.eye(3), (F, 1, 1)),
+            "pred_cam_T": np.zeros((F, 3)),
+            "img_focal": 600.0,
+            "img_center": (320, 240),
+        })
+        loader = Tram(root=str(tmp_path))
+        seqs, cams = loader.get_smpl_params("run1")
+        assert seqs["body_pose"].shape == (1, F, 63)
+        # global orient round-trips the rotmat->axis-angle conversion
+        np.testing.assert_allclose(seqs["global_orient"][0], aa[:, 0],
+                                   atol=1e-3)
+        assert cams["image_width"] == 640 and cams["image_height"] == 480
