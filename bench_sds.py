@@ -26,7 +26,7 @@ def main():
     from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, sd_vae_config
     from dreamwaltz_g_tpu.training.gs_trainer import (
         init_avatar_train_state,
-        make_avatar_sds_step,
+        make_avatar_sds_step_split,
     )
     from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
 
@@ -52,7 +52,7 @@ def main():
 
     tx = build_avatar_optimizer(RenderConfig(), max_steps=5000)
     tstate = init_avatar_train_state(setup.state, tx)
-    step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
+    step = make_avatar_sds_step_split(setup.model, guidance, tx, H, W,
                                 tile_size=32, capacity=512, chunk=128,
                                 max_tiles_per_gaussian=4)
 

@@ -149,17 +149,49 @@ class ScoreDistillation:
     ) -> Dict[str, jnp.ndarray]:
         """Returns dict with 'loss' (scalar — backprop this), 'gradients',
         'latents', 'noise_pred' (reference: __call__, basic.py:778-917)."""
-        gs = self.guidance_scale if guidance_scale is None else guidance_scale
         # run the frozen stack in the embeds' dtype (bf16 policy casts params
         # and embeds together; f32 inputs would silently promote everything
         # back to f32 and halve UNet throughput)
         dt = text_embeds.dtype
         latents = self.encode_images(params, images.astype(dt))
+        grad = self.latent_gradients(
+            params, jax.lax.stop_gradient(latents), text_embeds,
+            uncond_embeds, t, key, cond_image=cond_image,
+            neg_embeds=neg_embeds, guidance_scale=guidance_scale)
+        # SpecifyGradient (reference: basic.py:213-226, 900): d loss / d
+        # latents == grad; the reduction runs in f32 for gradient fidelity
+        loss = jnp.sum(latents.astype(jnp.float32) * grad) / latents.shape[0]
+        return {
+            "loss": loss,
+            "gradients": grad,
+            "latents": latents,
+            "target": jax.lax.stop_gradient(
+                latents.astype(jnp.float32) - grad),
+        }
+
+    def latent_gradients(
+        self,
+        params: GuidanceParams,
+        lat_sg: jnp.ndarray,          # (B, h, w, 4) latents, NO grad flow
+        text_embeds: jnp.ndarray,
+        uncond_embeds: jnp.ndarray,
+        t: jnp.ndarray,
+        key: jax.Array,
+        cond_image: Optional[jnp.ndarray] = None,
+        neg_embeds: Optional[jnp.ndarray] = None,
+        guidance_scale: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """The frozen forward-only half of SDS: eps predictions -> weighted,
+        guarded latent gradient (f32). Factored out so train steps can run
+        it in its own jit — the UNet never needs to live in the same XLA
+        program as the differentiable render (basic.py runs it under
+        no_grad for the same reason)."""
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        dt = text_embeds.dtype
+        lat_sg = lat_sg.astype(dt)
 
         k_noise, k_ism = jax.random.split(key)
-        noise = jax.random.normal(k_noise, latents.shape, dtype=dt)
-
-        lat_sg = jax.lax.stop_gradient(latents)
+        noise = jax.random.normal(k_noise, lat_sg.shape, dtype=dt)
         latents_noisy = self.schedule.add_noise(lat_sg, noise, t)
 
         if self.loss_type in ("sds", "sjc"):
@@ -237,17 +269,7 @@ class ScoreDistillation:
         if self.grad_latent_nan_to_num:
             grad = jnp.nan_to_num(grad)
 
-        grad = jax.lax.stop_gradient(grad).astype(jnp.float32)
-        # SpecifyGradient (reference: basic.py:213-226, 900): d loss / d
-        # latents == grad; the reduction runs in f32 for gradient fidelity
-        loss = jnp.sum(latents.astype(jnp.float32) * grad) / latents.shape[0]
-
-        return {
-            "loss": loss,
-            "gradients": grad,
-            "latents": latents,
-            "target": jax.lax.stop_gradient(latents - grad),
-        }
+        return jax.lax.stop_gradient(grad).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -216,3 +216,97 @@ def make_avatar_render(model: AvatarModel, image_height: int,
         return image, out.alpha, out.depth
 
     return render
+
+
+def make_avatar_sds_step_split(
+    model: AvatarModel,
+    guidance: ScoreDistillation,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 16,
+    capacity: int = 512,
+    chunk: int = 64,
+    max_tiles_per_gaussian: int = 8,
+    lambda_guidance: float = 1.0,
+):
+    """Avatar SDS step as THREE small jitted programs instead of one giant
+    graph: (A) render -> VAE-encode forward, (B) frozen UNet eps ->
+    latent gradient (no autodiff — the reference runs the UNet under
+    no_grad for the same reason, basic.py:581), (C) re-render with the
+    latent gradient injected (SpecifyGradient) and differentiate.
+
+    Functionally identical to ``make_avatar_sds_step`` (the render forward
+    is recomputed once in C, ~15% overhead) but each XLA program stays small
+    — giant fused graphs can exceed compiler limits, and A/B/C pipeline
+    better on the device queue.
+    """
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    def _image(params, state, observed_inputs, dummy, extrinsic, intrinsics,
+               tanfov, background):
+        image, out = _render_with_dummy(
+            model, state, params, observed_inputs, dummy,
+            extrinsic, intrinsics, tanfov, background, H, W, raster)
+        return image, out
+
+    @jax.jit
+    def render_encode(tstate, gparams, observed_inputs, extrinsic,
+                      intrinsics, tanfov, background, dt_probe):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        image, _ = _image(state.params, state, observed_inputs, dummy,
+                          extrinsic, intrinsics, tanfov, background)
+        return guidance.encode_images(
+            gparams, image[None].astype(dt_probe.dtype))
+
+    @jax.jit
+    def latent_grad(gparams, latents, text_embeds, uncond_embeds, t, key,
+                    cond_image):
+        return guidance.latent_gradients(
+            gparams, latents, text_embeds, uncond_embeds, t, key,
+            cond_image=cond_image)
+
+    @jax.jit
+    def apply_grads(tstate, gparams, observed_inputs, extrinsic, intrinsics,
+                    tanfov, background, glat, dt_probe):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+
+        def loss_fn(params, dummy):
+            image, out = _image(params, state, observed_inputs, dummy,
+                                extrinsic, intrinsics, tanfov, background)
+            latents = guidance.encode_images(
+                gparams, image[None].astype(dt_probe.dtype))
+            loss = lambda_guidance * jnp.sum(
+                latents.astype(jnp.float32) * glat) / latents.shape[0]
+            return loss, out.radii
+
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        (loss, radii), (grads, dgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
+        updates, opt_state = tx.update(grads, tstate.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_avatar = update_avatar_stats(
+            state._replace(params=params), dgrad[:C], radii[:C])
+        return (AvatarTrainState(new_avatar, opt_state, tstate.step + 1),
+                {"loss": loss})
+
+    def step(tstate, gparams, observed_inputs, extrinsic, intrinsics,
+             tanfov, background, text_embeds, uncond_embeds, t, key,
+             cond_image=None, guidance_scale=None):
+        del guidance_scale  # per-call override not supported on this path
+        dt_probe = jnp.zeros((), text_embeds.dtype)
+        latents = render_encode(tstate, gparams, observed_inputs, extrinsic,
+                                intrinsics, tanfov, background, dt_probe)
+        glat = latent_grad(gparams, latents, text_embeds, uncond_embeds,
+                           t, key, cond_image)
+        return apply_grads(tstate, gparams, observed_inputs, extrinsic,
+                           intrinsics, tanfov, background, glat, dt_probe)
+
+    return step

@@ -447,6 +447,12 @@ class Trainer:
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        elif jax.devices()[0].platform == "tpu":
+            # three small XLA programs instead of one giant graph: keeps
+            # compiles tractable for the remote compiler and pipelines better
+            self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
+                self.avatar_model, self.guidance, tx, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance, **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
@@ -571,9 +577,11 @@ class Trainer:
                     text=jnp.stack(texts), uncond=jnp.stack(uncs),
                     t=t, guidance_scale=gs_scale)
 
-    def _maybe_switch_resolution(self):
+    def _maybe_switch_resolution(self) -> bool:
         """Progressive 64->128->256 training resolution
-        (reference: DataLoaderManager.__call__, data/iterator.py:60-109)."""
+        (reference: DataLoaderManager.__call__, data/iterator.py:60-109).
+        Returns True when the resolution changed (prefetched batches from
+        the old resolution must be discarded)."""
         ratio = self.train_step / self.max_iteration
         target = 0
         for m in self.grid_milestones:
@@ -594,6 +602,8 @@ class Trainer:
             if np.isfinite(kp[:, :18]).all():
                 self.train_camera.setup_camera_offset(kp)
             self._rebuild_train_step()
+            return True
+        return False
 
     def _rebuild_train_step(self):
         cfg = self.cfg
@@ -620,6 +630,10 @@ class Trainer:
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
                     H, H, lambda_guidance=cfg.guide.lambda_guidance, **rk)
+            elif jax.devices()[0].platform == "tpu":
+                self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
+                    self.avatar_model, self.guidance, self.tx, H, H,
+                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
             else:
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
@@ -657,35 +671,60 @@ class Trainer:
                 raise
 
     def _train_loop(self) -> None:
-        """(reference: Trainer.train, trainer.py:826-931)"""
+        """(reference: Trainer.train, trainer.py:826-931)
+
+        Host/device overlap: the next step's batch (pose draw + cv2
+        condition rendering + camera sampling — all host work) is prepared
+        on a worker thread while the current device step executes (the TPU
+        analog of the reference's CUDA-prefetch DataIterator,
+        data/iterator.py:30-58)."""
+        import concurrent.futures as cf
+
         cfg = self.cfg
         log_interval = max(cfg.log.snapshot_interval, 1)
         t0 = time.time()
-        while self.train_step < self.max_iteration:
-            self.train_step += 1
-            self.prompt.training_ratio = self.train_step / self.max_iteration
-            self.train_camera.training_ratio = self.prompt.training_ratio
-            self._maybe_switch_resolution()
-            batch = self._train_batch()
-            metrics = self._train_one(batch)
+        pool = cf.ThreadPoolExecutor(max_workers=1)
+        pending = None
+        try:
+            while self.train_step < self.max_iteration:
+                self.train_step += 1
+                self.prompt.training_ratio = \
+                    self.train_step / self.max_iteration
+                self.train_camera.training_ratio = self.prompt.training_ratio
+                switched = self._maybe_switch_resolution()
+                if pending is not None and not switched:
+                    batch = pending.result()
+                else:
+                    batch = self._train_batch()
+                # prefetch the next batch while the device runs this step
+                if self.train_step < self.max_iteration:
+                    pending = pool.submit(self._train_batch)
+                else:
+                    pending = None
+                metrics = self._train_one(batch)
+                self._post_step(batch, metrics, log_interval, t0)
+            self.save_checkpoint()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
-            if self.train_step % log_interval == 0 or self.train_step == 1:
-                # only sync with the device on log steps — JAX async dispatch
-                # overlaps the next host-side batch prep with this step
-                loss = float(metrics.get("loss", np.nan))
-                logger.info("step %d/%d loss=%.4f (%.2f s/it)",
-                            self.train_step, self.max_iteration, loss,
-                            (time.time() - t0) / self.train_step)
-            if cfg.log.snapshot_interval and \
-                    self.train_step % cfg.log.snapshot_interval == 0:
-                self._snapshot(batch)
-            if cfg.log.evaluate_interval and \
-                    self.train_step % cfg.log.evaluate_interval == 0:
-                self.evaluate()
-            if cfg.log.save_interval and \
-                    self.train_step % cfg.log.save_interval == 0:
-                self.save_checkpoint()
-        self.save_checkpoint()
+    def _post_step(self, batch, metrics, log_interval, t0) -> None:
+        cfg = self.cfg
+        if self.train_step % log_interval == 0 or self.train_step == 1:
+            # only sync with the device on log steps — JAX async dispatch
+            # overlaps the next host-side batch prep with this step
+            loss = float(metrics.get("loss", np.nan))
+            logger.info("step %d/%d loss=%.4f (%.2f s/it)",
+                        self.train_step, self.max_iteration, loss,
+                        (time.time() - t0) / self.train_step)
+        if cfg.log.snapshot_interval and \
+                self.train_step % cfg.log.snapshot_interval == 0:
+            self._snapshot(batch)
+        if cfg.log.evaluate_interval and \
+                self.train_step % cfg.log.evaluate_interval == 0:
+            self.evaluate()
+        if cfg.log.save_interval and \
+                self.train_step % cfg.log.save_interval == 0:
+            self.save_checkpoint()
 
     def _snapshot(self, batch) -> None:
         """Dump the current train view + condition image

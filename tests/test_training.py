@@ -270,3 +270,43 @@ class TestAvatarSDSStepShapes:
                                                  spatial_scale=1.0),
                           jax.random.PRNGKey(3))
         assert tstate3.avatar.capacity == 64
+
+
+class TestSplitStep:
+    def test_split_matches_fused(self):
+        """The 3-jit split SDS step produces the same update as the fused
+        step (same seed, same inputs)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            init_avatar_train_state,
+            make_avatar_sds_step,
+            make_avatar_sds_step_split,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = 24
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jnp.zeros((1, 4, D))
+        t = jnp.asarray([400], jnp.int32)
+        bg = jnp.zeros((H, W, 3))
+        key = jax.random.PRNGKey(7)
+        kw = dict(tile_size=8, capacity=64, chunk=32)
+
+        fused = make_avatar_sds_step(setup.model, guidance, tx, H, W, **kw)
+        split = make_avatar_sds_step_split(setup.model, guidance, tx, H, W,
+                                           **kw)
+        s0 = init_avatar_train_state(setup.state, tx)
+        a1, m1 = fused(s0, gparams, setup.observed, cam.extrinsic[0],
+                       cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, key)
+        a2, m2 = split(s0, gparams, setup.observed, cam.extrinsic[0],
+                       cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a1.avatar.params.positions),
+            np.asarray(a2.avatar.params.positions), rtol=1e-4, atol=1e-6)
