@@ -62,17 +62,21 @@ def main():
     bg = jnp.zeros((H, W, 3))
 
     k = jax.random.PRNGKey(1)
-    tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
-                     cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, k)
+    # 3 warmup steps: the first two iterations re-specialize (weak-type /
+    # optimizer-count promotion) before the executable cache stabilizes
+    for w in range(3):
+        k, kk = jax.random.split(k)
+        tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, kk)
     jax.block_until_ready(m["loss"])
 
     iters = 10
     t0 = time.time()
     for i in range(iters):
-        k = jax.random.fold_in(k, i)
+        k, kk = jax.random.split(k)
         tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
                          cam.intrinsics[0], cam.tanfov[0], bg, txt, txt,
-                         t, k)
+                         t, kk)
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
 

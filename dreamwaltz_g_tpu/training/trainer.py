@@ -570,8 +570,10 @@ class Trainer:
         cond_image = jnp.asarray(np.stack(conds)) if conds else None
         t = jnp.asarray(self.t_scheduler.get_timestep(
             B, self.train_step, self.max_iteration))
-        gs_scale = self.t_scheduler.get_guidance_scale(
-            self.train_step, self.max_iteration)
+        # as a device scalar: a changing python float would re-specialize
+        # the jitted step every iteration under non-constant schedules
+        gs_scale = jnp.asarray(self.t_scheduler.get_guidance_scale(
+            self.train_step, self.max_iteration), jnp.float32)
         return dict(cam=cam, part=parts[0], smpl_inputs=smpl_inputs,
                     cond_image=cond_image,
                     text=jnp.stack(texts), uncond=jnp.stack(uncs),
