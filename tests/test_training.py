@@ -310,3 +310,36 @@ class TestSplitStep:
         np.testing.assert_allclose(
             np.asarray(a1.avatar.params.positions),
             np.asarray(a2.avatar.params.positions), rtol=1e-4, atol=1e-6)
+
+
+class TestResolveCkptPath:
+    def test_variants(self, tmp_path):
+        from dreamwaltz_g_tpu.training.trainer import resolve_ckpt_path
+
+        exp = tmp_path / "exp"
+        (exp / "checkpoints" / "step_00000005").mkdir(parents=True)
+        (exp / "checkpoints" / "step_00000010").mkdir()
+        # exp dir -> latest step
+        assert resolve_ckpt_path(exp).name == "step_00000010"
+        # checkpoints dir -> latest step
+        assert resolve_ckpt_path(exp / "checkpoints").name == "step_00000010"
+        # explicit step dir -> itself
+        p = exp / "checkpoints" / "step_00000005"
+        assert resolve_ckpt_path(p) == p
+        # missing -> None
+        assert resolve_ckpt_path(tmp_path / "nope") is None
+
+
+class TestTimePrioritizedLRScaling:
+    def test_scale_updates(self):
+        from dreamwaltz_g_tpu.guidance.time_prior import (
+            TimePrioritizedLR,
+            make_schedule,
+        )
+
+        tplr = TimePrioritizedLR(make_schedule())
+        ups = {"a": jnp.ones(3)}
+        out = tplr.scale_updates(ups, 999)
+        np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
+        out_small = tplr.scale_updates(ups, 50)
+        assert float(out_small["a"][0]) < 1.0
