@@ -1,13 +1,13 @@
-"""Benchmark: animated-3DGS rendering throughput on the flagship path.
+"""Headline benchmark: full stage-2 SDS training-step throughput
+(the first metric in BASELINE.json: "SDS iters/sec/chip").
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Measures one avatar SDS step end-to-end — animate (GLBS + NeRF-field decode)
+-> project -> bin -> Pallas blend fwd -> VAE encode -> SD1.5-sized UNet
+CFG forward -> blend bwd (Pallas) -> optimizer — with random weights at the
+real architecture sizes (512² render, 200k gaussians, 64² latents).
 
-Baseline: the reference renders animated 3DGS avatars through the
-diff-gaussian-rasterization CUDA extension; its eval videos target 30-60 FPS
-at 1024x1024 (BASELINE.md). We measure full-frame render FPS at 1024² with a
-200k-gaussian cloud on one TPU chip — the driver's headline
-"animated 3DGS render FPS @1024²" metric (vs_baseline vs 60 FPS target).
+Reference budget: 15k stage-2 iters in "several hours" total on one L40S
+(BASELINE.md) — roughly 2-3 SDS it/s. Prints one JSON line.
 """
 import json
 import time
@@ -16,45 +16,86 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: warm runs (and the driver's run) skip the
+    # ~20 min of remote compilation
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    from dreamwaltz_g_tpu import tests_support as ts
+    from dreamwaltz_g_tpu.configs import RenderConfig
     from dreamwaltz_g_tpu.data.camera import make_camera_batch
-    from dreamwaltz_g_tpu.ops import rasterize as R
-    from dreamwaltz_g_tpu.utils.transforms import quat_normalize
-
-    H = W = 1024
-    N = 200_000
-    rng = np.random.default_rng(0)
-    means3d = jnp.asarray(rng.normal(size=(N, 3)) * 0.4, jnp.float32)
-    quats = quat_normalize(jnp.asarray(rng.normal(size=(N, 4)), jnp.float32))
-    scales = jnp.asarray(np.exp(rng.normal(size=(N, 3)) * 0.3) * 0.004, jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.3, 0.95, size=(N,)), jnp.float32)
-    colors = jnp.asarray(rng.uniform(0, 1, size=(N, 3)), jnp.float32)
-    cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, W)
-
-    f = jax.jit(
-        lambda m, q, s, o, c: R.rasterize(
-            m, q, s, o, c, cam.extrinsic[0], cam.intrinsics[0], H, W,
-            tile_size=32, capacity=1024, chunk=128,
-            max_tiles_per_gaussian=4, pallas_mode="eval").image
+    from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
+    from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, sd15_unet_config
+    from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, sd_vae_config
+    from dreamwaltz_g_tpu.training.gs_trainer import (
+        init_avatar_train_state,
+        make_avatar_sds_step_split,
     )
-    out = f(means3d, quats, scales, opac, colors)
-    out.block_until_ready()
+    from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+
+    H = W = 512
+    setup = ts.tiny_avatar_setup(capacity=200_000, n_points=180_000,
+                                 num_vertices=2048)
+
+    # real-size frozen guidance, random weights, bf16
+    ucfg = sd15_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(sd_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 64, 64, 4))
+    ctx = jnp.zeros((1, 77, 768))
+    unet_p = unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx)
+    vae_p = vae.init(key, image_size=512)
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    gparams = GuidanceParams(unet=cast(unet_p), vae=cast(vae_p))
+    guidance = ScoreDistillation(unet=unet, vae=vae, latent_size=64,
+                                 guidance_scale=50.0)
+
+    tx = build_avatar_optimizer(RenderConfig(), max_steps=5000)
+    tstate = init_avatar_train_state(setup.state, tx)
+    step = make_avatar_sds_step_split(setup.model, guidance, tx, H, W,
+                                tile_size=32, capacity=512, chunk=128,
+                                max_tiles_per_gaussian=4)
+
+    cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, W)
+    txt = jnp.zeros((1, 77, 768), jnp.bfloat16)
+    t = jnp.asarray([500], jnp.int32)
+    bg = jnp.zeros((H, W, 3))
+
+    k = jax.random.PRNGKey(1)
+    # 3 warmup steps: the first two iterations re-specialize (weak-type /
+    # optimizer-count promotion) before the executable cache stabilizes
+    for w in range(3):
+        k, kk = jax.random.split(k)
+        tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, kk)
+    jax.block_until_ready(m["loss"])
 
     iters = 10
     t0 = time.time()
-    for _ in range(iters):
-        out = f(means3d, quats, scales, opac, colors)
-    out.block_until_ready()
+    for i in range(iters):
+        k, kk = jax.random.split(k)
+        tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt,
+                         t, kk)
+    jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
-    fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "3dgs_render_fps_1024",
-        "value": round(fps, 2),
-        "unit": "frames/sec (200k gaussians, 1024x1024, 1 chip)",
-        "vs_baseline": round(fps / 60.0, 3),
+        "metric": "sds_train_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "SDS it/s (512^2, 200k gaussians, SD1.5-size UNet, 1 chip)",
+        "vs_baseline": round((1.0 / dt) / 2.5, 3),
     }))
 
 

@@ -1,0 +1,71 @@
+"""Secondary benchmark: animated-3DGS rendering throughput (the render-FPS
+metric in BASELINE.json; the headline SDS-throughput bench is bench.py).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference renders animated 3DGS avatars through the
+diff-gaussian-rasterization CUDA extension; its eval videos target 30-60 FPS
+at 1024x1024 (BASELINE.md). We measure full-frame render FPS at 1024² with a
+200k-gaussian cloud on one TPU chip — the driver's headline
+"animated 3DGS render FPS @1024²" metric (vs_baseline vs 60 FPS target).
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.ops import rasterize as R
+    from dreamwaltz_g_tpu.utils.transforms import quat_normalize
+
+    H = W = 1024
+    N = 200_000
+    rng = np.random.default_rng(0)
+    means3d = jnp.asarray(rng.normal(size=(N, 3)) * 0.4, jnp.float32)
+    quats = quat_normalize(jnp.asarray(rng.normal(size=(N, 4)), jnp.float32))
+    scales = jnp.asarray(np.exp(rng.normal(size=(N, 3)) * 0.3) * 0.004, jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, size=(N,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0, 1, size=(N, 3)), jnp.float32)
+    cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, W)
+
+    f = jax.jit(
+        lambda m, q, s, o, c: R.rasterize(
+            m, q, s, o, c, cam.extrinsic[0], cam.intrinsics[0], H, W,
+            tile_size=32, capacity=1024, chunk=128,
+            max_tiles_per_gaussian=4, pallas_mode="eval").image
+    )
+    out = f(means3d, quats, scales, opac, colors)
+    out.block_until_ready()
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = f(means3d, quats, scales, opac, colors)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "3dgs_render_fps_1024",
+        "value": round(fps, 2),
+        "unit": "frames/sec (200k gaussians, 1024x1024, 1 chip)",
+        "vs_baseline": round(fps / 60.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
