@@ -189,6 +189,24 @@ class ConditionRenderer:
         img[~np.asarray(render.mask)] = 0
         return img
 
+    def render_mesh(self, output, extrinsic, intrinsics,
+                    image_height: int, image_width: int,
+                    light_dir=(0.3, 0.8, 0.5)) -> np.ndarray:
+        """Shaded mesh render: Lambertian gray over the z-buffer
+        (reference 'mesh' condition via trimesh/pyrender offscreen,
+        smpl_condition.py:316-318 + utils/trimesh.py)."""
+        verts, faces = self._stacked_mesh(output)
+        render = rasterize_mesh(verts, faces, extrinsic, intrinsics,
+                                image_height, image_width)
+        n = np.asarray(render.normal)
+        l = np.asarray(light_dir, np.float32)
+        l = l / np.linalg.norm(l)
+        lam = np.abs(n @ l)
+        shade = 0.25 + 0.75 * lam
+        img = (np.clip(shade, 0, 1) * 255.0).astype(np.uint8)
+        img[~np.asarray(render.mask)] = 255  # white background
+        return np.stack([img] * 3, axis=-1)
+
     def __call__(
         self,
         output: SMPLXOutput,
@@ -210,6 +228,8 @@ class ConditionRenderer:
             return self.render_depth(*args, raw=True)
         if condition_type == "normal":
             return self.render_normal(*args)
+        if condition_type == "mesh":
+            return self.render_mesh(*args)
         raise NotImplementedError(condition_type)
 
 

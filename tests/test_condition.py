@@ -154,3 +154,21 @@ class TestConditionRenderer:
         r = ConditionRenderer(model, use_occlusion_culling=True)
         img = r(out, cam.extrinsic[0], cam.intrinsics[0], "pose", 64, 64)
         assert img.shape == (64, 64, 3)
+
+
+def test_mesh_condition():
+    from dreamwaltz_g_tpu.human.condition import ConditionRenderer
+    from dreamwaltz_g_tpu.human.smplx_model import (
+        default_params,
+        make_synthetic_model,
+        smplx_forward,
+    )
+
+    model = make_synthetic_model()
+    out = smplx_forward(model, default_params(model))
+    cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, 48, 48)
+    r = ConditionRenderer(model, use_occlusion_culling=False)
+    img = r(out, cam.extrinsic[0], cam.intrinsics[0], "mesh", 48, 48)
+    assert img.shape == (48, 48, 3) and img.dtype == np.uint8
+    # background is white, body darker
+    assert img.max() == 255 and img.min() < 250
