@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .nerf.encoder import GridEncoderConfig, tables_from_flat
-from .nerf.network import NeRFModel, NeRFParams
+from .nerf.network import NeRFParams
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..nerf.encoder import frequency_encode, freq_output_dim
+from ..nerf.encoder import frequency_encode
 
 
 class DeformNetwork(nn.Module):

@@ -12,10 +12,9 @@ head minus eyeballs, etc.
 from __future__ import annotations
 
 import json
-import os.path as osp
 from functools import lru_cache
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

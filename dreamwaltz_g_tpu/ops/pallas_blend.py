@@ -27,7 +27,7 @@ unchanged while inference/eval rendering takes the fast path.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,6 @@ Falls back to interpret mode automatically off-TPU (CPU tests).
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

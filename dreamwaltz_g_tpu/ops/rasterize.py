@@ -26,7 +26,6 @@ two-stage API: `project_gaussians` -> `rasterize_projected`).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -7,7 +7,7 @@ by the CLI's ``--log.debug`` mode.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,6 @@ from .guidance.unet import UNet2DCondition, tiny_unet_config
 from .guidance.vae import AutoencoderKL, tiny_vae_config
 from .human.deform import DeformNetwork
 from .human.smplx_model import (
-    SMPLXModelData,
     SMPLXParams,
     default_params,
     make_synthetic_model,

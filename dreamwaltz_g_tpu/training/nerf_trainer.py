@@ -11,14 +11,13 @@ cameras/poses/timesteps and pipes arrays in.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..configs import TrainConfig
-from ..data.camera import CameraBatch, get_rays
+from ..data.camera import get_rays
 from ..guidance.sds import GuidanceParams, ScoreDistillation
 from ..nerf.network import NeRFModel, NeRFParams
 from ..nerf.renderer import (

@@ -9,11 +9,8 @@ the same six groups the reference keeps as separate optimizers
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..configs import NeRFConfig, RenderConfig

@@ -14,7 +14,6 @@ anywhere — the CPU smoke-test strategy of SURVEY.md §4.
 """
 from __future__ import annotations
 
-import json
 import logging
 import os
 import os.path as osp
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import TrainConfig, save_config, to_dict
+from ..configs import TrainConfig, save_config
 from ..configs.paths import GUIDANCE_WEIGHTS, HUMAN_TEMPLATES
 from ..data.camera import CameraBatch, make_camera_batch
 from ..data.sampler import CyclicalCamera4Avatar, RandomCamera4Avatar
