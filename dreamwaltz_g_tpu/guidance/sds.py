@@ -188,6 +188,10 @@ class ScoreDistillation:
         no_grad for the same reason)."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         dt = text_embeds.dtype
+        # gs may be a traced device scalar (the per-step annealed CFG scale,
+        # reference: basic.py:404-418); cast to the compute dtype so a f32
+        # scalar doesn't silently promote the bf16 eps stack.
+        gs = jnp.asarray(gs, dt) if isinstance(gs, jnp.ndarray) else gs
         lat_sg = lat_sg.astype(dt)
 
         k_noise, k_ism = jax.random.split(key)

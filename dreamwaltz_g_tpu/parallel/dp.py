@@ -60,7 +60,8 @@ def make_avatar_sds_step_dp(
 
     def step(tstate: AvatarTrainState, gparams: GuidanceParams,
              observed_inputs, extrinsic, intrinsics, tanfov, background,
-             text_embeds, uncond_embeds, t, keys, cond_image):
+             text_embeds, uncond_embeds, t, keys, cond_image,
+             guidance_scale):
         state = tstate.avatar
         C = state.capacity
         M = model.n_mesh_points
@@ -74,7 +75,8 @@ def make_avatar_sds_step_dp(
                 and gparams.controlnet is not None
             sds = guidance(
                 gparams, image[None], txt[None], unc[None], t1[None],
-                key, cond_image=cond[None] if use_cond else None)
+                key, cond_image=cond[None] if use_cond else None,
+                guidance_scale=guidance_scale)
             return lambda_guidance * sds["loss"], out.radii
 
         def loss_fn(params, dummy):
@@ -99,20 +101,25 @@ def make_avatar_sds_step_dp(
     jitted = jax.jit(
         step,
         in_shardings=(rep, rep, rep, shd, shd, shd, shd, shd, shd, shd, shd,
-                      cond_shard),
+                      cond_shard, rep),
         out_shardings=(rep, rep),
     )
 
     def call(tstate, gparams, observed_inputs, extrinsic, intrinsics,
              tanfov, background, text_embeds, uncond_embeds, t, keys,
-             cond_image=None):
+             cond_image=None, guidance_scale=None):
         if cond_image is None:
             B = extrinsic.shape[0]
             # placeholder (opacity-0 conditions are never consumed when the
             # guidance has no controlnet); keeps sharding signature static
             cond_image = jnp.zeros((B, 1, 1, 3))
+        # annealed per-step CFG scale as a replicated device scalar
+        # (reference: get_guidance_scale, basic.py:404-418)
+        gs = jnp.asarray(
+            guidance.guidance_scale if guidance_scale is None
+            else guidance_scale, jnp.float32)
         return jitted(tstate, gparams, observed_inputs, extrinsic,
                       intrinsics, tanfov, background, text_embeds,
-                      uncond_embeds, t, keys, cond_image)
+                      uncond_embeds, t, keys, cond_image, gs)
 
     return call

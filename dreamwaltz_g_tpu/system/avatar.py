@@ -131,6 +131,19 @@ class AvatarModel:
     use_non_rigid_scales: bool = True
     use_non_rigid_rotations: bool = False
     flip_rotation_axis: bool = True
+    # learnable additive shape tweak for mesh-bound parts
+    # (reference: learn_hand_betas/learn_face_betas, avatar.py:1222-1225,
+    # 1551-1562; extra_betas is additive, inverse_lbs.py:575-579)
+    learn_hand_betas: bool = False
+    learn_face_betas: bool = False
+
+    def part_learns_betas(self, name: str) -> bool:
+        return (name == "hands" and self.learn_hand_betas) or \
+            (name == "face" and self.learn_face_betas)
+
+    @property
+    def learn_betas(self) -> bool:
+        return self.learn_hand_betas or self.learn_face_betas
 
     @property
     def n_mesh_points(self) -> int:
@@ -446,8 +459,20 @@ def animate(
     if unconstrained_only or not model.mesh_parts:
         return unconstrained
 
+    # parts with a learnable shape tweak skin through transforms recomputed
+    # WITH extra_betas, canonical and observed alike (reference:
+    # avatar.py:1551-1562); extra_betas is additive (inverse_lbs.py:575-579)
+    if model.learn_betas:
+        eb = params.extra_betas
+        canonical_tr_b = glbs_transforms(
+            model.smpl, model.canonical_inputs, extra_betas=eb)
+        observed_tr_b = glbs_transforms(
+            model.smpl, observed_inputs, extra_betas=eb)
     parts = [
-        _mesh_part_gaussians(model, params, name, canonical_tr, observed_tr)
+        _mesh_part_gaussians(
+            model, params, name,
+            canonical_tr_b if model.part_learns_betas(name) else canonical_tr,
+            observed_tr_b if model.part_learns_betas(name) else observed_tr)
         for name in model.mesh_parts
     ]
     return merge_gaussians(unconstrained, *parts)

@@ -266,10 +266,10 @@ def make_avatar_sds_step_split(
 
     @jax.jit
     def latent_grad(gparams, latents, text_embeds, uncond_embeds, t, key,
-                    cond_image):
+                    cond_image, guidance_scale):
         return guidance.latent_gradients(
             gparams, latents, text_embeds, uncond_embeds, t, key,
-            cond_image=cond_image)
+            cond_image=cond_image, guidance_scale=guidance_scale)
 
     @jax.jit
     def apply_grads(tstate, gparams, observed_inputs, extrinsic, intrinsics,
@@ -300,12 +300,17 @@ def make_avatar_sds_step_split(
     def step(tstate, gparams, observed_inputs, extrinsic, intrinsics,
              tanfov, background, text_embeds, uncond_embeds, t, key,
              cond_image=None, guidance_scale=None):
-        del guidance_scale  # per-call override not supported on this path
+        # the annealed per-step CFG scale enters the jitted program as a
+        # device scalar, so schedule changes don't retrace
+        # (reference: get_guidance_scale, basic.py:404-418)
+        gs = jnp.asarray(
+            guidance.guidance_scale if guidance_scale is None
+            else guidance_scale, jnp.float32)
         dt_probe = jnp.zeros((), text_embeds.dtype)
         latents = render_encode(tstate, gparams, observed_inputs, extrinsic,
                                 intrinsics, tanfov, background, dt_probe)
         glat = latent_grad(gparams, latents, text_embeds, uncond_embeds,
-                           t, key, cond_image)
+                           t, key, cond_image, gs)
         return apply_grads(tstate, gparams, observed_inputs, extrinsic,
                            intrinsics, tanfov, background, glat, dt_probe)
 

@@ -45,9 +45,15 @@ def sparsity_loss(pred_ws, cfg, current_step: Optional[int] = None,
         loss += cfg.lambda_entropy * entropy_loss(pred_ws)
     if cfg.lambda_emptiness > 0:
         loss += cfg.lambda_emptiness * emptiness_loss(pred_ws)
-    if current_step is not None and max_iteration \
-            and current_step / max_iteration >= cfg.sparsity_step:
-        loss = loss * cfg.sparsity_multiplier
+    if current_step is not None and max_iteration:
+        # current_step may be traced (the jitted step passes state.step):
+        # jnp.where keeps the late-stage multiplier jit-compatible
+        # (reference: SparsityLoss applies x sparsity_multiplier once
+        # train_step/max_iteration >= sparsity_step, nerf_loss.py:44-52)
+        mult = jnp.where(
+            current_step / max_iteration >= cfg.sparsity_step,
+            cfg.sparsity_multiplier, 1.0)
+        loss = loss * mult
     return loss
 
 

@@ -138,7 +138,8 @@ def make_nerf_sds_step(
                            guidance_scale=guidance_scale)
             loss = lambda_guidance * sds["loss"]
             metrics = {"sds_loss": sds["loss"]}
-            sp = sparsity_loss(wsum.reshape(-1), nerf_cfg, None, None)
+            sp = sparsity_loss(wsum.reshape(-1), nerf_cfg, state.step,
+                               max_iteration)
             loss = loss + sp
             metrics["sparsity_loss"] = sp
             if use_sigma and sigma_pts is not None:

@@ -94,6 +94,10 @@ class Trainer:
             logger.propagate = False
 
         self.rng = np.random.default_rng(cfg.optim.seed)
+        # dedicated generator for _train_batch: it runs on the prefetch
+        # worker thread, and numpy Generators are not thread-safe against
+        # the main thread's self.rng draws (_bg_color, sigma_prob)
+        self._batch_rng = np.random.default_rng(cfg.optim.seed + 7919)
         self.key = jax.random.PRNGKey(cfg.optim.seed)
         self.max_iteration = cfg.optim.iters
         self.train_step = 0
@@ -338,6 +342,8 @@ class Trainer:
             use_non_rigid_offsets=cfg.render.use_non_rigid_offsets,
             use_non_rigid_scales=cfg.render.use_non_rigid_scales,
             use_non_rigid_rotations=cfg.render.use_non_rigid_rotations,
+            learn_hand_betas=cfg.render.learn_hand_betas,
+            learn_face_betas=cfg.render.learn_face_betas,
         )
 
     def _init_avatar(self):
@@ -528,23 +534,31 @@ class Trainer:
     # data assembly (host side)
     # ------------------------------------------------------------------
 
-    def _train_batch(self) -> Dict[str, Any]:
+    def _train_batch(self, step: Optional[int] = None) -> Dict[str, Any]:
         """One training draw: camera + pose + conditions + text
-        (reference: CameraDatasetWithSMPL.collate, data/camera/__init__.py:127-163)."""
+        (reference: CameraDatasetWithSMPL.collate, data/camera/__init__.py:127-163).
+
+        ``step`` is the step the batch is INTENDED for — the prefetch worker
+        builds step N+1's batch while the device runs step N, so reading
+        ``self.train_step`` here would lag the timestep/CFG schedules and the
+        random_pose_iter cadence one step behind the reference's semantics.
+        """
+        if step is None:
+            step = self.train_step
         B = self.cfg.optim.batch_size if self.cfg.stage == "gs" else 1
         frame_idx = None
         if self.prompt.scene_type == "motion":
-            frame_idx = int(self.rng.integers(0, self.prompt.num_frame))
+            frame_idx = int(self._batch_rng.integers(0, self.prompt.num_frame))
         # random-pose caching: hold the sampled pose fixed for N consecutive
         # steps (reference: random_pose_iter, data/camera/__init__.py:66-163)
         rpi = self.cfg.data.random_pose_iter
         if rpi and self.prompt.scene_type == "random" \
                 and getattr(self, "_pose_cache", None) is not None \
-                and self.train_step % rpi != 0:
+                and step % rpi != 0:
             smpl_inputs, smpl_outputs = self._pose_cache
         else:
             smpl_inputs, smpl_outputs = self.prompt(
-                frame_idx=frame_idx, batch_idx=self.train_step)
+                frame_idx=frame_idx, batch_idx=step)
             self._pose_cache = (smpl_inputs, smpl_outputs)
 
         cams, parts, conds, texts, uncs = [], [], [], [], []
@@ -568,15 +582,23 @@ class Trainer:
             if hasattr(xs[0], "ndim") and xs[0].ndim > 0 else xs[0], *cams)
         cond_image = jnp.asarray(np.stack(conds)) if conds else None
         t = jnp.asarray(self.t_scheduler.get_timestep(
-            B, self.train_step, self.max_iteration))
+            B, step, self.max_iteration))
         # as a device scalar: a changing python float would re-specialize
         # the jitted step every iteration under non-constant schedules
         gs_scale = jnp.asarray(self.t_scheduler.get_guidance_scale(
-            self.train_step, self.max_iteration), jnp.float32)
+            step, self.max_iteration), jnp.float32)
         return dict(cam=cam, part=parts[0], smpl_inputs=smpl_inputs,
                     cond_image=cond_image,
                     text=jnp.stack(texts), uncond=jnp.stack(uncs),
                     t=t, guidance_scale=gs_scale)
+
+    def _resolution_target(self) -> int:
+        ratio = self.train_step / self.max_iteration
+        target = 0
+        for m in self.grid_milestones:
+            if ratio >= m:
+                target += 1
+        return min(target, len(self.train_resolutions) - 1)
 
     def _maybe_switch_resolution(self) -> bool:
         """Progressive 64->128->256 training resolution
@@ -584,11 +606,7 @@ class Trainer:
         Returns True when the resolution changed (prefetched batches from
         the old resolution must be discarded)."""
         ratio = self.train_step / self.max_iteration
-        target = 0
-        for m in self.grid_milestones:
-            if ratio >= m:
-                target += 1
-        target = min(target, len(self.train_resolutions) - 1)
+        target = self._resolution_target()
         if target != self._res_index:
             self._res_index = target
             self.train_res = self.train_resolutions[target]
@@ -689,6 +707,12 @@ class Trainer:
         try:
             while self.train_step < self.max_iteration:
                 self.train_step += 1
+                if pending is not None and self._will_mutate_shared_state():
+                    # evaluate/_snapshot (in _maybe_switch_resolution's
+                    # rebuild too) mutate self.prompt/self.train_camera;
+                    # drain the worker before touching them
+                    pending.result()
+                    pending = None
                 self.prompt.training_ratio = \
                     self.train_step / self.max_iteration
                 self.train_camera.training_ratio = self.prompt.training_ratio
@@ -696,17 +720,41 @@ class Trainer:
                 if pending is not None and not switched:
                     batch = pending.result()
                 else:
-                    batch = self._train_batch()
-                # prefetch the next batch while the device runs this step
-                if self.train_step < self.max_iteration:
-                    pending = pool.submit(self._train_batch)
-                else:
-                    pending = None
+                    if pending is not None:
+                        # stale future from the old resolution: wait for it
+                        # to stop mutating _pose_cache before re-entering
+                        pending.result()
+                    batch = self._train_batch(self.train_step)
+                pending = None
+                # prefetch the NEXT step's batch while the device runs this
+                # one — unless this step's post-step work (eval/snapshot)
+                # will mutate the prompt/camera state the worker reads
+                if self.train_step < self.max_iteration \
+                        and not self._post_step_mutates(self.train_step):
+                    pending = pool.submit(self._train_batch,
+                                          self.train_step + 1)
                 metrics = self._train_one(batch)
                 self._post_step(batch, metrics, log_interval, t0)
+                if pending is None and self.train_step < self.max_iteration:
+                    pending = pool.submit(self._train_batch,
+                                          self.train_step + 1)
             self.save_checkpoint()
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+
+    def _post_step_mutates(self, step: int) -> bool:
+        """Whether _post_step at ``step`` will run eval/snapshot (which use
+        self.prompt / cameras and must not race the prefetch worker)."""
+        cfg = self.cfg
+        return bool(
+            (cfg.log.snapshot_interval
+             and step % cfg.log.snapshot_interval == 0)
+            or (cfg.log.evaluate_interval
+                and step % cfg.log.evaluate_interval == 0))
+
+    def _will_mutate_shared_state(self) -> bool:
+        # resolution switches rebuild self.train_camera mid-flight
+        return self._resolution_target() != self._res_index
 
     def _post_step(self, batch, metrics, log_interval, t0) -> None:
         cfg = self.cfg
@@ -786,7 +834,8 @@ class Trainer:
                     self.state, self.guidance_params, batch["smpl_inputs"],
                     cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
                     batch["text"], batch["uncond"], batch["t"], keys,
-                    cond_image=batch["cond_image"])
+                    cond_image=batch["cond_image"],
+                    guidance_scale=batch["guidance_scale"])
             self._maybe_densify()
         else:
             bg = jnp.broadcast_to(self._bg_color(),

@@ -312,6 +312,84 @@ class TestSplitStep:
             np.asarray(a2.avatar.params.positions), rtol=1e-4, atol=1e-6)
 
 
+class TestGuidanceScaleSchedule:
+    def test_split_step_honors_guidance_scale(self):
+        """Changing the scheduled CFG scale changes the latent gradient (and
+        hence the update) on make_avatar_sds_step_split (reference anneals
+        the scale per step: get_guidance_scale, basic.py:404-418)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            init_avatar_train_state,
+            make_avatar_sds_step_split,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = 24
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 4, D)), jnp.float32)
+        unc = jnp.zeros((1, 4, D))
+        t = jnp.asarray([400], jnp.int32)
+        bg = jnp.zeros((H, W, 3))
+        key = jax.random.PRNGKey(7)
+
+        split = make_avatar_sds_step_split(
+            setup.model, guidance, tx, H, W, tile_size=8, capacity=64,
+            chunk=32)
+        s0 = init_avatar_train_state(setup.state, tx)
+        args = (s0, gparams, setup.observed, cam.extrinsic[0],
+                cam.intrinsics[0], cam.tanfov[0], bg, txt, unc, t, key)
+        _, m_lo = split(*args, guidance_scale=0.0)
+        _, m_hi = split(*args, guidance_scale=100.0)
+        assert not np.isclose(float(m_lo["loss"]), float(m_hi["loss"])), \
+            "guidance_scale had no effect on the split step"
+        # default (None) uses the static scale and also runs
+        _, m_def = split(*args)
+        assert np.isfinite(float(m_def["loss"]))
+
+
+class TestExtraBetasGradient:
+    def test_extra_betas_receives_gradient(self):
+        """With learn_face_betas, extra_betas shifts the mesh-part transform
+        and receives a nonzero gradient through animate (reference:
+        avatar.py:1549-1582)."""
+        import dataclasses
+
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.system import avatar as A
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        model = dataclasses.replace(setup.model, learn_face_betas=True)
+        state = setup.state
+
+        def loss_fn(params):
+            gs = A.animate(model, state._replace(params=params),
+                           setup.observed)
+            # mesh-part positions are the tail n_mesh_points entries
+            M = model.n_mesh_points
+            return jnp.sum(gs.positions[-M:] ** 2)
+
+        grads = jax.grad(loss_fn)(state.params)
+        g = np.asarray(grads.extra_betas)
+        assert np.any(g != 0.0), "extra_betas gradient is identically zero"
+
+        # without the learn flag the parameter stays dead (documented)
+        grads0 = jax.grad(loss_fn)(state.params)  # same fn, flag baked in
+        model_off = setup.model
+        def loss_off(params):
+            gs = A.animate(model_off, state._replace(params=params),
+                           setup.observed)
+            M = model_off.n_mesh_points
+            return jnp.sum(gs.positions[-M:] ** 2)
+        g_off = np.asarray(jax.grad(loss_off)(state.params).extra_betas)
+        assert np.all(g_off == 0.0)
+
+
 class TestResolveCkptPath:
     def test_variants(self, tmp_path):
         from dreamwaltz_g_tpu.training.trainer import resolve_ckpt_path
