@@ -187,6 +187,203 @@ def blend_tiles_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Windowed sorted blend (eval fast path)
+# ---------------------------------------------------------------------------
+#
+# The (T, K) tile-list extraction + per-tile panel pre-gather cost ~14 ms of
+# the 29 ms frame at 1024² (profiled round 2) — two gathers of ~1M rows each.
+# This path gathers the packed attribute rows ONCE in sort order (N*D rows)
+# and lets the kernel read each tile's segment as *contiguous* chunks: the
+# block index map is scalar-prefetched `seg_start[t] // C + k`, and the
+# kernel masks entries outside [seg_start % C, seg_start % C + count) by
+# their position within the aligned window. No (T, K) index table, no
+# per-tile gather — the only gather left is one (N*D, 16) row gather.
+#
+# packed lanes: [mx, my, conic_a, conic_b, conic_c, opacity, 0, 0,
+#                c0, c1, c2(, c3), depth, 1, 0(, 0, 0)]  (attrs | values)
+
+
+_T_EPS = 1e-4  # CUDA rasterizer's early-termination transmittance threshold
+
+
+def _make_sorted_kernel(tile_size: int, tiles_x: int, chunk: int,
+                        n_chunks_max: int, alpha_clip: float,
+                        min_alpha: float):
+    """One grid step per TILE: the kernel double-buffer-DMAs its segment's
+    chunks straight from the sorted HBM panel array at the exact (unaligned)
+    ``seg_start`` — no (T, K) table, no alignment chunk, 1/9th the grid
+    steps of the blocked variant. The DMA chain is unconditional over the
+    segment (balanced start/wait pairs); only compute is gated by the
+    early-termination transmittance check."""
+    P = tile_size * tile_size
+    C = chunk
+
+    def kernel(seg_ref, cnt_ref, triu_ref, panels_ref, out_ref,
+               buf_ref, acc_ref, logt_ref, sem_ref):
+        t = pl.program_id(0)
+        start = seg_ref[t]
+        count = cnt_ref[t]
+        blk0 = start // C
+        off = start - blk0 * C      # misalignment within the first block
+        # blocks overlapping [start, start + count); 0 when the tile is
+        # empty (off alone must not round up — the DMA chain never starts)
+        nblk_t = jnp.where(count > 0, (off + count + C - 1) // C, 0)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        logt_ref[:] = jnp.zeros_like(logt_ref)
+
+        def get_dma(slot, j):
+            return pltpu.make_async_copy(
+                panels_ref.at[blk0 + j],       # (16, C) block, lane-aligned
+                buf_ref.at[slot],
+                sem_ref.at[slot])
+
+        # 3-deep prefetch: DMA latency (~2 us for 8 KB) exceeds per-chunk
+        # compute, so one-ahead stalls the loop
+        @pl.when(nblk_t > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        @pl.when(nblk_t > 1)
+        def _():
+            get_dma(1, 1).start()
+
+        base_x = (t % tiles_x) * tile_size
+        base_y = (t // tiles_x) * tile_size
+        pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        px = (base_x + pid % tile_size).astype(jnp.float32) + 0.5
+        py = (base_y + pid // tile_size).astype(jnp.float32) + 0.5
+
+        def body(j, _):
+            inseg = j < nblk_t
+
+            @pl.when(inseg)
+            def _():
+                @pl.when(j + 2 < nblk_t)
+                def _():
+                    get_dma((j + 2) % 3, j + 2).start()
+                get_dma(j % 3, j).wait()
+                live = jnp.max(logt_ref[:, 0]) > _LOG_T_EPS
+
+                @pl.when(live)
+                def _():
+                    a = buf_ref[j % 3]             # (16, C) lane-resident
+                    # mask rows outside this tile's [off, off + count)
+                    pos = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, C), 1) + j * C - off
+                    pmask = (pos >= 0) & (pos < count)
+
+                    dx = px - a[0:1, :]
+                    dy = py - a[1:2, :]
+                    q = a[2:3, :] * dx * dx + 2.0 * a[3:4, :] * dx * dy \
+                        + a[4:5, :] * dy * dy
+                    w = a[5:6, :] * jnp.exp(-0.5 * q)
+                    w = jnp.where(pmask & (q >= 0) & (w >= min_alpha),
+                                  jnp.minimum(w, alpha_clip), 0.0)
+                    l = jnp.log1p(-w)
+
+                    log_t = logt_ref[:, 0:1]
+                    # bf16 MXU pass (eval-only: |l|<=9.2, ~0.4% err on log-T)
+                    excl = jax.lax.dot_general(
+                        l.astype(jnp.bfloat16), triu_ref[:],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + log_t
+                    contrib = jnp.exp(excl) * w    # (P, C)
+                    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                        contrib, a[8:16, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    logt_ref[:, 0:1] = log_t + jnp.sum(l, axis=1,
+                                                       keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks_max, body, 0)
+        out_ref[0] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "image_height", "image_width", "tile_size", "chunk", "capacity",
+    "alpha_clip", "min_alpha", "interpret"))
+def blend_sorted_pallas(
+    s_idx: jnp.ndarray,        # (Ns,) gaussian index per sorted entry
+    seg_start: jnp.ndarray,    # (T,) first sorted row of tile t's segment
+    counts: jnp.ndarray,       # (T,) live entries per tile (capped)
+    means2d: jnp.ndarray,      # (N, 2)
+    conic: jnp.ndarray,        # (N, 3)
+    opacity: jnp.ndarray,      # (N,) pre-masked
+    values: jnp.ndarray,       # (N, CV) [colors..., depth, 1]
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    chunk: int = 128,
+    capacity: int = 1024,
+    alpha_clip: float = 0.999,
+    min_alpha: float = 1.0 / 255.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (H, W, CV). Eval-only (wrapped in stop_gradient by callers)."""
+    Ns = s_idx.shape[0]
+    N, CV = values.shape
+    assert CV <= 6
+    P = tile_size * tile_size
+    C = chunk
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+    T = Tx * Ty
+    n_chunks_max = capacity // C + 1   # +1 covers block misalignment
+
+    # one packed row per sorted entry: attrs in lanes 0..7, values in 8..15
+    # (concat-built: per-lane .at[...].set copies cost ~10x more)
+    f32 = jnp.float32
+    z1 = jnp.zeros((N, 1), f32)
+    packed = jnp.concatenate(
+        [means2d.astype(f32), conic.astype(f32), opacity[:, None].astype(f32),
+         z1, z1, values.astype(f32)]
+        + [z1] * (8 - CV), axis=-1)                       # (N, 16)
+    packed = jnp.concatenate([packed, jnp.zeros((1, 16), f32)], axis=0)
+
+    NB = -(-Ns // C) + 1   # +1 block: a segment may end in the pad block
+    pad = NB * C - Ns
+    s_idx = jnp.pad(s_idx, (0, pad), constant_values=N)
+    # (NB, 16, C) lane-aligned blocks for in-kernel DMA (Mosaic needs the
+    # minor dim 128-aligned; 16-lane rows would be relayout-padded 8x)
+    panels = packed[s_idx].reshape(NB, C, 16).transpose(0, 2, 1)
+
+    triu = jnp.triu(jnp.ones((C, C), jnp.bfloat16), k=1)
+    kernel = _make_sorted_kernel(tile_size, Tx, C, n_chunks_max,
+                                 alpha_clip, min_alpha)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((C, C), lambda t, seg, cnt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # panels stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, P, 8), lambda t, seg, cnt: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, 16, C), jnp.float32),     # DMA triple buffer
+            pltpu.VMEM((P, 8), jnp.float32),
+            pltpu.VMEM((P, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, P, 8), jnp.float32),
+        interpret=interpret,
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), triu, panels)
+
+    img = out[..., :CV].reshape(Ty, Tx, tile_size, tile_size, CV)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        Ty * tile_size, Tx * tile_size, CV)
+    return img[:image_height, :image_width]
+
+
+# ---------------------------------------------------------------------------
 # Training path: Pallas forward + Pallas backward over pre-gathered panels
 # ---------------------------------------------------------------------------
 #

@@ -236,6 +236,72 @@ def bin_gaussians(
     return tile_lists, tile_counts
 
 
+def bin_gaussians_sorted(
+    means2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 32,
+    capacity: int = 1024,
+    max_tiles_per_gaussian: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sorted-segment binning: like ``bin_gaussians`` but stops after the
+    sort, returning ``(s_idx, seg_start, counts)`` — the sorted entry->
+    gaussian index array plus per-tile segment boundaries. Consumers read
+    tile t's depth-ordered entries as the contiguous rows
+    ``s_idx[seg_start[t] : seg_start[t] + counts[t]]``, skipping the (T, K)
+    index-table materialization entirely (the windowed Pallas blend's
+    input; ~14 ms/frame cheaper at 1024²)."""
+    N = means2d.shape[0]
+    D = max_tiles_per_gaussian
+    Tx = -(-image_width // tile_size)
+    Ty = -(-image_height // tile_size)
+    T = Tx * Ty
+
+    qbits = min(22, 31 - int(np.ceil(np.log2(T + 2))))
+    qmax = (1 << qbits) - 1
+    dmin = jnp.min(jnp.where(mask, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(mask, depth, -jnp.inf))
+    qdepth = jnp.clip(
+        ((depth - dmin) / jnp.maximum(dmax - dmin, 1e-9)
+         * (qmax - 1)).astype(jnp.int32),
+        0, qmax - 1)
+
+    x, y = means2d[:, 0], means2d[:, 1]
+    r = radius
+    txmin = jnp.clip(jnp.floor((x - r) / tile_size), 0, Tx - 1).astype(jnp.int32)
+    txmax = jnp.clip(jnp.floor((x + r) / tile_size), 0, Tx - 1).astype(jnp.int32)
+    tymin = jnp.clip(jnp.floor((y - r) / tile_size), 0, Ty - 1).astype(jnp.int32)
+    tymax = jnp.clip(jnp.floor((y + r) / tile_size), 0, Ty - 1).astype(jnp.int32)
+    sw = txmax - txmin + 1
+    sh = tymax - tymin + 1
+
+    d = jnp.arange(D, dtype=jnp.int32)[None, :]
+    dx = d % sw[:, None]
+    dy = d // sw[:, None]
+    valid = mask[:, None] & (d < sw[:, None] * sh[:, None]) & (dy < sh[:, None]) \
+        & (r[:, None] > 0)
+    tile_id = (tymin[:, None] + dy) * Tx + (txmin[:, None] + dx)
+    tile_id = jnp.where(valid, tile_id, T).astype(jnp.int32)
+
+    flat_tile = tile_id.reshape(-1)
+    flat_q = jnp.broadcast_to(qdepth[:, None], (N, D)).reshape(-1)
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, D)).reshape(-1)
+
+    key = flat_tile * np.int32(qmax + 1) + jnp.where(
+        flat_tile < T, flat_q, qmax)
+    s_key, s_idx = jax.lax.sort((key, flat_idx), num_keys=1)
+
+    bounds = jnp.arange(T + 1, dtype=jnp.int32) * np.int32(qmax + 1)
+    seg = jnp.searchsorted(s_key, bounds)
+    seg_start = seg[:T]
+    counts = jnp.minimum(seg[1:] - seg_start, capacity).astype(jnp.int32)
+    return s_idx, seg_start.astype(jnp.int32), counts
+
+
 # ---------------------------------------------------------------------------
 # Tile blending (log-transmittance, MXU matmuls)
 # ---------------------------------------------------------------------------
@@ -381,6 +447,37 @@ def rasterize_projected(
     CUDA rasterizer). ``use_pallas=None`` auto-selects the Pallas blend on
     TPU devices; ``pallas_mode='eval'`` picks the faster non-differentiable
     forward for pure rendering."""
+    CH = g.colors.shape[-1]
+    if use_pallas is None:
+        try:
+            use_pallas = jax.devices()[0].platform == "tpu" and CH + 2 <= 6
+        except RuntimeError:
+            use_pallas = False
+    if use_pallas and pallas_mode == "eval":
+        # windowed sorted blend: no (T, K) index table, no per-tile gather
+        from .pallas_blend import blend_sorted_pallas
+
+        s_idx, seg_start, counts = bin_gaussians_sorted(
+            jax.lax.stop_gradient(g.means2d),
+            jax.lax.stop_gradient(g.radius),
+            jax.lax.stop_gradient(g.depth),
+            g.mask, image_height, image_width, tile_size, capacity,
+            max_tiles_per_gaussian)
+        N = g.colors.shape[0]
+        values = jnp.concatenate(
+            [g.colors, g.depth[:, None], jnp.ones((N, 1), g.colors.dtype)],
+            axis=-1)
+        out = blend_sorted_pallas(
+            s_idx, seg_start, counts, g.means2d, g.conic,
+            g.opacity * g.mask.astype(g.opacity.dtype), values,
+            image_height, image_width, tile_size=tile_size, chunk=chunk,
+            capacity=capacity, interpret=pallas_interpret)
+        return RasterOutput(
+            image=out[..., :CH],
+            alpha=out[..., CH + 1],
+            depth=out[..., CH],
+            radii=g.radius,
+        )
     tile_lists, tile_counts = bin_gaussians(
         jax.lax.stop_gradient(g.means2d),
         jax.lax.stop_gradient(g.radius),
@@ -388,12 +485,6 @@ def rasterize_projected(
         g.mask,
         image_height, image_width, tile_size, capacity, max_tiles_per_gaussian,
     )
-    CH = g.colors.shape[-1]
-    if use_pallas is None:
-        try:
-            use_pallas = jax.devices()[0].platform == "tpu" and CH + 2 <= 6
-        except RuntimeError:
-            use_pallas = False
     if use_pallas:
         out = _blend_dispatch(
             tile_lists, g.means2d, g.conic, g.opacity, g.colors, g.depth,

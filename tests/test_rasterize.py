@@ -119,6 +119,39 @@ def test_tiled_matches_reference_nonmultiple_size(rng):
     np.testing.assert_allclose(out.image, ref[..., :3], atol=2e-5)
 
 
+def test_sorted_eval_path_matches_reference(rng):
+    """The windowed sorted Pallas blend (pallas_mode='eval' on TPU) against
+    the per-pixel oracle, in interpret mode."""
+    H, W = 64, 64
+    g, _ = project_scene(rng, H, W, n=90)
+    out = R.rasterize_projected(
+        g, H, W, tile_size=16, capacity=512, chunk=64,
+        max_tiles_per_gaussian=16, use_pallas=True, pallas_interpret=True,
+        pallas_mode="eval")
+    ref = R.rasterize_reference(g, H, W)
+    # quantized-depth ordering + bf16 prefix matmul: small tolerance
+    np.testing.assert_allclose(out.image, ref[..., :3], atol=5e-3)
+    np.testing.assert_allclose(out.alpha, ref[..., 4], atol=5e-3)
+
+
+def test_bin_gaussians_sorted_segments(rng):
+    """Sorted-segment binning agrees with the (T, K) table binning."""
+    H = W = 64
+    g, _ = project_scene(rng, H, W, n=48)
+    lists, counts = R.bin_gaussians(
+        g.means2d, g.radius, g.depth, g.mask, H, W,
+        tile_size=16, capacity=64, max_tiles_per_gaussian=32)
+    s_idx, seg_start, counts2 = R.bin_gaussians_sorted(
+        g.means2d, g.radius, g.depth, g.mask, H, W,
+        tile_size=16, capacity=64, max_tiles_per_gaussian=32)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts2))
+    s_idx = np.asarray(s_idx)
+    seg_start = np.asarray(seg_start)
+    for t in range(seg_start.shape[0]):
+        seg = s_idx[seg_start[t]: seg_start[t] + counts2[t]]
+        np.testing.assert_array_equal(seg, np.asarray(lists)[t][: counts[t]])
+
+
 def test_occlusion_order():
     """A nearer opaque gaussian must hide a farther one."""
     H = W = 32
