@@ -50,8 +50,11 @@ def main():
     )
     out = f(means3d, quats, scales, opac, colors)
     out.block_until_ready()
+    for _ in range(5):  # steady-state warmup (executable cache + queues)
+        out = f(means3d, quats, scales, opac, colors)
+    out.block_until_ready()
 
-    iters = 10
+    iters = 50
     t0 = time.time()
     for _ in range(iters):
         out = f(means3d, quats, scales, opac, colors)
