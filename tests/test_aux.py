@@ -130,6 +130,89 @@ class TestSemantics:
         f = np.asarray(model.faces)[fids]
         assert np.isin(f, vids).all()
 
+    def test_label_fusion_matches_reference_semantics(self):
+        """Golden test of the fused tables on a strip mesh where the
+        reference algorithm (smpl_model.py:444-510) can be mirrored
+        brute-force: FLAME face wins over json head, MANO tables appear,
+        wrists = forearm∩hand dilated 3 rings, wrist faces use any-vertex
+        membership while other parts use all-vertex."""
+        from dreamwaltz_g_tpu.human.semantics import SMPLSemantics
+
+        # strip mesh: vertices 0..N-1 in a line, triangles (i, i+1, i+2)
+        N = 40
+        faces = np.stack([np.arange(N - 2), np.arange(1, N - 1),
+                          np.arange(2, N)], axis=1)
+        seg = {
+            "leftForeArm": list(range(0, 12)),
+            "leftHand": list(range(10, 20)),
+            "leftHandIndex1": [20],
+            "rightForeArm": list(range(22, 30)),
+            "rightHand": list(range(28, 36)),
+            "rightHandIndex1": [],
+            "head": list(range(36, 40)),
+            "eyeballs": [39],
+            "spine": [21], "spine1": [], "spine2": [],
+            "leftShoulder": [], "rightShoulder": [],
+            "hips": [], "leftLeg": [], "rightLeg": [],
+            "leftUpLeg": [], "rightUpLeg": [],
+            "leftFoot": [], "rightFoot": [],
+            "leftToeBase": [], "rightToeBase": [],
+            "neck": [38],
+            "leftArm": [], "rightArm": [],
+        }
+        flame = {"face": [36, 37], "scalp": [38], "eye_region": [37]}
+        mano = {"left_hand": list(range(10, 21)),
+                "right_hand": list(range(28, 36))}
+        sem = SMPLSemantics(faces, N, seg, flame=flame, mano=mano)
+
+        # FLAME face (not the json head)
+        assert sem.label_to_vertices["face"].tolist() == [36, 37]
+        assert sem.label_to_vertices["scalp"].tolist() == [38]
+        assert sem.label_to_vertices["eyes"].tolist() == [39]
+        # MANO alternative tables exist
+        assert sem.label_to_vertices["hands_MANO"].tolist() == \
+            sorted(set(mano["left_hand"]) | set(mano["right_hand"]))
+        # skin = everything minus eyeballs
+        assert sem.label_to_vertices["skin"].tolist() == list(range(39))
+
+        # wrist_left: forearm∩hand = {10, 11}; 3-ring dilation on the strip
+        # adds ±2 neighbors per ring -> [4..17]
+        core = {10, 11}
+        adj = {i: set(range(max(0, i - 2), min(N, i + 3))) - {i}
+               for i in range(N)}
+        for _ in range(3):
+            core = core | {x for v in core for x in adj[v]}
+        assert set(sem.label_to_vertices["wrist_left"].tolist()) == core
+        # wrists = union of the two rings
+        wl = set(sem.label_to_vertices["wrist_left"].tolist())
+        wr = set(sem.label_to_vertices["wrist_right"].tolist())
+        assert set(sem.label_to_vertices["wrists"].tolist()) == wl | wr
+
+        # faces: strict for hands (all 3 vertices inside), loose for wrists
+        hl = set(sem.label_to_vertices["hand_left"].tolist())
+        for fid in sem.label_to_faces["hand_left"]:
+            assert set(faces[fid]).issubset(hl)
+        loose = sem.label_to_faces["wrist_left"]
+        assert any(not set(faces[fid]).issubset(wl) for fid in loose) or \
+            all(set(faces[fid]) & wl for fid in loose)
+        for fid in loose:
+            assert set(faces[fid]) & wl
+
+    def test_get_semantic_parts_face_falls_back_without_flame(self):
+        """Without FLAME assets the 'face' part = json head minus eyeballs."""
+        from dreamwaltz_g_tpu.human.semantics import get_semantic_parts
+        from dreamwaltz_g_tpu.human.smplx_model import make_synthetic_model
+
+        model = make_synthetic_model()
+        seg = {"head": list(range(0, 30)), "eyeballs": [0, 1],
+               "leftHand": [], "rightHand": [],
+               "leftHandIndex1": [], "rightHandIndex1": []}
+        out = get_semantic_parts(model, "face", segmentation=seg,
+                                 root="/nonexistent")
+        assert out is not None
+        vids, _ = out
+        assert set(vids) == set(range(2, 30))
+
 
 class TestVanillaAvatar:
     def test_init_and_animate(self):
