@@ -311,3 +311,71 @@ def test_sdxl_unet_and_guidance():
     res = sd(gp, imgs, ctx, ctx, jnp.asarray([300], jnp.int32),
              jax.random.PRNGKey(3))
     assert np.isfinite(float(res["loss"]))
+
+
+def test_hf_unet_conversion_roundtrip(tmp_path):
+    """Structurally-exact HF dump -> convert_unet -> forward.
+
+    Builds a torch state dict in the real diffusers layouts (conv OIHW,
+    linear (out, in)) under the real diffusers key names, torch.saves it,
+    and converts with strict=True — every target leaf must be found and
+    every torch key consumed. A conv-kernel spot check catches transpose
+    regressions; known-real diffusers keys guard the name mapping."""
+    torch = pytest.importorskip("torch")
+    from dreamwaltz_g_tpu.guidance.convert import (
+        _flatten,
+        _torch_name,
+        convert_unet,
+    )
+    from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, tiny_unet_config
+
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    D = ucfg.cross_attention_dim
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 4, D)))
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    for path, leaf in _flatten(params["params"]).items():
+        name = _torch_name(path, "")
+        shape = tuple(leaf.shape)
+        if path[-1] == "kernel":
+            if len(shape) == 4:          # HWIO -> torch OIHW
+                shape = (shape[3], shape[2], shape[0], shape[1])
+            elif len(shape) == 2:        # (in, out) -> torch (out, in)
+                shape = (shape[1], shape[0])
+        sd[name] = torch.from_numpy(
+            (rng.normal(size=shape) * 0.02).astype(np.float32))
+
+    # the generated names ARE the real diffusers SD-UNet key names
+    for known in ("conv_in.weight", "time_embedding.linear_1.weight",
+                  "down_blocks.0.resnets.0.conv1.weight",
+                  "down_blocks.0.attentions.0.transformer_blocks.0"
+                  ".attn1.to_q.weight",
+                  "down_blocks.0.attentions.0.transformer_blocks.0"
+                  ".ff.net.0.proj.weight",
+                  "mid_block.resnets.0.norm1.weight",
+                  "conv_out.weight"):
+        assert known in sd, f"missing diffusers key {known}"
+
+    path = tmp_path / "unet.pth"
+    torch.save(sd, str(path))
+    loaded = {k: np.asarray(v) for k, v in torch.load(
+        str(path), map_location="cpu", weights_only=True).items()}
+
+    conv, missing, unused = convert_unet(
+        unet, loaded, sample_shape=(1, 8, 8, 4), context_shape=(1, 4, D),
+        strict=True)
+    assert not missing and not unused
+
+    # conv kernel layout: OIHW -> HWIO
+    np.testing.assert_allclose(
+        np.asarray(conv["params"]["conv_in"]["kernel"]),
+        np.asarray(sd["conv_in.weight"]).transpose(2, 3, 1, 0))
+
+    out = unet.apply(conv, jnp.ones((1, 8, 8, 4)) * 0.1,
+                     jnp.asarray([100], jnp.int32),
+                     jnp.ones((1, 4, D)) * 0.1)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
