@@ -152,6 +152,13 @@ class RenderConfig:
     use_densifier: bool = False
     densify_from_iter: Optional[int] = None
     densify_until_iter: Optional[int] = None
+    # None = scale from max_iteration like the reference
+    # (gaussian_densifier.py:30-40: interval 100/15000). The reference's
+    # periodic opacity reset has no hybrid-avatar analog (opacity is decoded
+    # by the NeRF MLP, not a parameter) — dead splats are pruned on the
+    # DECODED opacity instead (densify_min_opacity).
+    densification_interval: Optional[int] = None
+    densify_min_opacity: float = 0.005
     densify_grad_threshold: float = 100.0
     densify_disable_clone: bool = False
     densify_disable_split: bool = False

@@ -359,7 +359,7 @@ def blend_sorted_pallas(
         in_specs=[
             pl.BlockSpec((C, C), lambda t, seg, cnt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # panels stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # panels stay in HBM
         ],
         out_specs=pl.BlockSpec((1, P, 8), lambda t, seg, cnt: (t, 0, 0),
                                memory_space=pltpu.VMEM),

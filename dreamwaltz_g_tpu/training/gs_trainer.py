@@ -100,7 +100,8 @@ def make_avatar_sds_step(
                            t, key, cond_image=cond_image,
                            guidance_scale=guidance_scale)
             loss = lambda_guidance * sds["loss"]
-            return loss, (out.radii, {"sds_loss": sds["loss"]})
+            return loss, (out.radii, {"sds_loss": sds["loss"],
+                                      "tile_overflow": out.overflow})
 
         dummy = jnp.zeros((C + M, 2), jnp.float32)
         (loss, (radii, metrics)), (grads, dgrad) = jax.value_and_grad(
@@ -163,11 +164,19 @@ def make_nerf2gs_step(
 
 
 def densify(tstate: AvatarTrainState, cfg: DensifyConfig, key: jax.Array,
-            ) -> AvatarTrainState:
+            model: Optional[AvatarModel] = None) -> AvatarTrainState:
     """Clone/split/prune + per-slot optimizer-moment reset
     (reference: Scene.densify -> GaussianDensifier.__call__ +
-    Adam-state surgery, gaussian_densifier.py:120-182, 338-387)."""
-    new_avatar, written = densify_avatar(tstate.avatar, cfg, key)
+    Adam-state surgery, gaussian_densifier.py:120-182, 338-387).
+
+    Pass ``model`` to enable the min-opacity prune on the MLP-decoded
+    opacities (reference: prune_opacity_threshold,
+    gaussian_densifier.py:211-228)."""
+    from ..system.avatar import decode_opacities
+
+    op = decode_opacities(model, tstate.avatar) if model is not None else None
+    new_avatar, written = densify_avatar(tstate.avatar, cfg, key,
+                                         opacities=op)
     opt_state = reset_opt_slots(tstate.opt_state, written)
     return AvatarTrainState(new_avatar, opt_state, tstate.step)
 
@@ -285,17 +294,17 @@ def make_avatar_sds_step_split(
                 gparams, image[None].astype(dt_probe.dtype))
             loss = lambda_guidance * jnp.sum(
                 latents.astype(jnp.float32) * glat) / latents.shape[0]
-            return loss, out.radii
+            return loss, (out.radii, out.overflow)
 
         dummy = jnp.zeros((C + M, 2), jnp.float32)
-        (loss, radii), (grads, dgrad) = jax.value_and_grad(
+        (loss, (radii, overflow)), (grads, dgrad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
         updates, opt_state = tx.update(grads, tstate.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_avatar = update_avatar_stats(
             state._replace(params=params), dgrad[:C], radii[:C])
         return (AvatarTrainState(new_avatar, opt_state, tstate.step + 1),
-                {"loss": loss})
+                {"loss": loss, "tile_overflow": overflow})
 
     def step(tstate, gparams, observed_inputs, extrinsic, intrinsics,
              tanfov, background, text_embeds, uncond_embeds, t, key,

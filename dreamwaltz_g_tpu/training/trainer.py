@@ -498,9 +498,14 @@ class Trainer:
         self.densify_cfg = DensifyConfig(
             grad_threshold=cfg.render.densify_grad_threshold,
             spatial_scale=spatial,
+            min_opacity=cfg.render.densify_min_opacity,
             enable_clone=not cfg.render.densify_disable_clone,
             enable_split=not cfg.render.densify_disable_split,
             enable_prune=not cfg.render.densify_disable_prune)
+        # schedule defaults scale from max_iteration like the reference's
+        # 15k-iter baseline (gaussian_densifier.py:30-40)
+        self.densification_interval = cfg.render.densification_interval \
+            or max(int(self.max_iteration * 100 / 15000), 1)
 
     def check(self) -> None:
         """Pre-training sanity exports: condition images around the body and
@@ -762,9 +767,12 @@ class Trainer:
             # only sync with the device on log steps — JAX async dispatch
             # overlaps the next host-side batch prep with this step
             loss = float(metrics.get("loss", np.nan))
-            logger.info("step %d/%d loss=%.4f (%.2f s/it)",
+            ovf = metrics.get("tile_overflow")
+            logger.info("step %d/%d loss=%.4f (%.2f s/it)%s",
                         self.train_step, self.max_iteration, loss,
-                        (time.time() - t0) / self.train_step)
+                        (time.time() - t0) / self.train_step,
+                        "" if ovf is None
+                        else " tile_overflow=%.4f" % float(ovf))
         if cfg.log.snapshot_interval and \
                 self.train_step % cfg.log.snapshot_interval == 0:
             self._snapshot(batch)
@@ -851,15 +859,20 @@ class Trainer:
         return metrics  # device arrays — pulled lazily at log cadence
 
     def _maybe_densify(self):
-        """(reference: densify cadence, trainer.py:879-885)"""
+        """(reference: densify cadence, trainer.py:879-885 +
+        densification_interval, gaussian_densifier.py:36-37)"""
         r = self.cfg.render
         if r.use_densifier and r.densify_from_iter is not None \
                 and r.densify_from_iter <= self.train_step \
                 and (r.densify_until_iter is None
                      or self.train_step < r.densify_until_iter) \
-                and self.train_step % 100 == 0:
+                and self.train_step % self.densification_interval == 0:
+            n_before = int(self.state.avatar.num_alive)
             self.state = gs_trainer.densify(
-                self.state, self.densify_cfg, self._next_key())
+                self.state, self.densify_cfg, self._next_key(),
+                model=self.avatar_model)
+            logger.info("densify @%d: %d -> %d alive", self.train_step,
+                        n_before, int(self.state.avatar.num_alive))
 
     def pretrain(self) -> None:
         """NeRF pretrain against SMPL-X depth/mask

@@ -151,6 +151,31 @@ def test_avatar_densify(setup):
         np.asarray(st.params.lbs_weights)[:4], atol=1e-6)
 
 
+def test_avatar_densify_opacity_prune(setup):
+    """min-opacity prune on DECODED opacities (reference:
+    gaussian_densifier.py:211-228; the avatar analog of VERDICT weak #5)."""
+    model, state, cloud = setup
+    cfg = DensifyConfig(grad_threshold=1e9, min_opacity=0.5)
+    # fake decoded opacities: slots 0-9 dead, everything else opaque
+    ops = jnp.ones(128).at[:10].set(0.01)
+    st2, _ = A.densify_avatar(state, cfg, jax.random.PRNGKey(0),
+                              opacities=ops)
+    assert int(st2.num_alive) == 64 - 10
+    assert not bool(st2.alive[:10].any())
+    # without opacities nothing is pruned
+    st3, _ = A.densify_avatar(state, cfg, jax.random.PRNGKey(0))
+    assert int(st3.num_alive) == 64
+
+
+def test_decode_opacities_matches_animate(setup):
+    """decode_opacities reproduces animate()'s unconstrained opacities."""
+    model, state, cloud = setup
+    ops = A.decode_opacities(model, state)
+    gs = A.animate(model, state, observed_inputs=None)
+    np.testing.assert_allclose(np.asarray(ops[:64]),
+                               np.asarray(gs.opacities[:64]), atol=1e-5)
+
+
 def test_render_scene_sanity(setup):
     model, state, cloud = setup
     cam = make_camera_batch(2.0, 0.0, 90.0, 50.0, 32, 32, at_vector=((0, 0.7, 0),))

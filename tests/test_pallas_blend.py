@@ -27,7 +27,7 @@ def test_pallas_blend_matches_jnp():
     H = W = 64
     ts, cap, chunk = 16, 128, 64
     g = _scene(500, H, W)
-    tile_lists, _ = R.bin_gaussians(g.means2d, g.radius, g.depth, g.mask,
+    tile_lists, _, _ = R.bin_gaussians(g.means2d, g.radius, g.depth, g.mask,
                                     H, W, ts, cap)
     ref = R.blend_tiles(tile_lists, g, H, W, ts, chunk)
 
@@ -81,7 +81,7 @@ def test_pallas_train_blend_matches_jnp_gradients():
 
     H = W = 32
     g = _scene(120, H, W, seed=3)
-    tile_lists, tile_counts = R.bin_gaussians(
+    tile_lists, tile_counts, _ = R.bin_gaussians(
         g.means2d, g.radius, g.depth, g.mask, H, W, 16, 64)
     N, CH = g.colors.shape
     values = jnp.concatenate(

@@ -72,7 +72,7 @@ def test_behind_camera_culled(rng):
 def test_bin_gaussians_depth_order_and_membership(rng):
     H = W = 64
     g, _ = project_scene(rng, H, W, n=48)
-    lists, counts = R.bin_gaussians(
+    lists, counts, _ = R.bin_gaussians(
         g.means2d, g.radius, g.depth, g.mask, H, W,
         tile_size=16, capacity=64, max_tiles_per_gaussian=32,
     )
@@ -138,10 +138,10 @@ def test_bin_gaussians_sorted_segments(rng):
     """Sorted-segment binning agrees with the (T, K) table binning."""
     H = W = 64
     g, _ = project_scene(rng, H, W, n=48)
-    lists, counts = R.bin_gaussians(
+    lists, counts, _ = R.bin_gaussians(
         g.means2d, g.radius, g.depth, g.mask, H, W,
         tile_size=16, capacity=64, max_tiles_per_gaussian=32)
-    s_idx, seg_start, counts2 = R.bin_gaussians_sorted(
+    s_idx, seg_start, counts2, _ = R.bin_gaussians_sorted(
         g.means2d, g.radius, g.depth, g.mask, H, W,
         tile_size=16, capacity=64, max_tiles_per_gaussian=32)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts2))
@@ -193,6 +193,10 @@ def test_capacity_overflow_keeps_nearest(rng):
     # ~1e-5 — the kept nearest-8 reproduce the full blend there
     c = slice(5, 12)
     np.testing.assert_allclose(trunc.image[c, c], full.image[c, c], atol=5e-3)
+    # no-silent-caps telemetry: the truncated run reports the dropped
+    # fraction (one tile, 32 entries, capacity 8 -> 24/32 dropped)
+    assert float(full.overflow) == 0.0
+    np.testing.assert_allclose(float(trunc.overflow), 24.0 / 32.0, atol=1e-6)
 
 
 def test_gradients_match_reference(rng):
