@@ -66,7 +66,7 @@ class NeRFConfig:
     # cuda_ray/max_steps compaction is replaced by num_steps static samples)
     grid_size: int = 128
     num_steps: int = 96          # static samples per ray (coarse, occupancy-masked)
-    upsample_steps: int = 32     # importance samples per ray
+    upsample_steps: int = 0      # PDF importance samples per ray (ref: 0)
     update_extra_interval: int = 16
     max_ray_batch: int = 4096
     density_thresh: float = 10.0
@@ -235,7 +235,9 @@ class GuideConfig:
     time_annealing: str = "linear"
     time_annealing_window: str = "impluse"
 
-    sds_loss_type: str = "sds"   # {'sds', 'sjc', 'ism', 'csd', 'nfsd'}
+    # score families {'sds','sjc','sjc-red','csd','nfsd','ism','custom'} +
+    # denoise families {'z0','z0_final','x0','x0_final'} (basic.py:546-898)
+    sds_loss_type: str = "sds"
     sds_weight_type: str = "sjc"  # {'dreamfusion', 'latent-nerf', 'sjc', 'ism'}
     input_interpolate: bool = True
 
@@ -413,6 +415,9 @@ class LogConfig:
     max_keep_ckpts: int = 1
     debug: bool = False
     check: bool = False
+    # force a JAX platform ('cpu'/'tpu'); the environment may pin platforms
+    # programmatically, so env vars alone cannot select CPU smoke runs
+    platform: Optional[str] = None
 
     @property
     def exp_dir(self) -> Path:

@@ -49,19 +49,34 @@ class ScoreDistillation:
     vae: AutoencoderKL
     controlnet: Optional[ControlNet] = None
     schedule: DiffusionSchedule = None
-    loss_type: str = "sds"            # {'sds', 'sjc', 'csd', 'nfsd', 'ism'}
+    # score families: {'sds','sjc','sjc-red','csd','nfsd','ism','custom'}
+    # denoise families: {'z0','z0_final','x0','x0_final'} (basic.py:843-898)
+    loss_type: str = "sds"
     weight_type: str = "sjc"          # {'dreamfusion', 'latent-nerf', 'ism', 'sjc'}
     guidance_scale: float = 50.0
+    guidance_rescale: float = 0.0     # CFG std-rescale (arXiv 2305.08891 §3.4)
     controlnet_scale: float = 1.0
     grad_latent_clip: bool = False
     grad_latent_clip_scale: float = 3.0
     grad_latent_norm: bool = False
     grad_latent_nan_to_num: bool = True
+    # ISM two-phase DDIM inversion (reference: ism(), basic.py:717-776):
+    # phase 1 inverts x0->x_{t_prev} with xs_delta_t strides, phase 2 takes
+    # one annealed-delta step to t; delta anneals delta_t_start -> delta_t
+    # over the first warmup_frac of training
     ism_delta_t: int = 80
-    ism_delta_t_start: int = 25   # inversion step size (LucidDreamer denoise_guidance_scale path)
-    ism_inversion_steps: int = 0  # 0 = single-step core; >0 = full DDIM chain
+    ism_delta_t_start: int = 100
+    ism_xs_delta_t: int = 200
+    ism_xs_inv_steps: int = 5
+    ism_warmup_frac: float = 0.3      # warmup_iter = 1500/5000 * max_iter
+    denoise_timesteps: int = 50       # inference grid for z0/x0 modes
     latent_size: int = 64
     latent_input: bool = False    # 4-channel renders ARE latents (Latent-NeRF)
+
+    @property
+    def is_denoising_mode(self) -> bool:
+        """(reference: basic.py:344-345)"""
+        return self.loss_type in ("z0", "z0_final", "x0", "x0_final")
 
     def __post_init__(self):
         if self.schedule is None:
@@ -146,6 +161,7 @@ class ScoreDistillation:
         cond_image: Optional[jnp.ndarray] = None,  # (B, 512, 512, 3)
         neg_embeds: Optional[jnp.ndarray] = None,  # for csd/nfsd 3-way CFG
         guidance_scale: Optional[float] = None,
+        progress: Optional[jnp.ndarray] = None,    # step/max_iter in [0,1]
     ) -> Dict[str, jnp.ndarray]:
         """Returns dict with 'loss' (scalar — backprop this), 'gradients',
         'latents', 'noise_pred' (reference: __call__, basic.py:778-917)."""
@@ -153,11 +169,45 @@ class ScoreDistillation:
         # and embeds together; f32 inputs would silently promote everything
         # back to f32 and halve UNet throughput)
         dt = text_embeds.dtype
+        if self.loss_type in ("x0", "x0_final"):
+            # pixel-space denoise loss (reference: basic.py:872-877):
+            # sources are the (resized) INPUT pixels; targets decode the
+            # denoised latents — the VAE is outside the gradient path.
+            B, H, W, C = images.shape
+            vae_factor = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+            target_hw = self.latent_size * vae_factor
+            inputs = images.astype(dt)
+            if H != target_hw or W != target_hw:
+                inputs = jax.image.resize(
+                    inputs, (B, target_hw, target_hw, C), "bilinear")
+            latents = self.vae.encode(params.vae, inputs)
+            x0 = self._denoised_latents(
+                params, jax.lax.stop_gradient(latents), text_embeds,
+                uncond_embeds, t, key, cond_image, guidance_scale)
+            target = jax.lax.stop_gradient(
+                self.vae.decode(params.vae, x0).astype(jnp.float32))
+            src = inputs.astype(jnp.float32)
+            loss = 0.5 * jnp.sum((src - target) ** 2) / B
+            return {"loss": loss, "gradients": src - target,
+                    "latents": latents, "target": target}
+
         latents = self.encode_images(params, images.astype(dt))
+        if self.loss_type in ("z0", "z0_final"):
+            # latent-space denoise loss (reference: basic.py:864-871, 896-898)
+            x0 = self._denoised_latents(
+                params, jax.lax.stop_gradient(latents), text_embeds,
+                uncond_embeds, t, key, cond_image, guidance_scale)
+            target = jax.lax.stop_gradient(x0.astype(jnp.float32))
+            src = latents.astype(jnp.float32)
+            loss = 0.5 * jnp.sum((src - target) ** 2) / latents.shape[0]
+            return {"loss": loss, "gradients": src - target,
+                    "latents": latents, "target": target}
+
         grad = self.latent_gradients(
             params, jax.lax.stop_gradient(latents), text_embeds,
             uncond_embeds, t, key, cond_image=cond_image,
-            neg_embeds=neg_embeds, guidance_scale=guidance_scale)
+            neg_embeds=neg_embeds, guidance_scale=guidance_scale,
+            progress=progress)
         # SpecifyGradient (reference: basic.py:213-226, 900): d loss / d
         # latents == grad; the reduction runs in f32 for gradient fidelity
         loss = jnp.sum(latents.astype(jnp.float32) * grad) / latents.shape[0]
@@ -168,6 +218,50 @@ class ScoreDistillation:
             "target": jax.lax.stop_gradient(
                 latents.astype(jnp.float32) - grad),
         }
+
+    def _denoised_latents(self, params, lat_sg, text_embeds, uncond_embeds,
+                          t, key, cond_image, guidance_scale):
+        """Denoise-mode targets: noise to t, CFG eps, one DDIM step on the
+        ``denoise_timesteps`` inference grid -> pred_original_sample; the
+        ``*_final`` variants keep stepping the grid to t=0 (reference:
+        get_denoise_pred, basic.py:468-527 — deterministic DDIM steps here
+        instead of the reference's stochastic DDPM ancestral steps)."""
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        dt = text_embeds.dtype
+        gs = jnp.asarray(gs, dt) if isinstance(gs, jnp.ndarray) else gs
+        lat_sg = lat_sg.astype(dt)
+        noise = jax.random.normal(key, lat_sg.shape, dtype=dt)
+        latents_noisy = self.schedule.add_noise(lat_sg, noise, t)
+        # snap t to the inference grid (largest grid step <= t — the
+        # reference's min-over-bool index trick, basic.py:483-486)
+        T = self.schedule.num_train_timesteps
+        stride = T // self.denoise_timesteps
+        t_grid = (t // stride) * stride
+        eps_hat, _, _ = self._cfg_eps(
+            params, latents_noisy, t_grid, text_embeds, uncond_embeds,
+            cond_image, gs)
+        x0 = self.schedule.pred_x0_from_eps(latents_noisy, eps_hat, t_grid)
+        if not self.loss_type.endswith("_final"):
+            return jax.lax.stop_gradient(x0)
+
+        # iterative refinement: DDIM-walk the remaining grid steps to 0,
+        # masked so steps at/above t_grid leave x untouched
+        x = self.schedule.ddim_step(latents_noisy, eps_hat, t_grid,
+                                    t_grid - stride)
+
+        def body(i, x):
+            cur = T - stride - i * stride  # descending grid: T-s, T-2s, ... 0
+            cur_b = jnp.full(t_grid.shape, cur, t_grid.dtype)
+            eps, _, _ = self._cfg_eps(
+                params, x, cur_b, text_embeds, uncond_embeds, cond_image, gs)
+            x_next = self.schedule.ddim_step(x, eps, cur_b, cur_b - stride)
+            take = (cur_b < t_grid)
+            while take.ndim < x.ndim:
+                take = take[..., None]
+            return jnp.where(take, x_next, x)
+
+        x = jax.lax.fori_loop(0, self.denoise_timesteps, body, x)
+        return jax.lax.stop_gradient(x)
 
     def latent_gradients(
         self,
@@ -180,12 +274,17 @@ class ScoreDistillation:
         cond_image: Optional[jnp.ndarray] = None,
         neg_embeds: Optional[jnp.ndarray] = None,
         guidance_scale: Optional[float] = None,
+        progress: Optional[jnp.ndarray] = None,   # step/max_iter in [0,1]
     ) -> jnp.ndarray:
         """The frozen forward-only half of SDS: eps predictions -> weighted,
         guarded latent gradient (f32). Factored out so train steps can run
         it in its own jit — the UNet never needs to live in the same XLA
         program as the differentiable render (basic.py runs it under
-        no_grad for the same reason)."""
+        no_grad for the same reason).
+
+        ``progress`` drives the csd null/neg annealing (basic.py:608-618)
+        and the ISM delta_t warmup (basic.py:731-737); it enters as a device
+        scalar so schedule changes never retrace."""
         gs = self.guidance_scale if guidance_scale is None else guidance_scale
         dt = text_embeds.dtype
         # gs may be a traced device scalar (the per-step annealed CFG scale,
@@ -198,19 +297,41 @@ class ScoreDistillation:
         noise = jax.random.normal(k_noise, lat_sg.shape, dtype=dt)
         latents_noisy = self.schedule.add_noise(lat_sg, noise, t)
 
-        if self.loss_type in ("sds", "sjc"):
-            eps_hat, _, _ = self._cfg_eps(
+        if self.loss_type in ("sds", "sjc", "sjc-red"):
+            eps_hat, _, eps_text = self._cfg_eps(
                 params, latents_noisy, t, text_embeds, uncond_embeds,
                 cond_image, gs)
-            grad = eps_hat - noise
+            if self.guidance_rescale > 0.0:
+                eps_hat = _rescale_noise_cfg(eps_hat, eps_text,
+                                             self.guidance_rescale)
+            # sjc-red keeps the full CFG'd score as the gradient — no noise
+            # subtraction (reference: basic.py:605-606)
+            grad = eps_hat if self.loss_type == "sjc-red" else eps_hat - noise
 
-        elif self.loss_type == "csd":
-            # classifier score distillation: condition delta only
-            assert neg_embeds is not None
+        elif self.loss_type == "custom":
+            # raw condition delta, no CFG scale (reference: basic.py:587-592)
             _, eps_uncond, eps_text = self._cfg_eps(
                 params, latents_noisy, t, text_embeds, uncond_embeds,
                 cond_image, gs)
             grad = eps_text - eps_uncond
+            if self.guidance_rescale > 0.0:
+                grad = _rescale_noise_cfg(grad, eps_text,
+                                          self.guidance_rescale)
+
+        elif self.loss_type == "csd":
+            # classifier score distillation; with ``progress`` the annealed
+            # 3-term null/neg mix (reference: basic.py:608-618)
+            _, eps_uncond, eps_text = self._cfg_eps(
+                params, latents_noisy, t, text_embeds, uncond_embeds,
+                cond_image, gs)
+            if progress is None or neg_embeds is None:
+                grad = eps_text - eps_uncond
+            else:
+                eps_neg = self._eps(params, latents_noisy, t, neg_embeds,
+                                    cond_image)
+                p = jnp.asarray(progress, dt)
+                grad = eps_text + (-0.5 * p) * eps_uncond \
+                    + (-1.0 + 0.5 * p) * eps_neg
 
         elif self.loss_type == "nfsd":
             assert neg_embeds is not None
@@ -223,37 +344,50 @@ class ScoreDistillation:
             grad = delta_domain + gs * (eps_text - eps_uncond)
 
         elif self.loss_type == "ism":
-            # Interval Score Matching (reference: basic.py:665-776 +
-            # ism/sd_step.py ddim_step). t_prev = t - delta_t; x_{t_prev} is
-            # reached by DDIM-inverting x_0 with unconditional eps — either
-            # one step (core) or a chained inversion of
-            # ``ism_inversion_steps`` strides (ism_add_noise_with_cfg).
-            t_prev = jnp.maximum(t - self.ism_delta_t, 0)
-            if self.ism_inversion_steps > 0:
-                n_steps = self.ism_inversion_steps
-                stride = self.ism_delta_t_start
+            # Interval Score Matching — the reference's two-phase inversion
+            # (ism(), basic.py:717-776 + ism_add_noise_with_cfg, 665-715):
+            # phase 1 noises x0 to starting_ind and DDIM-inverts with
+            # xs_delta_t strides up to t_prev; phase 2 takes ONE inversion
+            # step of the annealed delta to t. grad = eps_cfg(x_t, t) -
+            # eps_uncond(x_{t_prev}, t_prev) (pred_scores[0]).
+            p = jnp.asarray(0.0 if progress is None else progress, jnp.float32)
+            warm_up_rate = 1.0 - jnp.minimum(p / self.ism_warmup_frac, 1.0)
+            cur_delta = (self.ism_delta_t + jnp.ceil(
+                warm_up_rate * (self.ism_delta_t_start - self.ism_delta_t))
+            ).astype(t.dtype)
+            t_prev = jnp.maximum(t - cur_delta, 0)
+            start = jnp.maximum(
+                t_prev - self.ism_xs_delta_t * self.ism_xs_inv_steps, 0)
+            x_start = self.schedule.add_noise(lat_sg, noise, start)
 
-                def invert(i, carry):
-                    x, cur_t = carry
-                    nxt = jnp.minimum(cur_t + stride, t_prev)
-                    eps_u = self._eps(params, x, cur_t, uncond_embeds,
-                                      cond_image)
-                    x = self.schedule.ddim_step(x, eps_u, cur_t, nxt)
-                    return (x, nxt)
+            def invert(i, carry):
+                x, cur = carry
+                eps_u = self._eps(params, x, cur, uncond_embeds, cond_image)
+                nxt = jnp.minimum(cur + self.ism_xs_delta_t, t_prev)
+                # cur == nxt recomposes x identically — the fori_loop stays
+                # static-shape where the reference breaks out early
+                return (self.schedule.ddim_step(x, eps_u, cur, nxt), nxt)
 
-                x0 = lat_sg
-                xs_prev, _ = jax.lax.fori_loop(
-                    0, n_steps, invert,
-                    (x0, jnp.zeros_like(t_prev)))
-                xs_prev = jax.lax.stop_gradient(xs_prev)
-            else:
-                xs_prev = self.schedule.add_noise(lat_sg, noise, t_prev)
+            xs_prev, _ = jax.lax.fori_loop(
+                0, self.ism_xs_inv_steps, invert, (x_start, start))
+            xs_prev = jax.lax.stop_gradient(xs_prev)
             eps_prev = jax.lax.stop_gradient(
                 self._eps(params, xs_prev, t_prev, uncond_embeds, cond_image))
             xs_t = self.schedule.ddim_step(xs_prev, eps_prev, t_prev, t)
             eps_hat, _, _ = self._cfg_eps(
                 params, xs_t, t, text_embeds, uncond_embeds, cond_image, gs)
             grad = eps_hat - eps_prev
+
+        elif self.is_denoising_mode:
+            # latent-space denoise gradient (z0 modes); equals the mse-loss
+            # gradient of __call__'s reparameterization (basic.py:896-898)
+            assert self.loss_type in ("z0", "z0_final"), \
+                "x0 modes are pixel-space — use __call__, not latent_gradients"
+            x0 = self._denoised_latents(params, lat_sg, text_embeds,
+                                        uncond_embeds, t, k_ism, cond_image,
+                                        gs)
+            return jax.lax.stop_gradient(
+                lat_sg.astype(jnp.float32) - x0.astype(jnp.float32))
 
         else:
             raise NotImplementedError(self.loss_type)
@@ -274,6 +408,17 @@ class ScoreDistillation:
             grad = jnp.nan_to_num(grad)
 
         return jax.lax.stop_gradient(grad).astype(jnp.float32)
+
+
+def _rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray,
+                       guidance_rescale: float) -> jnp.ndarray:
+    """Rescale CFG'd eps toward the text-branch std (arXiv 2305.08891 §3.4;
+    reference: rescale_noise_cfg used at basic.py:462-465, 589-592)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.maximum(jnp.std(noise_cfg, axis=axes, keepdims=True), 1e-8)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
 # ---------------------------------------------------------------------------

@@ -296,14 +296,34 @@ class TimePrioritizedScheduler:
             raise NotImplementedError(mode)
         return np.clip(t.astype(np.int32), 0, self.T - 1)
 
+    def get_ism_timestep(self, batch_size: int, train_step: int,
+                         max_iteration: int, min_step: int = 20,
+                         max_step: int = 500, warmup_step: int = 480,
+                         warmup_frac: float = 0.3) -> np.ndarray:
+        """ISM's expanded-window uniform draw (reference: ism(),
+        basic.py:722-742): t ~ U[min_step, max_step + warmup_step *
+        warm_up_rate) — the window shrinks from [20, 980) to [20, 500) over
+        the first ``warmup_frac`` of training (warmup_iter = 1500/5000)."""
+        warmup_iter = max(int(max_iteration * warmup_frac), 1)
+        warm_up_rate = 1.0 - min(train_step / warmup_iter, 1.0)
+        hi = max_step + int(warmup_step * warm_up_rate)
+        return self.rng.integers(min_step, hi,
+                                 size=batch_size).astype(np.int32)
+
     def get_guidance_scale(self, train_step: int, max_iteration: int) -> float:
-        """(reference: basic.py:404-418 get_guidance_scale)"""
+        """(reference: basic.py:404-418 get_guidance_scale — linear walks
+        initial -> 7.5, linear_reverse 7.5 -> initial, uniform ~ U[7.5, gs])"""
         base = self.cfg.guidance_scale
         adjust = self.cfg.guidance_adjust
         if adjust == "constant":
             return float(base)
+        if adjust == "uniform":
+            return float(self.rng.uniform(min(7.5, base), base))
+        delta = (base - 7.5) / max(max_iteration - 1, 1)
         if adjust == "linear":
-            return float(C((base, base / 2), train_step, max_iteration))
+            return float(base - (train_step - 1) * delta)
+        if adjust == "linear_reverse":
+            return float(7.5 + (train_step - 1) * delta)
         if adjust == "anneal":
             r = train_step / max(max_iteration, 1)
             return float(base * (1.0 - 0.5 * r))

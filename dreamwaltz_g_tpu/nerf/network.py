@@ -42,12 +42,18 @@ def _trunc_exp_bwd(x, g):
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
 
 
-def density_activation(kind: str, x: jnp.ndarray) -> jnp.ndarray:
-    """(reference: nerf_model.py:235-245)"""
+def density_activation(kind: str, x: jnp.ndarray,
+                       sigma_scale: Optional[jnp.ndarray] = None,
+                       ) -> jnp.ndarray:
+    """(reference: nerf_model.py:235-245; 'scaling' multiplies by a
+    learnable exp(sigma_scale) then softplus-shifts, nerf_model.py:240-245)"""
     if kind == "exp":
         return trunc_exp(x)
     if kind == "softplus":
         return jax.nn.softplus(x)
+    if kind == "scaling":
+        s = jnp.zeros(()) if sigma_scale is None else sigma_scale
+        return jax.nn.softplus(x * jnp.exp(s) - 1.0)
     raise ValueError(f"unknown density activation {kind!r}")
 
 
@@ -103,6 +109,10 @@ class NeRFParams(NamedTuple):
     encoder: GridEncoderParams
     sigma_mlp: dict
     bg_mlp: Optional[dict]
+    # structure variants (reference: build_NeRFNetwork, nerf_model.py:565-574)
+    albedo_mlp: Optional[dict] = None            # dual_mlp / dual_enc
+    encoder_sigma: Optional[GridEncoderParams] = None  # dual_enc
+    sigma_scale: Optional[jnp.ndarray] = None    # 'scaling' activation
 
 
 class NeRFModel(NamedTuple):
@@ -112,34 +122,59 @@ class NeRFModel(NamedTuple):
     enc_cfg: GridEncoderConfig
     sigma_mlp: SigmaMLP
     bg_mlp: Optional[BackgroundMLP]
+    albedo_mlp: Optional[SigmaMLP] = None  # dual_mlp/dual_enc color head
 
     @property
     def bound(self) -> float:
         return self.cfg.bound
 
     @property
+    def structure(self) -> str:
+        return getattr(self.cfg, "structure", "shared_mlp")
+
+    @property
     def color_channels(self) -> int:
         return 4 if self.cfg.nerf_type == "latent" else 3
 
     def init(self, key) -> NeRFParams:
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         enc = init_grid_encoder(self.enc_cfg, k1)
-        sig = self.sigma_mlp.init(k2, jnp.zeros((1, self.enc_cfg.output_dim)))
+        probe = jnp.zeros((1, self.enc_cfg.output_dim))
+        sig = self.sigma_mlp.init(k2, probe)
         bg = self.bg_mlp.init(k3, jnp.zeros((1, 3))) if self.bg_mlp else None
-        return NeRFParams(encoder=enc, sigma_mlp=sig, bg_mlp=bg)
+        alb = self.albedo_mlp.init(k4, probe) if self.albedo_mlp else None
+        enc_s = init_grid_encoder(self.enc_cfg, k5) \
+            if self.structure == "dual_enc" else None
+        ss = jnp.zeros(()) \
+            if self.cfg.density_activation == "scaling" else None
+        return NeRFParams(encoder=enc, sigma_mlp=sig, bg_mlp=bg,
+                          albedo_mlp=alb, encoder_sigma=enc_s,
+                          sigma_scale=ss)
 
     def encode(self, params: NeRFParams, positions: jnp.ndarray) -> jnp.ndarray:
         return grid_encode(params.encoder, self.enc_cfg, positions, self.bound)
 
     def density(self, params: NeRFParams, positions: jnp.ndarray):
-        """(reference: common_forward, nerf_model.py:280-295).
+        """(reference: common_forward — shared nerf_model.py:280-295,
+        dual_mlp 387-402, dual_enc 505-521).
         Returns (sigma (...,), albedo (..., C))."""
         h = self.encode(params, positions)
-        out = self.sigma_mlp.apply(params.sigma_mlp, h)
-        raw = out[..., 0] + density_prior(self.cfg.density_prior, positions,
-                                          self.bound)
-        sigma = density_activation(self.cfg.density_activation, raw)
-        albedo = jax.nn.sigmoid(out[..., 1:])
+        if self.albedo_mlp is None:  # shared_mlp: one head emits both
+            out = self.sigma_mlp.apply(params.sigma_mlp, h)
+            raw, alb = out[..., 0], out[..., 1:]
+        elif self.structure == "dual_enc":
+            h_sig = grid_encode(params.encoder_sigma, self.enc_cfg,
+                                positions, self.bound)
+            raw = self.sigma_mlp.apply(params.sigma_mlp, h_sig)[..., 0]
+            alb = self.albedo_mlp.apply(params.albedo_mlp, h)
+        else:  # dual_mlp: shared encoding, separate heads
+            raw = self.sigma_mlp.apply(params.sigma_mlp, h)[..., 0]
+            alb = self.albedo_mlp.apply(params.albedo_mlp, h)
+        raw = raw + density_prior(self.cfg.density_prior, positions,
+                                  self.bound)
+        sigma = density_activation(self.cfg.density_activation, raw,
+                                   params.sigma_scale)
+        albedo = jax.nn.sigmoid(alb)
         return sigma, albedo
 
     def background(self, params: NeRFParams, dirs: jnp.ndarray) -> jnp.ndarray:
@@ -148,7 +183,8 @@ class NeRFModel(NamedTuple):
 
 
 def build_nerf(cfg: NeRFConfig, with_background: bool = True) -> NeRFModel:
-    """(reference: build_NeRFNetwork, nerf_model.py:565-574)"""
+    """(reference: build_NeRFNetwork, nerf_model.py:565-574 — structure
+    selects shared_mlp / dual_mlp / dual_enc)"""
     enc_cfg = GridEncoderConfig(
         num_levels=cfg.num_levels,
         level_dim=cfg.level_dim,
@@ -157,10 +193,20 @@ def build_nerf(cfg: NeRFConfig, with_background: bool = True) -> NeRFModel:
         log2_hashmap_size=cfg.log2_hashmap_size,
         gridtype="tiled" if cfg.backbone == "tiledgrid" else "hash",
     )
-    out_ch = 1 + (4 if cfg.nerf_type == "latent" else 3)
+    C = 4 if cfg.nerf_type == "latent" else 3
+    structure = getattr(cfg, "structure", "shared_mlp")
+    if structure == "shared_mlp":
+        sigma_mlp = SigmaMLP(hidden=64, num_layers=3, out_channels=1 + C)
+        albedo_mlp = None
+    elif structure in ("dual_mlp", "dual_enc"):
+        sigma_mlp = SigmaMLP(hidden=64, num_layers=3, out_channels=1)
+        albedo_mlp = SigmaMLP(hidden=64, num_layers=3, out_channels=C)
+    else:
+        raise ValueError(f"unknown nerf structure {structure!r}")
     return NeRFModel(
         cfg=cfg,
         enc_cfg=enc_cfg,
-        sigma_mlp=SigmaMLP(hidden=64, num_layers=3, out_channels=out_ch),
+        sigma_mlp=sigma_mlp,
         bg_mlp=BackgroundMLP() if with_background else None,
+        albedo_mlp=albedo_mlp,
     )

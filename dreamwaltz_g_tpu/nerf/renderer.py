@@ -114,6 +114,35 @@ class RenderOutput(NamedTuple):
     normals: Optional[jnp.ndarray] = None  # (R, 3) weighted normal, if shaded
 
 
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Inverse-CDF importance sampling of ray depths
+    (reference: sample_pdf, core/nerf/nerf_utils.py — the torch-ngp
+    upsample path; static-shape searchsorted here).
+
+    bins (R, B) sorted depths, weights (R, B-1) -> (R, n_samples)."""
+    R, Bm1 = weights.shape
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((R, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1)  # (R, B)
+    if key is not None:
+        u = jax.random.uniform(key, (R, n_samples))
+    else:
+        u = jnp.broadcast_to(
+            (jnp.arange(n_samples) + 0.5) / n_samples, (R, n_samples))
+    idx = jax.vmap(jnp.searchsorted)(cdf, u)
+    lo = jnp.clip(idx - 1, 0, Bm1)
+    hi = jnp.clip(idx, 0, Bm1)
+    cdf_lo = jnp.take_along_axis(cdf, lo, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, hi, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, lo, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, hi, axis=-1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+    frac = (u - cdf_lo) / denom
+    return bin_lo + frac * (bin_hi - bin_lo)
+
+
 def render_rays(
     model: NeRFModel,
     params: NeRFParams,
@@ -122,6 +151,7 @@ def render_rays(
     rays_d: jnp.ndarray,
     key: Optional[jax.Array] = None,
     num_steps: int = 96,
+    upsample_steps: int = 0,
     perturb: bool = False,
     shading: str = "albedo",
     light_dir: Optional[jnp.ndarray] = None,
@@ -129,7 +159,10 @@ def render_rays(
     min_near: float = 0.05,
     return_normals: bool = False,
 ) -> RenderOutput:
-    """March ``num_steps`` static samples per ray and composite.
+    """March ``num_steps`` static samples per ray and composite; with
+    ``upsample_steps`` a second importance-sampled pass follows the coarse
+    weights (reference: run / sample_pdf upsampling, nerf_renderer.py
+    non-CUDA path — the cfg.nerf.upsample_steps knob).
 
     (reference: run_cuda train path, nerf_renderer.py:311-402: march ->
     sigma/color MLP -> composite; here fixed-shape and autodiff-driven.)
@@ -170,18 +203,47 @@ def render_rays(
         live = live & occupancy_lookup(grid, pts, bound)
     sigma = jnp.where(live, sigma, 0.0)
 
+    if upsample_steps > 0:
+        # importance pass: coarse weights (no grad) -> inverse-CDF depths ->
+        # merge + depth-sort both sample sets (static R x (S+U) panel)
+        cw = _composite_weights(jax.lax.stop_gradient(sigma), dt)
+        mids = 0.5 * (ts[:, 1:] + ts[:, :-1])            # (R, S-1)
+        k_up = None if key is None else jax.random.fold_in(key, 1)
+        new_ts = sample_pdf(mids, cw[:, 1:-1], upsample_steps, k_up)
+        new_ts = jax.lax.stop_gradient(new_ts)
+        new_pts = rays_o[:, None] + rays_d[:, None] * new_ts[..., None]
+        new_pts = jnp.clip(new_pts, -bound, bound)
+        s2, a2 = model.density(params, new_pts.reshape(-1, 3))
+        s2 = s2.reshape(R, upsample_steps)
+        a2 = a2.reshape(R, upsample_steps, -1)
+        live2 = hit[:, None]
+        if grid is not None:
+            live2 = live2 & occupancy_lookup(grid, new_pts, bound)
+        s2 = jnp.where(live2, s2, 0.0)
+
+        ts = jnp.concatenate([ts, new_ts], axis=-1)
+        order = jnp.argsort(ts, axis=-1)
+        ts = jnp.take_along_axis(ts, order, axis=-1)
+        sigma = jnp.take_along_axis(
+            jnp.concatenate([sigma, s2], axis=-1), order, axis=-1)
+        albedo = jnp.take_along_axis(
+            jnp.concatenate([albedo, a2], axis=1), order[..., None], axis=1)
+        pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
+        pts = jnp.clip(pts, -bound, bound)
+        # per-sample deltas (reference: deltas = z_vals diff + trailing
+        # coarse step as the last delta)
+        dt = jnp.concatenate([ts[:, 1:] - ts[:, :-1], dt], axis=-1)
+
+    S = sigma.shape[1]
     normals = None
     if shading != "albedo" or return_normals:
         normals = finite_difference_normals(model, params, pts.reshape(-1, 3))
-        normals = normals.reshape(R, num_steps, 3)
+        normals = normals.reshape(R, S, 3)
         color = shade(albedo, normals, shading, light_dir, ambient_ratio)
     else:
         color = albedo
 
-    alpha = 1.0 - jnp.exp(-sigma * dt)
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-    t_excl = jnp.concatenate([jnp.ones((R, 1)), trans[:, :-1]], axis=-1)
-    w = alpha * t_excl                                   # (R, S)
+    w = _composite_weights(sigma, dt)                    # (R, S)
 
     image = jnp.einsum("rs,rsc->rc", w, color)
     depth = jnp.einsum("rs,rs->r", w, ts)
@@ -191,6 +253,15 @@ def render_rays(
         out_normals = jnp.einsum("rs,rsc->rc", w, normals)
     return RenderOutput(image=image, depth=depth, weights_sum=weights_sum,
                         normals=out_normals)
+
+
+def _composite_weights(sigma: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
+    """Front-to-back alpha-compositing weights (R, S)."""
+    R = sigma.shape[0]
+    alpha = 1.0 - jnp.exp(-sigma * dt)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    t_excl = jnp.concatenate([jnp.ones((R, 1)), trans[:, :-1]], axis=-1)
+    return alpha * t_excl
 
 
 def finite_difference_normals(

@@ -43,14 +43,17 @@ def make_avatar_sds_step_dp(
     max_tiles_per_gaussian: int = 8,
     lambda_guidance: float = 1.0,
     axis_name: str = DATA_AXIS,
+    per_view_poses: bool = False,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
     Call with per-view batches (leading dim B = mesh size): extrinsic
     (B, 4, 4), intrinsics (B, 3, 3), tanfov (B,), background (B, H, W, 3),
     text/uncond (B, L, D), t (B,), keys (B, 2) uint32, cond (B, h, w, 3).
-    SMPL inputs stay replicated (one pose per step, like the reference's
-    batch — vary per-view poses by batching SMPLXParams instead).
+    With ``per_view_poses`` the SMPLXParams batch dim is the view dim too —
+    each chip renders its own pose draw (B independent reference steps
+    averaged, the stronger per-step signal); otherwise one pose is
+    replicated across views like the reference's batch.
     """
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
@@ -61,30 +64,35 @@ def make_avatar_sds_step_dp(
     def step(tstate: AvatarTrainState, gparams: GuidanceParams,
              observed_inputs, extrinsic, intrinsics, tanfov, background,
              text_embeds, uncond_embeds, t, keys, cond_image,
-             guidance_scale):
+             guidance_scale, progress):
         state = tstate.avatar
         C = state.capacity
         M = model.n_mesh_points
 
-        def one_view_loss(params, dummy, extr, intr, tf, bg, txt, unc,
+        def one_view_loss(params, dummy, obs, extr, intr, tf, bg, txt, unc,
                           t1, key, cond):
+            if per_view_poses:  # vmap stripped the (B,) view dim; smplx
+                obs = jax.tree_util.tree_map(  # forward wants (1, ...)
+                    lambda x: x[None], obs)
             image, out = _render_with_dummy(
-                model, state, params, observed_inputs, dummy,
+                model, state, params, obs, dummy,
                 extr, intr, tf, bg, H, W, raster)
             use_cond = guidance.controlnet is not None \
                 and gparams.controlnet is not None
             sds = guidance(
                 gparams, image[None], txt[None], unc[None], t1[None],
                 key, cond_image=cond[None] if use_cond else None,
-                guidance_scale=guidance_scale)
+                guidance_scale=guidance_scale, progress=progress)
             return lambda_guidance * sds["loss"], out.radii
+
+        obs_axis = 0 if per_view_poses else None
 
         def loss_fn(params, dummy):
             losses, radii = jax.vmap(
                 one_view_loss,
-                in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0),
-            )(params, dummy, extrinsic, intrinsics, tanfov, background,
-              text_embeds, uncond_embeds, t, keys, cond_image)
+                in_axes=(None, None, obs_axis, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+            )(params, dummy, observed_inputs, extrinsic, intrinsics, tanfov,
+              background, text_embeds, uncond_embeds, t, keys, cond_image)
             return jnp.mean(losses), jnp.max(radii, axis=0)
 
         dummy = jnp.zeros((C + M, 2), jnp.float32)
@@ -98,28 +106,30 @@ def make_avatar_sds_step_dp(
                 {"loss": loss})
 
     cond_shard = shd  # cond_image may be None at call sites with controlnet off
+    obs_shard = shd if per_view_poses else rep
     jitted = jax.jit(
         step,
-        in_shardings=(rep, rep, rep, shd, shd, shd, shd, shd, shd, shd, shd,
-                      cond_shard, rep),
+        in_shardings=(rep, rep, obs_shard, shd, shd, shd, shd, shd, shd,
+                      shd, shd, cond_shard, rep, rep),
         out_shardings=(rep, rep),
     )
 
     def call(tstate, gparams, observed_inputs, extrinsic, intrinsics,
              tanfov, background, text_embeds, uncond_embeds, t, keys,
-             cond_image=None, guidance_scale=None):
+             cond_image=None, guidance_scale=None, progress=None):
         if cond_image is None:
             B = extrinsic.shape[0]
             # placeholder (opacity-0 conditions are never consumed when the
             # guidance has no controlnet); keeps sharding signature static
             cond_image = jnp.zeros((B, 1, 1, 3))
-        # annealed per-step CFG scale as a replicated device scalar
-        # (reference: get_guidance_scale, basic.py:404-418)
+        # annealed per-step CFG scale + csd/ism progress as replicated
+        # device scalars (reference: get_guidance_scale, basic.py:404-418)
         gs = jnp.asarray(
             guidance.guidance_scale if guidance_scale is None
             else guidance_scale, jnp.float32)
+        pr = jnp.asarray(0.0 if progress is None else progress, jnp.float32)
         return jitted(tstate, gparams, observed_inputs, extrinsic,
                       intrinsics, tanfov, background, text_embeds,
-                      uncond_embeds, t, keys, cond_image, gs)
+                      uncond_embeds, t, keys, cond_image, gs, pr)
 
     return call

@@ -87,7 +87,7 @@ def make_avatar_sds_step(
              observed_inputs: SMPLXParams,
              extrinsic, intrinsics, tanfov, background,
              text_embeds, uncond_embeds, t, key,
-             cond_image=None, guidance_scale=None):
+             cond_image=None, guidance_scale=None, progress=None):
         state = tstate.avatar
         C = state.capacity
         M = model.n_mesh_points
@@ -98,7 +98,7 @@ def make_avatar_sds_step(
                 extrinsic, intrinsics, tanfov, background, H, W, raster)
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
-                           guidance_scale=guidance_scale)
+                           guidance_scale=guidance_scale, progress=progress)
             loss = lambda_guidance * sds["loss"]
             return loss, (out.radii, {"sds_loss": sds["loss"],
                                       "tile_overflow": out.overflow})
@@ -238,6 +238,8 @@ def make_avatar_sds_step_split(
     chunk: int = 64,
     max_tiles_per_gaussian: int = 8,
     lambda_guidance: float = 1.0,
+    bg_net=None,
+    bg_tx: Optional[optax.GradientTransformation] = None,
 ):
     """Avatar SDS step as THREE small jitted programs instead of one giant
     graph: (A) render -> VAE-encode forward, (B) frozen UNet eps ->
@@ -249,6 +251,13 @@ def make_avatar_sds_step_split(
     is recomputed once in C, ~15% overhead) but each XLA program stays small
     — giant fused graphs can exceed compiler limits, and A/B/C pipeline
     better on the device queue.
+
+    With ``bg_net``/``bg_tx`` (a BackgroundMLPNet + its optimizer) the
+    background is the trainable ray-direction MLP updated jointly with the
+    avatar (reference: MLPBackground trained with Adan alongside the model,
+    background.py:55-89 + trainer.py:594-598); the step then takes
+    ``bg_state=(params, opt_state)`` and ``c2w`` and returns
+    ``(tstate', bg_state', metrics)``.
     """
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
@@ -260,6 +269,12 @@ def make_avatar_sds_step_split(
             model, state, params, observed_inputs, dummy,
             extrinsic, intrinsics, tanfov, background, H, W, raster)
         return image, out
+
+    def _bg_image(bg_params, c2w, intrinsics):
+        from ..data.camera import get_rays
+
+        _, rays_d = get_rays(c2w[None], intrinsics[None], H, W)
+        return bg_net.apply(bg_params, rays_d[0]).reshape(H, W, 3)
 
     @jax.jit
     def render_encode(tstate, gparams, observed_inputs, extrinsic,
@@ -274,11 +289,57 @@ def make_avatar_sds_step_split(
             gparams, image[None].astype(dt_probe.dtype))
 
     @jax.jit
+    def render_encode_bg(tstate, bg_params, gparams, observed_inputs,
+                         extrinsic, intrinsics, tanfov, c2w, dt_probe):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        bgimg = _bg_image(bg_params, c2w, intrinsics)
+        image, _ = _image(state.params, state, observed_inputs, dummy,
+                          extrinsic, intrinsics, tanfov, bgimg)
+        return guidance.encode_images(
+            gparams, image[None].astype(dt_probe.dtype))
+
+    @jax.jit
+    def apply_grads_bg(tstate, bg_state, gparams, observed_inputs,
+                       extrinsic, intrinsics, tanfov, c2w, glat, dt_probe):
+        state = tstate.avatar
+        C = state.capacity
+        M = model.n_mesh_points
+        bg_params, bg_opt = bg_state
+
+        def loss_fn(params, dummy, bgp):
+            bgimg = _bg_image(bgp, c2w, intrinsics)
+            image, out = _image(params, state, observed_inputs, dummy,
+                                extrinsic, intrinsics, tanfov, bgimg)
+            latents = guidance.encode_images(
+                gparams, image[None].astype(dt_probe.dtype))
+            loss = lambda_guidance * jnp.sum(
+                latents.astype(jnp.float32) * glat) / latents.shape[0]
+            return loss, (out.radii, out.overflow)
+
+        dummy = jnp.zeros((C + M, 2), jnp.float32)
+        (loss, (radii, overflow)), (grads, dgrad, bg_grads) = \
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, dummy, bg_params)
+        updates, opt_state = tx.update(grads, tstate.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        bg_up, bg_opt = bg_tx.update(bg_grads, bg_opt, bg_params)
+        bg_params = optax.apply_updates(bg_params, bg_up)
+        new_avatar = update_avatar_stats(
+            state._replace(params=params), dgrad[:C], radii[:C])
+        return (AvatarTrainState(new_avatar, opt_state, tstate.step + 1),
+                (bg_params, bg_opt),
+                {"loss": loss, "tile_overflow": overflow})
+
+    @jax.jit
     def latent_grad(gparams, latents, text_embeds, uncond_embeds, t, key,
-                    cond_image, guidance_scale):
+                    cond_image, guidance_scale, progress=None):
         return guidance.latent_gradients(
             gparams, latents, text_embeds, uncond_embeds, t, key,
-            cond_image=cond_image, guidance_scale=guidance_scale)
+            cond_image=cond_image, guidance_scale=guidance_scale,
+            progress=progress)
 
     @jax.jit
     def apply_grads(tstate, gparams, observed_inputs, extrinsic, intrinsics,
@@ -308,18 +369,30 @@ def make_avatar_sds_step_split(
 
     def step(tstate, gparams, observed_inputs, extrinsic, intrinsics,
              tanfov, background, text_embeds, uncond_embeds, t, key,
-             cond_image=None, guidance_scale=None):
-        # the annealed per-step CFG scale enters the jitted program as a
-        # device scalar, so schedule changes don't retrace
-        # (reference: get_guidance_scale, basic.py:404-418)
+             cond_image=None, guidance_scale=None, progress=None,
+             bg_state=None, c2w=None):
+        # the annealed per-step CFG scale (and csd/ism progress) enter the
+        # jitted program as device scalars, so schedule changes don't
+        # retrace (reference: get_guidance_scale, basic.py:404-418)
         gs = jnp.asarray(
             guidance.guidance_scale if guidance_scale is None
             else guidance_scale, jnp.float32)
         dt_probe = jnp.zeros((), text_embeds.dtype)
+        if bg_net is not None:
+            assert bg_state is not None and c2w is not None, \
+                "trainable-background step needs bg_state and c2w"
+            latents = render_encode_bg(
+                tstate, bg_state[0], gparams, observed_inputs, extrinsic,
+                intrinsics, tanfov, c2w, dt_probe)
+            glat = latent_grad(gparams, latents, text_embeds, uncond_embeds,
+                               t, key, cond_image, gs, progress)
+            return apply_grads_bg(
+                tstate, bg_state, gparams, observed_inputs, extrinsic,
+                intrinsics, tanfov, c2w, glat, dt_probe)
         latents = render_encode(tstate, gparams, observed_inputs, extrinsic,
                                 intrinsics, tanfov, background, dt_probe)
         glat = latent_grad(gparams, latents, text_embeds, uncond_embeds,
-                           t, key, cond_image, gs)
+                           t, key, cond_image, gs, progress)
         return apply_grads(tstate, gparams, observed_inputs, extrinsic,
                            intrinsics, tanfov, background, glat, dt_probe)
 

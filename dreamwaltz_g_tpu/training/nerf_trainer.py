@@ -43,7 +43,8 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 
 
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
-                  num_steps, bg_color, shading="albedo", bg_mode="color"):
+                  num_steps, bg_color, shading="albedo", bg_mode="color",
+                  upsample_steps=0):
     """Render a full (H, W, C) image by marching all pixels in one batch.
 
     ``bg_mode='nerf'`` composites the learned ray-direction background MLP
@@ -51,7 +52,8 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
     nerf_model.py:247-256 + nerf_renderer.py:404-472)."""
     rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None], H, W)
     out = render_rays(model, params, grid, rays_o[0], rays_d[0], key=key,
-                      num_steps=num_steps, perturb=True, shading=shading)
+                      num_steps=num_steps, upsample_steps=upsample_steps,
+                      perturb=True, shading=shading)
     if bg_mode == "nerf" and model.bg_mlp is not None:
         bg = model.background(params, rays_d[0])
     else:
@@ -123,7 +125,7 @@ def make_nerf_sds_step(
              gparams: GuidanceParams,
              cam_c2w, cam_intr, bg_color,
              text_embeds, uncond_embeds, t, key,
-             cond_image=None, guidance_scale=None,
+             cond_image=None, guidance_scale=None, progress=None,
              sigma_pts: Optional[SigmaGuidancePoints] = None,
              use_sigma: bool = False):
         k_render, k_sds = jax.random.split(key)
@@ -132,10 +134,11 @@ def make_nerf_sds_step(
             img, _, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
                 image_height, image_width, k_render, num_steps, bg_color,
-                bg_mode=bg_mode)
+                bg_mode=bg_mode,
+                upsample_steps=getattr(nerf_cfg, "upsample_steps", 0))
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,
-                           guidance_scale=guidance_scale)
+                           guidance_scale=guidance_scale, progress=progress)
             loss = lambda_guidance * sds["loss"]
             metrics = {"sds_loss": sds["loss"]}
             sp = sparsity_loss(wsum.reshape(-1), nerf_cfg, state.step,

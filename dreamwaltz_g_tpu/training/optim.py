@@ -117,11 +117,17 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
 
     def scale_by_group(path_key):
         def label_fn(params):
-            # NeRFParams NamedTuple: encoder / sigma_mlp / bg_mlp
+            # NeRFParams: encoders x10 lr, heads + sigma_scale base lr,
+            # bg its own lr (reference: get_optimizer, nerf_model.py:171-211,
+            # 404-441, 523-560)
             return type(params)(
                 encoder="encoder",
                 sigma_mlp="mlp",
                 bg_mlp=None if params.bg_mlp is None else "bg",
+                albedo_mlp=None if params.albedo_mlp is None else "mlp",
+                encoder_sigma=None if params.encoder_sigma is None
+                else "encoder",
+                sigma_scale=None if params.sigma_scale is None else "mlp",
             )
         return label_fn
 

@@ -103,6 +103,8 @@ class Trainer:
         self.train_step = 0
         self.extra_states = ()
         self.extra_models = ()
+        self.bg_state = None   # trainable MLP background (gs stage opt-in)
+        self.bg_net = None
 
         self._init_human()
         self._init_guidance()
@@ -438,6 +440,19 @@ class Trainer:
         rk = dict(tile_size=cfg.render.tile_size,
                   capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
         self.mesh = None
+        # trainable MLP background: Adan group alongside the avatar
+        # (reference: MLPBackground.get_optimizer, background.py:86-89 +
+        # trainer.py:594-598)
+        self.bg_state = None
+        self.bg_net = None
+        if cfg.render.use_mlp_background and cfg.optim.batch_size == 1:
+            from ..system.background import BackgroundMLPNet
+            from .optim import adan
+
+            self.bg_net = BackgroundMLPNet()
+            self.bg_tx = adan(1e-3, eps=1e-8, weight_decay=2e-5)
+            bg_params = self.bg_net.init(self._next_key(), jnp.zeros((1, 3)))
+            self.bg_state = (bg_params, self.bg_tx.init(bg_params))
         if cfg.optim.batch_size > 1:
             # data-parallel SDS: one view per chip (SURVEY.md §7.10; no
             # reference counterpart — the reference is single-GPU B=1)
@@ -452,12 +467,17 @@ class Trainer:
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance, **rk)
-        elif jax.devices()[0].platform == "tpu":
+        elif self.bg_state is not None \
+                or jax.devices()[0].platform == "tpu":
             # three small XLA programs instead of one giant graph: keeps
-            # compiles tractable for the remote compiler and pipelines better
+            # compiles tractable for the remote compiler and pipelines
+            # better; the split builder also hosts the trainable-background
+            # variant on any platform
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                lambda_guidance=cfg.guide.lambda_guidance,
+                bg_net=self.bg_net,
+                bg_tx=getattr(self, "bg_tx", None), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
@@ -586,16 +606,23 @@ class Trainer:
             lambda *xs: jnp.concatenate(xs, axis=0)
             if hasattr(xs[0], "ndim") and xs[0].ndim > 0 else xs[0], *cams)
         cond_image = jnp.asarray(np.stack(conds)) if conds else None
-        t = jnp.asarray(self.t_scheduler.get_timestep(
-            B, step, self.max_iteration))
-        # as a device scalar: a changing python float would re-specialize
+        if self.cfg.guide.sds_loss_type == "ism":
+            # ISM draws from its own expanded warmup window, not the
+            # DreamTime prior (reference: ism(), basic.py:722-742)
+            t = jnp.asarray(self.t_scheduler.get_ism_timestep(
+                B, step, self.max_iteration))
+        else:
+            t = jnp.asarray(self.t_scheduler.get_timestep(
+                B, step, self.max_iteration))
+        # as device scalars: a changing python float would re-specialize
         # the jitted step every iteration under non-constant schedules
         gs_scale = jnp.asarray(self.t_scheduler.get_guidance_scale(
             step, self.max_iteration), jnp.float32)
+        progress = jnp.asarray(step / max(self.max_iteration, 1), jnp.float32)
         return dict(cam=cam, part=parts[0], smpl_inputs=smpl_inputs,
                     cond_image=cond_image,
                     text=jnp.stack(texts), uncond=jnp.stack(uncs),
-                    t=t, guidance_scale=gs_scale)
+                    t=t, guidance_scale=gs_scale, progress=progress)
 
     def _resolution_target(self) -> int:
         ratio = self.train_step / self.max_iteration
@@ -654,10 +681,13 @@ class Trainer:
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
                     H, H, lambda_guidance=cfg.guide.lambda_guidance, **rk)
-            elif jax.devices()[0].platform == "tpu":
+            elif getattr(self, "bg_state", None) is not None \
+                    or jax.devices()[0].platform == "tpu":
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                     self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                    lambda_guidance=cfg.guide.lambda_guidance,
+                    bg_net=self.bg_net,
+                    bg_tx=getattr(self, "bg_tx", None), **rk)
             else:
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
@@ -831,6 +861,7 @@ class Trainer:
                 batch["text"], batch["uncond"], batch["t"], self._next_key(),
                 cond_image=batch["cond_image"],
                 guidance_scale=batch["guidance_scale"],
+                progress=batch["progress"],
                 sigma_pts=sigma_pts, use_sigma=use_sigma)
         elif self.mesh is not None:
             B = cam.extrinsic.shape[0]
@@ -843,18 +874,31 @@ class Trainer:
                     cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
                     batch["text"], batch["uncond"], batch["t"], keys,
                     cond_image=batch["cond_image"],
-                    guidance_scale=batch["guidance_scale"])
+                    guidance_scale=batch["guidance_scale"],
+                progress=batch["progress"])
             self._maybe_densify()
         else:
             bg = jnp.broadcast_to(self._bg_color(),
                                   (self.train_res, self.train_res, 3))
-            self.state, metrics = self.sds_step_fn(
-                self.state, self.guidance_params, batch["smpl_inputs"],
-                cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0], bg,
-                batch["text"][:1], batch["uncond"][:1], batch["t"][:1],
-                self._next_key(),
-                cond_image=batch["cond_image"],
-                guidance_scale=batch["guidance_scale"])
+            if self.bg_state is not None:
+                self.state, self.bg_state, metrics = self.sds_step_fn(
+                    self.state, self.guidance_params, batch["smpl_inputs"],
+                    cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0], bg,
+                    batch["text"][:1], batch["uncond"][:1], batch["t"][:1],
+                    self._next_key(),
+                    cond_image=batch["cond_image"],
+                    guidance_scale=batch["guidance_scale"],
+                    progress=batch["progress"],
+                    bg_state=self.bg_state, c2w=cam.c2w[0])
+            else:
+                self.state, metrics = self.sds_step_fn(
+                    self.state, self.guidance_params, batch["smpl_inputs"],
+                    cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0], bg,
+                    batch["text"][:1], batch["uncond"][:1], batch["t"][:1],
+                    self._next_key(),
+                    cond_image=batch["cond_image"],
+                    guidance_scale=batch["guidance_scale"],
+                    progress=batch["progress"])
             self._maybe_densify()
         return metrics  # device arrays — pulled lazily at log cadence
 
@@ -970,6 +1014,10 @@ class Trainer:
             if frames_arr is not None and frames_arr.size:
                 video_bg = VideoBackground(frames_arr)
         reenact_render = None
+        # mask-aware overlay export: rendered avatar RGBA composited onto
+        # the inpainted source video at its native size (reference:
+        # overlay_pngs_on_video, motionx_reenact.py:162-274)
+        overlay_rgba = [] if video_bg is not None else None
 
         frames = []
         for i in range(size):
@@ -1003,6 +1051,14 @@ class Trainer:
             if video_bg is not None:
                 bg = video_bg.frames[i % video_bg.frames.shape[0]]
                 bg = jax.image.resize(bg, (Hc, Wc, 3), "bilinear")
+            elif self.bg_state is not None and not predefined:
+                # render the learned MLP background at the eval camera
+                # (reference: scene.background in eval forward)
+                from ..data.camera import get_rays
+
+                _, rd = get_rays(cam.c2w[:1], cam.intrinsics[:1], Hc, Wc)
+                bg = self.bg_net.apply(
+                    self.bg_state[0], rd[0]).reshape(Hc, Wc, 3)
             elif cfg.stage == "gs":
                 bg = jnp.broadcast_to(
                     jnp.asarray(cfg.render.bg_color, jnp.float32), (Hc, Wc, 3))
@@ -1013,6 +1069,17 @@ class Trainer:
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
                     cam.intrinsics[0], bg)
+            elif overlay_rgba is not None:
+                # render over a transparent bg once; composite the video
+                # frame host-side and keep the RGBA for the overlay export
+                r = reenact_render if predefined else render
+                img0, alpha, _ = r(self.state.avatar, smpl_inputs, extr,
+                                   intr, tanfov, jnp.zeros((Hc, Wc, 3)),
+                                   self.extra_states)
+                overlay_rgba.append(np.concatenate(
+                    [np.asarray(jnp.clip(img0, 0, 1)),
+                     np.asarray(alpha)[..., None]], axis=-1))
+                img = img0 + (1.0 - alpha)[..., None] * bg
             else:
                 r = reenact_render if predefined else render
                 img, _, _ = r(self.state.avatar, smpl_inputs, extr, intr,
@@ -1025,6 +1092,15 @@ class Trainer:
         if cfg.data.eval_save_video and len(frames) > 1:
             write_video(str(save_dir / f"step_{self.train_step:06d}.mp4"),
                         frames, fps=cfg.data.eval_video_fps)
+        if overlay_rgba:
+            from ..utils.overlay import overlay_frames_on_video
+
+            vid = [np.asarray(video_bg.frames[i % video_bg.frames.shape[0]])
+                   for i in range(len(overlay_rgba))]
+            overlay_frames_on_video(
+                overlay_rgba, vid,
+                str(save_dir / f"step_{self.train_step:06d}_overlay.mp4"),
+                fps=cfg.data.eval_video_fps, premultiplied=True)
         return frames
 
     def full_eval(self) -> List[np.ndarray]:
@@ -1085,6 +1161,8 @@ class Trainer:
                 if self.cfg.stage == "nerf" else self.state.avatar,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(self.train_step)}
+        if self.bg_state is not None:
+            tree["background"] = self.bg_state
         self.checkpointer.save(self.train_step, tree)
         logger.info("saved checkpoint at step %d", self.train_step)
 
@@ -1094,7 +1172,11 @@ class Trainer:
                     if self.cfg.stage == "nerf" else self.state.avatar,
                     "opt_state": self.state.opt_state,
                     "step": np.asarray(0)}
+        if self.bg_state is not None:
+            template["background"] = self.bg_state
         restored, step = self.checkpointer.restore(step, target=template)
+        if self.bg_state is not None and "background" in restored:
+            self.bg_state = tuple(restored["background"])
         self.train_step = int(restored["step"])
         if self.cfg.stage == "nerf":
             self.state = self.state._replace(

@@ -58,6 +58,10 @@ def run_multiple(cfg: TrainConfig) -> None:
 
 def main(argv=None) -> None:
     cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    if cfg.log.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cfg.log.platform)
     if cfg.guide.text_set:
         run_multiple(cfg)
     else:

@@ -299,3 +299,32 @@ class TestPGCSuppress:
             assert np.isfinite(np.asarray(g)).all()
             if st in (0, 1, 2, 4, 5):
                 assert float(jnp.abs(g).max()) <= 0.1 + 1e-6
+
+
+class TestOverlay:
+    def test_overlay_blend_math(self):
+        from dreamwaltz_g_tpu.utils.overlay import overlay_rgba_on_frame
+
+        rgba = np.zeros((8, 8, 4), np.float32)
+        rgba[..., 0] = 1.0   # red, straight alpha
+        rgba[..., 3] = 0.25
+        frame = np.full((8, 8, 3), 0.8, np.float32)
+        out = overlay_rgba_on_frame(rgba, frame)
+        np.testing.assert_allclose(out[0, 0], [0.25 + 0.75 * 0.8,
+                                               0.6, 0.6], atol=1e-6)
+        # premultiplied: rgb already alpha-weighted
+        rgba_p = rgba.copy()
+        rgba_p[..., 0] = 0.25
+        out_p = overlay_rgba_on_frame(rgba_p, frame, premultiplied=True)
+        np.testing.assert_allclose(out, out_p, atol=1e-6)
+
+    def test_overlay_resizes_to_smaller(self, tmp_path):
+        from dreamwaltz_g_tpu.utils.overlay import overlay_frames_on_video
+
+        rgba = [np.ones((16, 16, 4), np.float32) for _ in range(3)]
+        vid = [np.zeros((8, 8, 3), np.float32) for _ in range(3)]
+        p = overlay_frames_on_video(rgba, vid, str(tmp_path / "overlay.mp4"),
+                                    fps=5, save_images=True)
+        import os
+        assert os.path.isfile(p)
+        assert os.path.isfile(str(tmp_path / "overlay_frames" / "000000.png"))

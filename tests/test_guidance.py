@@ -256,18 +256,85 @@ def test_sds_latent_input(tiny_guidance):
 
 
 def test_sds_ism_chain(tiny_guidance):
-    """Full DDIM-inversion ISM runs and is finite."""
+    """Two-phase DDIM-inversion ISM runs, is finite, and the annealed
+    delta_t responds to ``progress`` (reference: ism(), basic.py:717-776)."""
     unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
     from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
 
     sd = ScoreDistillation(unet=unet, vae=vae, latent_size=8,
-                           loss_type="ism", ism_inversion_steps=3,
-                           ism_delta_t=100, ism_delta_t_start=50)
+                           loss_type="ism", ism_delta_t=80,
+                           ism_delta_t_start=100, ism_xs_delta_t=200,
+                           ism_xs_inv_steps=2)
     params = GuidanceParams(unet=unet_p, vae=vae_p)
     D = ucfg.cross_attention_dim
     imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
-    out = sd(params, imgs, jnp.zeros((1, 4, D)), jnp.zeros((1, 4, D)),
-             jnp.asarray([500], jnp.int32), jax.random.PRNGKey(1))
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 4, D)) * 0.1
+    outs = []
+    for prog in (0.0, 1.0):
+        out = sd(params, imgs, ctx, jnp.zeros((1, 4, D)),
+                 jnp.asarray([500], jnp.int32), jax.random.PRNGKey(1),
+                 progress=jnp.asarray(prog))
+        assert np.isfinite(float(out["loss"]))
+        outs.append(np.asarray(out["gradients"]))
+    # warmup annealing changes delta_t (100 -> 80), so the gradient differs
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7
+
+
+def test_sds_new_families_run(tiny_guidance):
+    """sjc-red / custom / csd-with-progress gradients are finite and differ
+    from plain sds (reference: calc_gradients, basic.py:584-631)."""
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p)
+    D = ucfg.cross_attention_dim
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, D)) * 0.1
+    unc = jax.random.normal(jax.random.PRNGKey(2), (1, 4, D)) * 0.1
+    neg = jax.random.normal(jax.random.PRNGKey(3), (1, 4, D)) * 0.1
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    t = jnp.asarray([400], jnp.int32)
+    grads = {}
+    for lt in ("sds", "sjc-red", "custom"):
+        sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                 loss_type=lt)
+        out = sd(params, imgs, ctx, unc, t, jax.random.PRNGKey(4))
+        assert np.isfinite(float(out["loss"])), lt
+        grads[lt] = np.asarray(out["gradients"])
+    assert np.abs(grads["sds"] - grads["sjc-red"]).max() > 1e-7
+    assert np.abs(grads["sds"] - grads["custom"]).max() > 1e-7
+    # csd: 3-term annealed mix needs progress + neg embeds
+    sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                             loss_type="csd")
+    g0 = sd.latent_gradients(params, jnp.zeros((1, 8, 8, 4)), ctx, unc, t,
+                             jax.random.PRNGKey(5), neg_embeds=neg,
+                             progress=jnp.asarray(0.2))
+    g1 = sd.latent_gradients(params, jnp.zeros((1, 8, 8, 4)), ctx, unc, t,
+                             jax.random.PRNGKey(5), neg_embeds=neg,
+                             progress=jnp.asarray(0.8))
+    assert np.isfinite(np.asarray(g0)).all()
+    assert np.abs(np.asarray(g0) - np.asarray(g1)).max() > 1e-7
+
+
+def test_sds_denoise_modes(tiny_guidance):
+    """z0/x0 denoise-mode losses: mse-style loss, gradients flow, and the
+    z0 latent gradient equals (latents - target) (basic.py:843-898)."""
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p)
+    D = ucfg.cross_attention_dim
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, D)) * 0.1
+    unc = jnp.zeros((1, 4, D))
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    t = jnp.asarray([400], jnp.int32)
+    for lt in ("z0", "x0"):
+        sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                 loss_type=lt, denoise_timesteps=10)
+        out = sd(params, imgs, ctx, unc, t, jax.random.PRNGKey(2))
+        assert np.isfinite(float(out["loss"])), lt
+        g = jax.grad(lambda x: sd(params, x, ctx, unc, t,
+                                  jax.random.PRNGKey(2))["loss"])(imgs)
+        assert float(jnp.abs(g).sum()) > 0, lt
+    # the _final variants run the iterative chain
+    sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                             loss_type="z0_final", denoise_timesteps=5)
+    out = sd(params, imgs, ctx, unc, t, jax.random.PRNGKey(2))
     assert np.isfinite(float(out["loss"]))
 
 

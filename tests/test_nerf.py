@@ -196,3 +196,78 @@ def test_background_mlp(small_cfg):
     bg = model.background(params, dirs)
     assert bg.shape == (2, 3)
     assert float(bg.min()) >= 0 and float(bg.max()) <= 1
+
+
+def test_structure_variants(small_cfg):
+    """dual_mlp / dual_enc build, render, and gradients reach the right
+    params (reference: build_NeRFNetwork, nerf_model.py:565-574)."""
+    import dataclasses
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.5,
+                             maxval=0.5)
+    sigs = {}
+    for structure in ("shared_mlp", "dual_mlp", "dual_enc"):
+        cfg = dataclasses.replace(small_cfg, structure=structure)
+        model = build_nerf(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        sigma, albedo = model.density(params, pts)
+        assert sigma.shape == (32,) and albedo.shape == (32, 3), structure
+        assert np.isfinite(np.asarray(sigma)).all()
+        sigs[structure] = np.asarray(sigma)
+        if structure == "shared_mlp":
+            assert params.albedo_mlp is None and params.encoder_sigma is None
+            continue
+        g = jax.grad(lambda p: jnp.sum(
+            model.density(p, pts)[0] + model.density(p, pts)[1].sum()))(params)
+        assert float(jnp.abs(
+            jax.tree_util.tree_leaves(g.albedo_mlp)[0]).sum()) > 0
+        if structure == "dual_enc":
+            assert params.encoder_sigma is not None
+            assert float(jnp.abs(g.encoder_sigma.tables).sum()) > 0
+    # the variants are genuinely different functions
+    assert np.abs(sigs["shared_mlp"] - sigs["dual_mlp"]).max() > 1e-7
+
+
+def test_scaling_density_activation(small_cfg):
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, density_activation="scaling")
+    model = build_nerf(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params.sigma_scale is not None
+    pts = jnp.zeros((4, 3))
+    sigma, _ = model.density(params, pts)
+    assert np.isfinite(np.asarray(sigma)).all()
+    # sigma_scale is learnable: gradient flows
+    g = jax.grad(lambda p: jnp.sum(model.density(p, pts)[0]))(params)
+    assert np.isfinite(float(g.sigma_scale))
+
+
+def test_pdf_upsampling(small_cfg):
+    """upsample_steps adds importance samples: output stays finite,
+    differentiable, and concentrates samples where density is."""
+    model = build_nerf(small_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    R = 16
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -2.0]]), (R, 1))
+    d = jax.random.normal(jax.random.PRNGKey(1), (R, 3)) * 0.05 \
+        + jnp.asarray([0.0, 0.0, 1.0])
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = RD.render_rays(model, params, None, rays_o, rays_d,
+                         key=jax.random.PRNGKey(2), num_steps=16,
+                         upsample_steps=8)
+    assert out.image.shape == (R, 3)
+    assert np.isfinite(np.asarray(out.image)).all()
+    g = jax.grad(lambda p: jnp.sum(RD.render_rays(
+        model, p, None, rays_o, rays_d, key=jax.random.PRNGKey(2),
+        num_steps=16, upsample_steps=8).image))(params)
+    assert float(jnp.abs(g.encoder.tables).sum()) > 0
+
+
+def test_sample_pdf_concentrates():
+    """Inverse-CDF sampling puts samples where the weights are."""
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 11), (2, 11))
+    w = jnp.zeros((2, 10)).at[:, 7].set(1.0)  # all mass in bin [0.7, 0.8]
+    s = RD.sample_pdf(bins, w, 32)
+    s = np.asarray(s)
+    assert (s > 0.65).all() and (s < 0.85).all()

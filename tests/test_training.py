@@ -421,3 +421,48 @@ class TestTimePrioritizedLRScaling:
         np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
         out_small = tplr.scale_updates(ups, 50)
         assert float(out_small["a"][0]) < 1.0
+
+
+class TestTrainableBackground:
+    def test_bg_mlp_trains_in_split_step(self):
+        """The trainable MLP background receives nonzero gradients and its
+        params move (reference: MLPBackground + Adan group,
+        background.py:55-89, trainer.py:594-598)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+        from dreamwaltz_g_tpu.system.background import BackgroundMLPNet
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            init_avatar_train_state,
+            make_avatar_sds_step_split,
+        )
+        from dreamwaltz_g_tpu.training.optim import adan, build_avatar_optimizer
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = 24
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jax.random.normal(jax.random.PRNGKey(5), (1, 4, D)) * 0.1
+        t = jnp.asarray([400], jnp.int32)
+        bg_net = BackgroundMLPNet()
+        bg_tx = adan(1e-3, eps=1e-8, weight_decay=2e-5)
+        bg_params = bg_net.init(jax.random.PRNGKey(9), jnp.zeros((1, 3)))
+        bg_state = (bg_params, bg_tx.init(bg_params))
+
+        step = make_avatar_sds_step_split(
+            setup.model, guidance, tx, H, W, tile_size=8, capacity=64,
+            chunk=32, bg_net=bg_net, bg_tx=bg_tx)
+        s0 = init_avatar_train_state(setup.state, tx)
+        s1, bg1, m = step(
+            s0, gparams, setup.observed, cam.extrinsic[0], cam.intrinsics[0],
+            cam.tanfov[0], None, txt, txt, t, jax.random.PRNGKey(2),
+            bg_state=bg_state, c2w=cam.c2w[0])
+        assert np.isfinite(float(m["loss"]))
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), bg_params, bg1[0])
+        assert max(jax.tree_util.tree_leaves(moved)) > 0, \
+            "background params did not move"
+        # avatar still updates too
+        assert float(jnp.abs(
+            s1.avatar.params.positions - s0.avatar.params.positions).max()) > 0
