@@ -412,6 +412,12 @@ class LogConfig:
     resume_pretrain: bool = True
     pretrain_only: bool = False
     nerf2gs: bool = False
+    # load the stage-1 NeRF checkpoint and write mesh.obj/.mtl/albedo.png
+    # (reference: to_mesh.py export_mesh utility)
+    nerf2mesh: bool = False
+    mesh_resolution: int = 128
+    mesh_decimate_target: int = -1
+    mesh_texture_size: int = 1024
     max_keep_ckpts: int = 1
     debug: bool = False
     check: bool = False

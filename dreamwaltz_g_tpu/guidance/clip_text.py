@@ -32,11 +32,21 @@ class CLIPTextConfig(NamedTuple):
     max_length: int = 77
     # SD1.5 CLIP uses quick_gelu
     activation: str = "quick_gelu"
+    # >0: learn a text_projection head for the pooled output (SDXL's second
+    # encoder, OpenCLIP bigG)
+    projection_dim: int = 0
 
 
 def tiny_text_config() -> CLIPTextConfig:
     return CLIPTextConfig(vocab_size=256, hidden_size=32, num_layers=2,
                           num_heads=2, max_length=16)
+
+
+def clip_bigg_config() -> CLIPTextConfig:
+    """OpenCLIP ViT-bigG text tower — SDXL's text_encoder_2
+    (laion/CLIP-ViT-bigG-14; gelu, 1280-dim projection)."""
+    return CLIPTextConfig(hidden_size=1280, num_layers=32, num_heads=20,
+                          activation="gelu", projection_dim=1280)
 
 
 def _quick_gelu(x):
@@ -82,9 +92,16 @@ class CLIPTextModel(nn.Module):
     cfg: CLIPTextConfig = CLIPTextConfig()
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """(B, L) int32 -> (B, L, D) final hidden states (what SD1.5 feeds
-        the UNet as cross-attention context)."""
+    def __call__(self, input_ids: jnp.ndarray, mode: str = "final"):
+        """(B, L) int32 -> hidden states.
+
+        mode 'final': (B, L, D) final-LN hidden states (SD1.5 context).
+        mode 'penultimate': (B, L, D) second-to-last layer output — SDXL
+          feeds hidden_states[-2] as context (stable_diffusion.py:120-175).
+        mode 'penultimate_pooled': (penultimate, pooled (B, Dp)) where
+          pooled is the EOS-token feature of the final-LN states through
+          ``text_projection`` (SDXL's text_encoder_2 pooled embeds).
+        """
         c = self.cfg
         B, L = input_ids.shape
         tok = nn.Embed(c.vocab_size, c.hidden_size, name="token_embedding")(input_ids)
@@ -94,9 +111,25 @@ class CLIPTextModel(nn.Module):
         # causal mask
         mask = jnp.full((L, L), -jnp.inf)
         mask = jnp.triu(mask, k=1)[None, None]
+        penult = x
         for i in range(c.num_layers):
+            if i == c.num_layers - 1:
+                penult = x  # hidden_states[-2] in HF terms
             x = CLIPLayer(c, name=f"layers_{i}")(x, mask)
-        return nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+        out = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+        if mode == "final":
+            return out
+        if mode == "penultimate":
+            return penult
+        if mode == "penultimate_pooled":
+            # CLIP pooling: feature at the EOS token (the argmax token id)
+            eos = jnp.argmax(input_ids, axis=-1)
+            pooled = out[jnp.arange(B), eos]
+            if c.projection_dim:
+                pooled = nn.Dense(c.projection_dim, use_bias=False,
+                                  name="text_projection")(pooled)
+            return penult, pooled
+        raise ValueError(f"unknown CLIP output mode {mode!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -98,9 +98,14 @@ def convert_unet(unet_module, torch_sd, sample_shape=(1, 64, 64, 4),
                  context_shape=(1, 77, 768), strict: bool = True):
     import jax
 
+    kw = {}
+    if unet_module.cfg.addition_embed:  # SDXL 'text_time' conditioning
+        kw = dict(
+            pooled_embeds=jnp.zeros((1, unet_module.cfg.addition_pooled_dim)),
+            add_time_ids=jnp.zeros((1, 6)))
     params = unet_module.init(
         jax.random.PRNGKey(0), jnp.zeros(sample_shape), jnp.zeros((1,)),
-        jnp.zeros(context_shape))
+        jnp.zeros(context_shape), **kw)
     filled, missing, unused = fill_params(params["params"], torch_sd,
                                           strict=strict)
     return {"params": filled}, missing, unused
@@ -171,11 +176,15 @@ def convert_vae(vae, torch_sd, image_size: int = 512, strict: bool = True):
     return {"encoder": {"params": enc}, "decoder": {"params": dec}}, m1 + m2
 
 
-def convert_clip_text(clip_module, torch_sd, strict: bool = True):
+def convert_clip_text(clip_module, torch_sd, strict: bool = True,
+                      mode: str = "final"):
+    """``mode='penultimate_pooled'`` additionally maps ``text_projection``
+    (SDXL's text_encoder_2, stable_diffusion.py:120-175)."""
     import jax
 
+    L = clip_module.cfg.max_length
     params = clip_module.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1, 77), jnp.int32))
+                              jnp.zeros((1, L), jnp.int32), mode=mode)
 
     def rename(n):
         if n == "token_embedding.weight":
@@ -184,6 +193,8 @@ def convert_clip_text(clip_module, torch_sd, strict: bool = True):
             return "text_model.embeddings.position_embedding.weight"
         if n.startswith("final_layer_norm"):
             return "text_model." + n
+        if n.startswith("text_projection"):
+            return "text_projection.weight"
         return "text_model.encoder." + n
 
     flat = _flatten(params["params"])
@@ -343,6 +354,128 @@ def convert_from_hf_cache(hf_root: str, out_dir: str,
         if osp.isfile(path):
             cn_p, _ = convert_controlnet(ControlNet(ucfg), load_sd(path))
             save_params(osp.join(out_dir, f"controlnet_{cond}.msgpack"), cn_p)
+
+
+def convert_sdxl_from_hf_cache(hf_root: str, out_dir: str) -> None:
+    """Offline SDXL-base conversion: diffusers torch weights -> the msgpack
+    bundle ``load_converted_guidance_xl`` consumes (reference model card
+    'sdxl10' -> stabilityai/stable-diffusion-xl-base-1.0, basic.py:36-49).
+
+    Expects ``unet_xl.safetensors`` (or .bin), ``vae.safetensors``,
+    ``text_encoder.safetensors`` (CLIP-L) and ``text_encoder_2.safetensors``
+    (OpenCLIP bigG) under ``hf_root``.
+    """
+    import os.path as osp
+
+    from .clip_text import CLIPTextConfig, CLIPTextModel, clip_bigg_config
+    from .unet import UNet2DCondition, sdxl_unet_config
+    from .vae import AutoencoderKL, sd_vae_config
+
+    def load_sd(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return load_file(path)
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+
+    def find(*names):
+        for n in names:
+            for ext in (".safetensors", ".bin"):
+                p = osp.join(hf_root, n + ext)
+                if osp.isfile(p):
+                    return p
+        raise FileNotFoundError(f"none of {names} under {hf_root}")
+
+    ucfg = sdxl_unet_config()
+    unet_p, _, _ = convert_unet(
+        UNet2DCondition(ucfg), load_sd(find("unet_xl", "unet")),
+        sample_shape=(1, 128, 128, 4),
+        context_shape=(1, 77, ucfg.cross_attention_dim))
+    save_params(osp.join(out_dir, "unet_xl.msgpack"), unet_p)
+    vae_p, _ = convert_vae(AutoencoderKL(sd_vae_config()),
+                           load_sd(find("vae")), image_size=1024)
+    save_params(osp.join(out_dir, "vae.msgpack"), vae_p)
+    clip_p, _ = convert_clip_text(
+        CLIPTextModel(CLIPTextConfig()), load_sd(find("text_encoder")))
+    save_params(osp.join(out_dir, "clip.msgpack"), clip_p)
+    clip2_p, _ = convert_clip_text(
+        CLIPTextModel(clip_bigg_config()), load_sd(find("text_encoder_2")),
+        mode="penultimate_pooled")
+    save_params(osp.join(out_dir, "clip2.msgpack"), clip2_p)
+
+
+def load_converted_guidance_xl(
+    weights_dir: str,
+    loss_type: str = "sds",
+    weight_type: str = "sjc",
+    guidance_scale: float = 50.0,
+):
+    """Build the SDXL guidance stack from a converted-weights directory:
+    ``unet_xl.msgpack``, ``vae.msgpack``, ``clip.msgpack`` (CLIP-L) +
+    ``clip2.msgpack`` (bigG), plus the tokenizer files.
+
+    Returns (ScoreDistillationXL, GuidanceParams, text_embed_fn) where
+    ``text_embed_fn(list[str]) -> (embeds (N, 77, 2048), pooled (N, 1280))``
+    — the concatenated penultimate states of both encoders and encoder-2's
+    projected pooled output (reference: ScoreDistillationXL.get_text_embeds,
+    stable_diffusion.py:120-175)."""
+    import os.path as osp
+
+    import jax
+
+    from .clip_text import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPTokenizer,
+        clip_bigg_config,
+    )
+    from .sds import GuidanceParams
+    from .sdxl import ScoreDistillationXL
+    from .unet import UNet2DCondition, sdxl_unet_config
+    from .vae import AutoencoderKL, sd_vae_config
+
+    ucfg = sdxl_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(sd_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 128, 128, 4))
+    ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim))
+    unet_p = load_params(
+        osp.join(weights_dir, "unet_xl.msgpack"),
+        unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
+                  pooled_embeds=jnp.zeros((1, ucfg.addition_pooled_dim)),
+                  add_time_ids=jnp.zeros((1, 6))))
+    vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
+                        vae.init(key, image_size=1024))
+
+    ids_probe = jnp.zeros((1, 77), jnp.int32)
+    clip1 = CLIPTextModel(CLIPTextConfig())
+    clip1_p = load_params(osp.join(weights_dir, "clip.msgpack"),
+                          clip1.init(key, ids_probe))
+    clip2 = CLIPTextModel(clip_bigg_config())
+    clip2_p = load_params(
+        osp.join(weights_dir, "clip2.msgpack"),
+        clip2.init(key, ids_probe, mode="penultimate_pooled"))
+    tokenizer = CLIPTokenizer(osp.join(weights_dir, "vocab.json"),
+                              osp.join(weights_dir, "merges.txt"))
+
+    enc1 = jax.jit(lambda ids: clip1.apply(clip1_p, ids, mode="penultimate"))
+    enc2 = jax.jit(
+        lambda ids: clip2.apply(clip2_p, ids, mode="penultimate_pooled"))
+
+    def text_embed_fn(texts):
+        ids = jnp.asarray(tokenizer(list(texts)))
+        h1 = enc1(ids)
+        h2, pooled = enc2(ids)
+        return jnp.concatenate([h1, h2], axis=-1), pooled
+
+    sd = ScoreDistillationXL(
+        unet=unet, vae=vae, loss_type=loss_type, weight_type=weight_type,
+        guidance_scale=guidance_scale, latent_size=128)
+    return sd, GuidanceParams(unet=unet_p, vae=vae_p), text_embed_fn
 
 
 def convert_clip_vision(vision_module, torch_sd, strict: bool = True):

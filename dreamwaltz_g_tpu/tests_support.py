@@ -103,3 +103,52 @@ def tiny_guidance(key: jax.Array, with_controlnet: bool = False,
     sd = ScoreDistillation(unet=unet, vae=vae, controlnet=cn,
                            latent_size=latent_size, guidance_scale=7.5)
     return sd, GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p)
+
+
+def tiny_guidance_xl(key: jax.Array, latent_size: int = 8):
+    """Randomly-initialized tiny SDXL-style stack (addition embeds +
+    pooled text) with a tiny dual text encoder — the debug stand-in for
+    converted SDXL weights (reference model card 'sdxl10', basic.py:36-49).
+
+    Returns (ScoreDistillationXL, GuidanceParams, text_embed_fn)."""
+    from .guidance.clip_text import CLIPTextModel, HashTokenizer, \
+        tiny_text_config
+    from .guidance.sdxl import ScoreDistillationXL
+    from .guidance.unet import UNetConfig
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    tcfg1 = tiny_text_config()
+    tcfg2 = tiny_text_config()._replace(projection_dim=24, hidden_size=24)
+    D = tcfg1.hidden_size + tcfg2.hidden_size
+    ucfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                      cross_attention_dim=D, num_heads=2,
+                      attn_down=(True, False), addition_embed=True,
+                      addition_pooled_dim=tcfg2.projection_dim,
+                      addition_time_embed_dim=8)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    lat = jnp.zeros((1, latent_size, latent_size, 4))
+    ctx = jnp.zeros((1, 4, D))
+    unet_p = unet.init(k1, lat, jnp.zeros((1,), jnp.int32), ctx,
+                       pooled_embeds=jnp.zeros((1, tcfg2.projection_dim)),
+                       add_time_ids=jnp.zeros((1, 6)))
+    image_size = latent_size * 2 ** (len(vae.cfg.block_out_channels) - 1)
+    vae_p = vae.init(k2, image_size=image_size)
+
+    clip1 = CLIPTextModel(tcfg1)
+    clip1_p = clip1.init(k3, jnp.zeros((1, tcfg1.max_length), jnp.int32))
+    clip2 = CLIPTextModel(tcfg2)
+    clip2_p = clip2.init(k4, jnp.zeros((1, tcfg2.max_length), jnp.int32),
+                         mode="penultimate_pooled")
+    tok = HashTokenizer(vocab_size=tcfg1.vocab_size,
+                        max_length=tcfg1.max_length)
+
+    def text_embed_fn(texts):
+        ids = jnp.asarray(tok(list(texts)))
+        h1 = clip1.apply(clip1_p, ids, mode="penultimate")
+        h2, pooled = clip2.apply(clip2_p, ids, mode="penultimate_pooled")
+        return jnp.concatenate([h1, h2], axis=-1), pooled
+
+    sd = ScoreDistillationXL(unet=unet, vae=vae, latent_size=latent_size,
+                             guidance_scale=7.5)
+    return sd, GuidanceParams(unet=unet_p, vae=vae_p), text_embed_fn

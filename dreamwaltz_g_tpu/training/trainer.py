@@ -160,42 +160,76 @@ class Trainer:
             angle_front=cfg.prompt.angle_front,
             angle_overhead=cfg.prompt.angle_overhead)
 
+        # model-card selection (reference: MODEL_CARDS, basic.py:29-49) —
+        # 'sdxl*' dispatches to the XL stack (dual CLIP + pooled embeds)
+        is_xl = str(cfg.guide.diffusion).startswith("sdxl")
         weights_dir = cfg.guide.weights_dir or GUIDANCE_WEIGHTS
+        unet_file = "unet_xl.msgpack" if is_xl else "unet.msgpack"
         if osp.isdir(weights_dir) and osp.isfile(
-                osp.join(weights_dir, "unet.msgpack")):
-            from ..guidance.convert import load_converted_guidance
-
-            (self.guidance, self.guidance_params,
-             text_embed_fn) = load_converted_guidance(
-                weights_dir, use_controlnet=cfg.guide.use_controlnet,
-                loss_type=cfg.guide.sds_loss_type,
-                weight_type=cfg.guide.sds_weight_type,
-                guidance_scale=cfg.guide.guidance_scale,
-                controlnet_scale=cfg.guide.controlnet_scale)
+                osp.join(weights_dir, unet_file)):
             texts = list(self.view_prompt.texts)
             uncond = cfg.guide.negative_text if cfg.guide.use_negative_text \
                 else cfg.guide.null_text
-            self.text_embeds = text_embed_fn(texts)          # (V, L, D)
-            self.uncond_embeds = text_embed_fn([uncond])     # (1, L, D)
+            if is_xl:
+                from ..guidance.convert import load_converted_guidance_xl
+
+                (self.guidance, self.guidance_params,
+                 text_embed_fn) = load_converted_guidance_xl(
+                    weights_dir, loss_type=cfg.guide.sds_loss_type,
+                    weight_type=cfg.guide.sds_weight_type,
+                    guidance_scale=cfg.guide.guidance_scale)
+                self.text_embeds, pooled_t = text_embed_fn(texts)
+                self.uncond_embeds, pooled_u = text_embed_fn([uncond])
+                # view variants share the base prompt's pooled embedding
+                # (the per-view suffix lives in the context tokens)
+                self.guidance.pooled_text = pooled_t[:1]
+                self.guidance.pooled_uncond = pooled_u[:1]
+            else:
+                from ..guidance.convert import load_converted_guidance
+
+                (self.guidance, self.guidance_params,
+                 text_embed_fn) = load_converted_guidance(
+                    weights_dir, use_controlnet=cfg.guide.use_controlnet,
+                    loss_type=cfg.guide.sds_loss_type,
+                    weight_type=cfg.guide.sds_weight_type,
+                    guidance_scale=cfg.guide.guidance_scale,
+                    controlnet_scale=cfg.guide.controlnet_scale)
+                self.text_embeds = text_embed_fn(texts)      # (V, L, D)
+                self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
             self._cast_guidance_dtype()
         else:
             assert cfg.log.debug, (
-                f"converted guidance weights not found at {weights_dir}; "
-                "run the converter or pass --log.debug true")
+                f"converted guidance weights not found at {weights_dir} "
+                f"({unet_file}); run the converter or pass --log.debug true")
             logger.warning("debug: using tiny randomly-initialized guidance")
-            from ..tests_support import tiny_guidance
+            if is_xl:
+                from ..tests_support import tiny_guidance_xl
 
-            self.guidance, self.guidance_params = tiny_guidance(
-                self._next_key(),
-                with_controlnet=cfg.guide.use_controlnet)
-            self.guidance.loss_type = cfg.guide.sds_loss_type
-            self.guidance.weight_type = cfg.guide.sds_weight_type
-            self.guidance.guidance_scale = cfg.guide.guidance_scale
-            D = self.guidance.unet.cfg.cross_attention_dim
-            V = len(self.view_prompt.texts)
-            self.text_embeds = jax.random.normal(
-                self._next_key(), (V, 4, D)) * 0.02
-            self.uncond_embeds = jnp.zeros((1, 4, D))
+                (self.guidance, self.guidance_params,
+                 text_embed_fn) = tiny_guidance_xl(self._next_key())
+                self.guidance.loss_type = cfg.guide.sds_loss_type
+                self.guidance.weight_type = cfg.guide.sds_weight_type
+                self.guidance.guidance_scale = cfg.guide.guidance_scale
+                texts = list(self.view_prompt.texts)
+                self.text_embeds, pooled_t = text_embed_fn(texts)
+                self.uncond_embeds, pooled_u = text_embed_fn(
+                    [cfg.guide.null_text])
+                self.guidance.pooled_text = pooled_t[:1]
+                self.guidance.pooled_uncond = pooled_u[:1]
+            else:
+                from ..tests_support import tiny_guidance
+
+                self.guidance, self.guidance_params = tiny_guidance(
+                    self._next_key(),
+                    with_controlnet=cfg.guide.use_controlnet)
+                self.guidance.loss_type = cfg.guide.sds_loss_type
+                self.guidance.weight_type = cfg.guide.sds_weight_type
+                self.guidance.guidance_scale = cfg.guide.guidance_scale
+                D = self.guidance.unet.cfg.cross_attention_dim
+                V = len(self.view_prompt.texts)
+                self.text_embeds = jax.random.normal(
+                    self._next_key(), (V, 4, D)) * 0.02
+                self.uncond_embeds = jnp.zeros((1, 4, D))
             self._cast_guidance_dtype()
 
         self._guidance_cast_done = True
@@ -225,6 +259,10 @@ class Trainer:
         self.guidance_params = jax.tree_util.tree_map(cast, self.guidance_params)
         self.text_embeds = self.text_embeds.astype(dt)
         self.uncond_embeds = self.uncond_embeds.astype(dt)
+        if getattr(self.guidance, "pooled_text", None) is not None:
+            self.guidance.pooled_text = self.guidance.pooled_text.astype(dt)
+            self.guidance.pooled_uncond = \
+                self.guidance.pooled_uncond.astype(dt)
 
     def _init_cameras(self):
         """(reference: init_dataloaders, trainer.py:607-631 +
@@ -1102,6 +1140,22 @@ class Trainer:
                 str(save_dir / f"step_{self.train_step:06d}_overlay.mp4"),
                 fps=cfg.data.eval_video_fps, premultiplied=True)
         return frames
+
+    def export_mesh(self) -> str:
+        """Stage-1 NeRF -> textured mesh files under exp_dir/mesh
+        (reference: to_mesh.py export_mesh — clean, decimate, UV-unwrap,
+        albedo bake). Load the checkpoint first (--optim.resume true)."""
+        assert self.cfg.stage == "nerf", "nerf2mesh needs --stage nerf"
+        from ..nerf.mesh_export import export_textured_mesh
+
+        out = export_textured_mesh(
+            self.nerf, self.state.params, str(self.exp_dir / "mesh"),
+            resolution=self.cfg.log.mesh_resolution,
+            density_thresh=self.cfg.nerf.density_thresh,
+            decimate_target=self.cfg.log.mesh_decimate_target,
+            texture_size=self.cfg.log.mesh_texture_size)
+        logger.info("exported textured mesh to %s", out)
+        return out
 
     def full_eval(self) -> List[np.ndarray]:
         """(reference: Trainer.full_eval, trainer.py:1114-1150)"""

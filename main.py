@@ -31,6 +31,8 @@ def run(cfg: TrainConfig) -> None:
         trainer.pretrain()
     elif cfg.log.nerf2gs:
         trainer.pretrain_nerf2gs()
+    elif cfg.log.nerf2mesh:
+        trainer.export_mesh()
     else:
         trainer.train()
 

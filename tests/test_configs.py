@@ -59,3 +59,24 @@ def test_prompt_sets():
     assert len(full) >= 10
     sl = get_avatar_list("demo,2-4")
     assert sl == full[1:4]
+
+
+def test_prompt_library_breadth(tmp_path):
+    """The library carries 60+ character prompts plus the txt-file loader
+    (reference: configs/prompts.py avatar_prompts + read_txt_file)."""
+    from dreamwaltz_g_tpu.configs.prompts import PROMPT_SETS
+
+    chars = get_avatar_list("characters")
+    assert len(chars) >= 60
+    slugs = [s for s, _ in chars]
+    assert len(set(slugs)) == len(slugs)  # unique slugs
+    assert len(get_avatar_list("diverse")) >= 30
+    assert len(get_avatar_list("everyday")) >= 15
+    assert "eval" in PROMPT_SETS
+    # txt file loading
+    p = tmp_path / "my_prompts.txt"
+    p.write_text("# comment\na wizard\na knight,\n\n")
+    loaded = get_avatar_list(str(p))
+    assert [t for _, t in loaded] == ["a wizard", "a knight"]
+    sliced = get_avatar_list("characters,3-5")
+    assert sliced == chars[2:5]

@@ -446,3 +446,123 @@ def test_hf_unet_conversion_roundtrip(tmp_path):
                      jnp.ones((1, 4, D)) * 0.1)
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sdxl_unet_conversion_roundtrip(tmp_path):
+    """SDXL-style UNet (addition_embed) converts from a structurally-exact
+    diffusers dump — including add_embedding.linear_* (the real SDXL keys)."""
+    torch = pytest.importorskip("torch")
+    from dreamwaltz_g_tpu.guidance.convert import (
+        _flatten,
+        _torch_name,
+        convert_unet,
+    )
+    from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, UNetConfig
+
+    ucfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                      cross_attention_dim=32, num_heads=2,
+                      attn_down=(True, False), addition_embed=True,
+                      addition_pooled_dim=24, addition_time_embed_dim=8)
+    unet = UNet2DCondition(ucfg)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 4, 32)),
+                       pooled_embeds=jnp.zeros((1, 24)),
+                       add_time_ids=jnp.zeros((1, 6)))
+    rng = np.random.default_rng(0)
+    sd = {}
+    for path, leaf in _flatten(params["params"]).items():
+        name = _torch_name(path, "")
+        shape = tuple(leaf.shape)
+        if path[-1] == "kernel":
+            shape = (shape[3], shape[2], shape[0], shape[1]) \
+                if len(shape) == 4 else (shape[1], shape[0])
+        sd[name] = (rng.normal(size=shape) * 0.02).astype(np.float32)
+    assert "add_embedding.linear_1.weight" in sd  # real SDXL key name
+    conv, missing, unused = convert_unet(
+        unet, sd, sample_shape=(1, 8, 8, 4), context_shape=(1, 4, 32),
+        strict=True)
+    assert not missing and not unused
+    out = unet.apply(conv, jnp.ones((1, 8, 8, 4)) * 0.1,
+                     jnp.asarray([100], jnp.int32), jnp.ones((1, 4, 32)) * 0.1,
+                     pooled_embeds=jnp.ones((1, 24)) * 0.1,
+                     add_time_ids=jnp.zeros((1, 6)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clip_penultimate_and_projection_conversion():
+    """SDXL text-encoder-2 path: penultimate hidden states + projected
+    pooled output, converted from an exact torch dump (incl.
+    text_projection.weight)."""
+    from dreamwaltz_g_tpu.guidance.clip_text import (
+        CLIPTextModel,
+        tiny_text_config,
+    )
+    from dreamwaltz_g_tpu.guidance.convert import convert_clip_text
+
+    cfg = tiny_text_config()._replace(projection_dim=24)
+    clip = CLIPTextModel(cfg)
+    ids = jnp.ones((2, cfg.max_length), jnp.int32)
+    params = clip.init(jax.random.PRNGKey(0), ids,
+                       mode="penultimate_pooled")
+
+    # build the torch dump by inverse name mapping
+    from dreamwaltz_g_tpu.guidance.convert import _flatten, _torch_name
+    rng = np.random.default_rng(1)
+    sd = {}
+    for path, leaf in _flatten(params["params"]).items():
+        if path == ("position_embedding",):
+            name = "text_model.embeddings.position_embedding.weight"
+        elif path[0] == "token_embedding":
+            name = "text_model.embeddings.token_embedding.weight"
+        elif path[0] == "final_layer_norm":
+            name = "text_model." + _torch_name(path, "")
+        elif path[0] == "text_projection":
+            name = "text_projection.weight"
+        else:
+            name = "text_model.encoder." + _torch_name(path, "")
+        shape = tuple(leaf.shape)
+        if path[-1] == "kernel":
+            shape = (shape[1], shape[0])
+        sd[name] = (rng.normal(size=shape) * 0.02).astype(np.float32)
+    assert "text_projection.weight" in sd
+    conv, missing = convert_clip_text(clip, sd, strict=True,
+                                      mode="penultimate_pooled")
+    assert not missing
+    h, pooled = clip.apply(conv, ids, mode="penultimate_pooled")
+    assert h.shape == (2, cfg.max_length, cfg.hidden_size)
+    assert pooled.shape == (2, 24)
+    # penultimate differs from the final-LN output
+    final = clip.apply(conv, ids, mode="final")
+    assert np.abs(np.asarray(final) - np.asarray(h)).max() > 1e-7
+
+
+def test_sdxl_avatar_sds_step():
+    """tiny SDXL guidance drives the avatar SDS step end-to-end
+    (reference: model-card 'sdxl10' selection, basic.py:36-49)."""
+    import dreamwaltz_g_tpu.tests_support as ts
+    from dreamwaltz_g_tpu.configs import RenderConfig
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.training.gs_trainer import (
+        init_avatar_train_state,
+        make_avatar_sds_step,
+    )
+    from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+
+    setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+    tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+    guidance, gparams, embed_fn = ts.tiny_guidance_xl(jax.random.PRNGKey(0))
+    txt, pooled = embed_fn(["a test person"])
+    guidance.pooled_text = pooled
+    guidance.pooled_uncond = pooled * 0
+    H = W = 24
+    cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+    step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
+                                tile_size=8, capacity=64, chunk=32)
+    s0 = init_avatar_train_state(setup.state, tx)
+    s1, m = step(s0, gparams, setup.observed, cam.extrinsic[0],
+                 cam.intrinsics[0], cam.tanfov[0], jnp.zeros((H, W, 3)),
+                 txt, txt * 0, jnp.asarray([400], jnp.int32),
+                 jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    assert float(jnp.abs(s1.avatar.params.positions
+                         - s0.avatar.params.positions).max()) > 0
