@@ -96,6 +96,7 @@ def densify_step(
     cfg: DensifyConfig,
     key: jax.Array,
     densify_mask: Optional[jnp.ndarray] = None,
+    extra_attrs: Optional[dict] = None,
 ) -> Tuple[GaussianState, jnp.ndarray]:
     """One clone/split/prune pass. Returns (new_state, written_slots_mask):
     ``written_slots_mask`` marks slots whose parameters were (re)written and
@@ -103,6 +104,10 @@ def densify_step(
 
     ``densify_mask`` restricts densification to a subset (the avatar limits
     it to unconstrained gaussians, reference: core/system/scene.py:170-186).
+
+    ``extra_attrs``: dict of per-slot (C, ...) arrays riding along with the
+    gaussians (e.g. the vanilla avatar's LBS weights) — children copy their
+    parent's value; returns (new_state, written, extras) instead.
     """
     p = state.params
     C = state.capacity
@@ -175,6 +180,10 @@ def densify_step(
         alive=alive_new,
         grad_accum=z, grad_denom=z, max_radii=z,
     )
+    if extra_attrs is not None:
+        extras = {k: scatter(jnp.asarray(v), jnp.asarray(v))
+                  for k, v in extra_attrs.items()}
+        return new_state, written, extras
     return new_state, written
 
 

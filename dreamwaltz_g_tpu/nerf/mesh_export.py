@@ -321,21 +321,17 @@ def unwrap_uv(verts: np.ndarray, faces: np.ndarray,
 # albedo bake
 # ---------------------------------------------------------------------------
 
-def bake_albedo(model, params, verts: np.ndarray, faces: np.ndarray,
-                vt: np.ndarray, ft: np.ndarray, texture_size: int = 1024,
-                chunk: int = 128 ** 2, inpaint_iters: int = 3,
-                ) -> np.ndarray:
-    """Rasterize surface positions into UV space, query the NeRF albedo
-    per texel, dilate-inpaint the chart borders
-    (reference: _export, to_mesh.py:153-260 — nvdiffrast interpolate +
-    sklearn NN inpaint replaced by numpy raster + neighbor-mean dilation).
-
-    Returns (T, T, 3) float albedo texture in [0, 1]."""
-    import jax
-    import jax.numpy as jnp
-
+def rasterize_uv_attribute(attr: np.ndarray, faces: np.ndarray,
+                           vt: np.ndarray, ft: np.ndarray,
+                           texture_size: int,
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Barycentric-interpolate a per-vertex attribute (V, D) into UV space.
+    Returns ((T, T, D) map, (T, T) coverage mask) — the nvdiffrast
+    ``interpolate`` role (reference: to_mesh.py:170-176; also used to bake
+    vertex colors, utils/mesh.py:713-788)."""
     T = texture_size
-    xyz = np.zeros((T, T, 3), np.float64)
+    attr = np.asarray(attr, np.float64)
+    out = np.zeros((T, T, attr.shape[-1]), np.float64)
     mask = np.zeros((T, T), bool)
 
     uv_px = np.asarray(vt, np.float64) * (T - 1)
@@ -361,31 +357,23 @@ def bake_albedo(model, params, verts: np.ndarray, faces: np.ndarray,
         inside = (l0 >= -1e-6) & (l1 >= -1e-6) & (l2 >= -1e-6)
         if not inside.any():
             continue
-        pv = (l0[inside, None] * verts[f[0]] + l1[inside, None] * verts[f[1]]
-              + l2[inside, None] * verts[f[2]])
+        pv = (l0[inside, None] * attr[f[0]] + l1[inside, None] * attr[f[1]]
+              + l2[inside, None] * attr[f[2]])
         ix = p[inside, 0].astype(int)
         iy = p[inside, 1].astype(int)
-        xyz[ix, iy] = pv
+        out[ix, iy] = pv
         mask[ix, iy] = True
+    return out, mask
 
-    tex = np.zeros((T, T, 3), np.float32)
-    pts = xyz[mask]
-    if len(pts):
-        @jax.jit
-        def color_of(pp):
-            n = pp.shape[0]
-            pad = (-n) % chunk
-            if pad:
-                pp = jnp.concatenate([pp, jnp.zeros((pad, 3))])
-            c = jax.lax.map(lambda q: model.density(params, q)[1],
-                            pp.reshape(-1, chunk, 3))
-            return c.reshape(-1, c.shape[-1])[:n]
 
-        cols = np.asarray(color_of(jnp.asarray(pts, jnp.float32)))
-        tex[mask] = _latent_to_rgb(cols)[:, :3]
-
-    # dilation inpaint: empty texels take the mean of filled 8-neighbors
-    for _ in range(inpaint_iters):
+def inpaint_texture(tex: np.ndarray, mask: np.ndarray,
+                    iters: int = 3) -> np.ndarray:
+    """Dilate chart borders: empty texels take the mean of filled
+    8-neighbors (the reference's NN-search antialias, to_mesh.py:205-221)."""
+    T = tex.shape[0]
+    tex = np.asarray(tex, np.float32).copy()
+    mask = mask.copy()
+    for _ in range(iters):
         filled = mask.astype(np.float32)
         acc = np.zeros_like(tex)
         cnt = np.zeros((T, T), np.float32)
@@ -403,6 +391,41 @@ def bake_albedo(model, params, verts: np.ndarray, faces: np.ndarray,
         tex[grow] = acc[grow] / cnt[grow, None]
         mask = mask | grow
     return tex
+
+
+def bake_albedo(model, params, verts: np.ndarray, faces: np.ndarray,
+                vt: np.ndarray, ft: np.ndarray, texture_size: int = 1024,
+                chunk: int = 128 ** 2, inpaint_iters: int = 3,
+                ) -> np.ndarray:
+    """Rasterize surface positions into UV space, query the NeRF albedo
+    per texel, dilate-inpaint the chart borders
+    (reference: _export, to_mesh.py:153-260 — nvdiffrast interpolate +
+    sklearn NN inpaint replaced by numpy raster + neighbor-mean dilation).
+
+    Returns (T, T, 3) float albedo texture in [0, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    T = texture_size
+    xyz, mask = rasterize_uv_attribute(verts, faces, vt, ft, T)
+
+    tex = np.zeros((T, T, 3), np.float32)
+    pts = xyz[mask]
+    if len(pts):
+        @jax.jit
+        def color_of(pp):
+            n = pp.shape[0]
+            pad = (-n) % chunk
+            if pad:
+                pp = jnp.concatenate([pp, jnp.zeros((pad, 3))])
+            c = jax.lax.map(lambda q: model.density(params, q)[1],
+                            pp.reshape(-1, chunk, 3))
+            return c.reshape(-1, c.shape[-1])[:n]
+
+        cols = np.asarray(color_of(jnp.asarray(pts, jnp.float32)))
+        tex[mask] = _latent_to_rgb(cols)[:, :3]
+
+    return inpaint_texture(tex, mask, iters=inpaint_iters)
 
 
 # ---------------------------------------------------------------------------

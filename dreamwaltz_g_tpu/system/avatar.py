@@ -136,6 +136,12 @@ class AvatarModel:
     # 1551-1562; extra_betas is additive, inverse_lbs.py:575-579)
     learn_hand_betas: bool = False
     learn_face_betas: bool = False
+    # gs_type='hash': scales/quats come from a pose-independent MLP over
+    # the NeRF encoding instead of per-point params + deform net
+    # (reference: HashAvatar.nerf_forward, avatar.py:411-492 —
+    # nerf_scale_and_quaternion_net MLP(enc -> 7), scale = exp(.) *
+    # init_scale, quat normalized); sq_net is then SigmaMLP(out=7)
+    hash_mode: bool = False
 
     def part_learns_betas(self, name: str) -> bool:
         return (name == "hands" and self.learn_hand_betas) or \
@@ -307,8 +313,12 @@ def init_avatar_state(
         color_mlp = model.color_mlp.init(
             k2, jnp.zeros((1, model.enc_cfg.output_dim)))
 
-    sq_net = model.sq_net.init(
-        k3, jnp.zeros((1, model.enc_cfg.output_dim)), jnp.zeros((1, 63)))
+    if model.hash_mode:  # SigmaMLP(enc -> 7): 3 scales + 4 quats
+        sq_net = model.sq_net.init(
+            k3, jnp.zeros((1, model.enc_cfg.output_dim)))
+    else:
+        sq_net = model.sq_net.init(
+            k3, jnp.zeros((1, model.enc_cfg.output_dim)), jnp.zeros((1, 63)))
 
     mesh_params = {
         name: init_mesh_binding_params(st, model.smpl.v_template)
@@ -428,24 +438,33 @@ def animate(
     opacities = jax.nn.sigmoid(oc[:, 0])
     colors = jax.nn.sigmoid(oc[:, 1:])
 
-    body_pose = observed_inputs.body_pose
-    offsets, dscales, dquats = model.sq_net.apply(params.sq_net, enc, body_pose)
-
-    # non-rigid composition, 'add' mode with learnable base scales/quats
-    # (reference: non_rigid_transform, avatar.py:1464-1498 — learn_scales and
-    # learn_quaternions are True by default, configs/__init__.py:195-197)
     positions = params.positions
-    if model.use_non_rigid_offsets:
-        positions = positions + offsets * model.init_offset
-    if model.use_non_rigid_scales:
-        scales = jnp.exp(params.log_scales) + dscales * model.init_scale
+    if model.hash_mode:
+        # HashAvatar: pose-independent scale/quat MLP over the encoding
+        # (reference: nerf_forward, avatar.py:472-487)
+        sq = model.sq_net.apply(params.sq_net, enc)
+        scales = jnp.clip(jnp.exp(sq[:, :3]) * model.init_scale,
+                          1e-7, model.max_scale)
+        quats = quat_normalize(sq[:, 3:7])
     else:
-        scales = jnp.exp(params.log_scales)
-    scales = jnp.clip(scales, 1e-7, model.max_scale)
-    if model.use_non_rigid_rotations:
-        quats = quat_normalize(params.quats + dquats)
-    else:
-        quats = quat_normalize(params.quats)
+        body_pose = observed_inputs.body_pose
+        offsets, dscales, dquats = model.sq_net.apply(
+            params.sq_net, enc, body_pose)
+
+        # non-rigid composition, 'add' mode with learnable base scales/quats
+        # (reference: non_rigid_transform, avatar.py:1464-1498 — learn_scales
+        # and learn_quaternions are True by default, configs/__init__.py:195-197)
+        if model.use_non_rigid_offsets:
+            positions = positions + offsets * model.init_offset
+        if model.use_non_rigid_scales:
+            scales = jnp.exp(params.log_scales) + dscales * model.init_scale
+        else:
+            scales = jnp.exp(params.log_scales)
+        scales = jnp.clip(scales, 1e-7, model.max_scale)
+        if model.use_non_rigid_rotations:
+            quats = quat_normalize(params.quats + dquats)
+        else:
+            quats = quat_normalize(params.quats)
 
     positions, quats = forward_lbs(
         observed_tr, positions, w, quats,

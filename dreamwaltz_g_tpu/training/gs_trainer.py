@@ -181,6 +181,109 @@ def densify(tstate: AvatarTrainState, cfg: DensifyConfig, key: jax.Array,
     return AvatarTrainState(new_avatar, opt_state, tstate.step)
 
 
+class VanillaTrainState(NamedTuple):
+    """Train state for gs_type='vanilla' (reference: VanillaAvatar,
+    avatar.py:334-407 — plain learnable 3DGS rigged by LBS)."""
+
+    avatar: Any            # system.vanilla.VanillaAvatarState
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_vanilla_sds_step(
+    model,                 # system.vanilla.VanillaAvatarModel
+    guidance: ScoreDistillation,
+    tx: optax.GradientTransformation,
+    image_height: int,
+    image_width: int,
+    tile_size: int = 16,
+    capacity: int = 512,
+    chunk: int = 64,
+    max_tiles_per_gaussian: int = 16,
+    lambda_guidance: float = 1.0,
+):
+    """One SDS step on the vanilla LBS avatar: its GaussianParams (means,
+    SH features, opacity, scales, quats) are the learnables; LBS weights
+    stay fixed from init (reference: VanillaAvatar.get_optimizer via
+    GaussianModel, avatar.py:334-407)."""
+    from ..system.vanilla import animate_vanilla
+
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    @jax.jit
+    def step(tstate: VanillaTrainState, gparams: GuidanceParams,
+             observed_inputs, extrinsic, intrinsics, tanfov, background,
+             text_embeds, uncond_embeds, t, key, campos=None,
+             cond_image=None, guidance_scale=None, progress=None):
+        vstate = tstate.avatar
+        C = vstate.capacity
+
+        def loss_fn(params, dummy):
+            st = vstate._replace(
+                gaussians=vstate.gaussians._replace(params=params))
+            gs = animate_vanilla(model, st, observed_inputs, campos=campos)
+            cov3d = R.covariance3d(gs.quats, gs.scales)
+            g2d = R.project_gaussians(
+                gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
+                intrinsics, H, W, tanfov=tanfov, alive=gs.alive)
+            g2d = g2d._replace(means2d=g2d.means2d + dummy)
+            out = R.rasterize_projected(g2d, H, W, **raster)
+            image = out.image + (1.0 - out.alpha)[..., None] * background
+            sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
+                           t, key, cond_image=cond_image,
+                           guidance_scale=guidance_scale, progress=progress)
+            loss = lambda_guidance * sds["loss"]
+            return loss, out.radii
+
+        dummy = jnp.zeros((C, 2), jnp.float32)
+        (loss, radii), (grads, dgrad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            vstate.gaussians.params, dummy)
+        updates, opt_state = tx.update(grads, tstate.opt_state,
+                                       vstate.gaussians.params)
+        params = optax.apply_updates(vstate.gaussians.params, updates)
+        from ..gaussian.densify import update_stats
+
+        gstate = update_stats(
+            vstate.gaussians._replace(params=params), dgrad[:C], radii[:C])
+        return (VanillaTrainState(vstate._replace(gaussians=gstate),
+                                  opt_state, tstate.step + 1),
+                {"loss": loss})
+
+    return step
+
+
+def densify_vanilla(tstate: VanillaTrainState, cfg: DensifyConfig,
+                    key: jax.Array) -> VanillaTrainState:
+    """Clone/split/prune on the vanilla avatar's gaussians; children copy
+    the parent's LBS weights (reference: GaussianDensifier on VanillaAvatar
+    + the LBS rig, gaussian_densifier.py:120-182)."""
+    from ..gaussian.densify import densify_step
+
+    vstate = tstate.avatar
+    gstate, written, extras = densify_step(
+        vstate.gaussians, cfg, key,
+        extra_attrs={"lbs": vstate.lbs_weights})
+    opt_state = reset_opt_slots(tstate.opt_state, written)
+    return VanillaTrainState(
+        vstate._replace(gaussians=gstate, lbs_weights=extras["lbs"]),
+        opt_state, tstate.step)
+
+
+def reset_vanilla_opacity(tstate: VanillaTrainState, value: float = 0.01,
+                          ) -> VanillaTrainState:
+    """Periodic opacity reset — applicable to the vanilla avatar because
+    opacity IS a parameter here (reference: reset_opacity cadence,
+    gaussian_densifier.py:304-335)."""
+    from ..gaussian.densify import reset_opacity
+
+    g = reset_opacity(tstate.avatar.gaussians, value)
+    return VanillaTrainState(tstate.avatar._replace(gaussians=g),
+                             tstate.opt_state, tstate.step)
+
+
 def make_avatar_render(model: AvatarModel, image_height: int,
                        image_width: int, tile_size: int = 16,
                        capacity: int = 512, chunk: int = 64,

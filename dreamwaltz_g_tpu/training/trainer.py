@@ -346,10 +346,18 @@ class Trainer:
             log2_hashmap_size=cfg.nerf.log2_hashmap_size,
             gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash")
 
+        # gs_type dispatch (reference: build_avatar, avatar.py:1643-1712):
+        # 'dreamwaltz-g' = hybrid w/ mesh parts + deform net; 'hash' = the
+        # pose-independent scale/quat MLP variant, no mesh binding
+        gs_type = cfg.render.gs_type
+        hash_mode = gs_type == "hash"
+
         mesh_parts = {}
+        if hash_mode:
+            pass  # HashAvatar has no mesh-bound parts (avatar.py:411-492)
         # hands/face submesh binding requires the semantic tables of the real
         # SMPL-X; for the synthetic debug body bind the top of the chain
-        if self.smpl.num_vertices < 1000:
+        elif self.smpl.num_vertices < 1000:
             faces = self.smpl.faces
             v = np.asarray(self.smpl.v_template)
             top = np.argsort(-v[faces].mean(1)[:, 1])[:10]
@@ -368,13 +376,16 @@ class Trainer:
                         n_per_triangle=cfg.render.n_gaussians_per_triangle)
 
         out_ch = 1 + (4 if cfg.nerf.nerf_type == "latent" else 3)
+        sq_net = SigmaMLP(hidden=64, num_layers=3, out_channels=7) \
+            if hash_mode else DeformNetwork(xyz_input_ch=enc_cfg.output_dim)
         return A.AvatarModel(
             smpl=self.smpl,
             canonical_inputs=self.prompt.canonical_inputs,
             enc_cfg=enc_cfg,
             nerf_bound=cfg.nerf.bound,
             color_mlp=SigmaMLP(hidden=64, num_layers=3, out_channels=out_ch),
-            sq_net=DeformNetwork(xyz_input_ch=enc_cfg.output_dim),
+            sq_net=sq_net,
+            hash_mode=hash_mode,
             mesh_parts=mesh_parts,
             init_scale=cfg.render.init_scale,
             max_scale=cfg.render.max_scale,

@@ -466,3 +466,107 @@ class TestTrainableBackground:
         # avatar still updates too
         assert float(jnp.abs(
             s1.avatar.params.positions - s0.avatar.params.positions).max()) > 0
+
+
+class TestGsTypeVariants:
+    def test_hash_avatar_animate_and_grads(self):
+        """gs_type='hash': scales/quats from the pose-independent MLP
+        (reference: HashAvatar.nerf_forward, avatar.py:411-492)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.nerf.network import SigmaMLP
+        from dreamwaltz_g_tpu.system import avatar as A
+
+        base = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        model = base.model.__class__(
+            **{**base.model.__dict__, "hash_mode": True,
+               "sq_net": SigmaMLP(hidden=32, num_layers=2, out_channels=7),
+               "mesh_parts": {}})
+        state = A.init_avatar_state(model, base.cloud, jax.random.PRNGKey(0),
+                                    capacity=64,
+                                    prune_dists_close_to_mesh=None)
+        gs = A.animate(model, state, base.observed)
+        assert gs.positions.shape[0] == 64  # no mesh points
+        assert np.isfinite(np.asarray(gs.scales)).all()
+        # scales honor exp(.)*init_scale clipping
+        assert float(gs.scales.max()) <= model.max_scale + 1e-8
+
+        def loss(params):
+            g = A.animate(model, state._replace(params=params), base.observed)
+            return jnp.sum(g.scales) + jnp.sum(g.positions)
+
+        grad = jax.grad(loss)(state.params)
+        # gradient flows into the scale/quat MLP, not into dead per-point
+        # scale params
+        assert sum(float(jnp.abs(x).sum())
+                   for x in jax.tree_util.tree_leaves(grad.sq_net)) > 0
+        assert float(jnp.abs(grad.log_scales).sum()) == 0.0
+
+    def test_vanilla_sds_step_and_densify(self):
+        """gs_type='vanilla': SDS step updates GaussianParams, densify
+        copies LBS weights to children, opacity reset applies
+        (reference: VanillaAvatar, avatar.py:334-407)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.gaussian.densify import DensifyConfig
+        from dreamwaltz_g_tpu.gaussian.model import opacities
+        from dreamwaltz_g_tpu.human.smplx_model import default_params
+        from dreamwaltz_g_tpu.system.vanilla import (
+            VanillaAvatarModel,
+            init_vanilla_avatar,
+        )
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            VanillaTrainState,
+            densify_vanilla,
+            make_vanilla_sds_step,
+            reset_vanilla_opacity,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_gaussian_optimizer
+        from dreamwaltz_g_tpu.human.smplx_model import make_synthetic_model
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+
+        smpl = make_synthetic_model(num_vertices=120, num_joints=6,
+                                    num_betas=3, num_expr=2)
+        canonical = default_params(smpl, 1)
+        model = VanillaAvatarModel(smpl=smpl, canonical_inputs=canonical)
+        rng = np.random.default_rng(0)
+        cloud = jnp.asarray(rng.normal(size=(32, 3)) * 0.15, jnp.float32)
+        vstate = init_vanilla_avatar(model, cloud, capacity=64)
+        tx = build_gaussian_optimizer(RenderConfig(), max_steps=50)
+        tstate = VanillaTrainState(vstate, tx.init(vstate.gaussians.params),
+                                   jnp.zeros((), jnp.int32))
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = 24
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jax.random.normal(jax.random.PRNGKey(5), (1, 4, D)) * 0.1
+        step = make_vanilla_sds_step(model, guidance, tx, H, W,
+                                     tile_size=8, capacity=64, chunk=32)
+        t1, m = step(tstate, gparams, canonical, cam.extrinsic[0],
+                     cam.intrinsics[0], cam.tanfov[0],
+                     jnp.zeros((H, W, 3)), txt, txt * 0,
+                     jnp.asarray([400], jnp.int32), jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+        assert float(jnp.abs(
+            t1.avatar.gaussians.params.means
+            - tstate.avatar.gaussians.params.means).max()) > 0
+
+        # densify with hot gradients -> clones copy parent lbs weights
+        g2 = t1.avatar.gaussians._replace(
+            grad_accum=jnp.zeros(64).at[:4].set(10.0),
+            grad_denom=jnp.zeros(64).at[:32].set(1.0))
+        t2 = VanillaTrainState(t1.avatar._replace(gaussians=g2),
+                               t1.opt_state, t1.step)
+        cfg = DensifyConfig(grad_threshold=1.0, percent_dense=100.0)
+        t3 = densify_vanilla(t2, cfg, jax.random.PRNGKey(3))
+        n_before = int(g2.alive.sum())
+        n_after = int(t3.avatar.gaussians.alive.sum())
+        assert n_after == n_before + 4
+        new_slots = np.where(np.asarray(t3.avatar.gaussians.alive)
+                             & ~np.asarray(g2.alive))[0]
+        np.testing.assert_allclose(
+            np.asarray(t3.avatar.lbs_weights)[new_slots],
+            np.asarray(t2.avatar.lbs_weights)[:4], atol=1e-6)
+
+        # opacity reset caps opacities at the reset value
+        t4 = reset_vanilla_opacity(t3, value=0.01)
+        op = opacities(t4.avatar.gaussians.params)
+        assert float(op[t4.avatar.gaussians.alive].max()) <= 0.011
