@@ -331,6 +331,9 @@ class DataConfig:
 
     cameras: Optional[str] = None
     random_pose_iter: int = 0
+    # DP (batch_size>1): draw an independent pose per view instead of one
+    # pose replicated across views — B independent reference steps averaged
+    per_view_poses: bool = False
 
     def __post_init__(self):
         for name in (

@@ -515,7 +515,8 @@ class Trainer:
             self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                lambda_guidance=cfg.guide.lambda_guidance,
+                per_view_poses=cfg.data.per_view_poses, **rk)
         elif self.bg_state is not None \
                 or jax.devices()[0].platform == "tpu":
             # three small XLA programs instead of one giant graph: keeps
@@ -626,10 +627,22 @@ class Trainer:
         # random-pose caching: hold the sampled pose fixed for N consecutive
         # steps (reference: random_pose_iter, data/camera/__init__.py:66-163)
         rpi = self.cfg.data.random_pose_iter
+        per_view = self.cfg.data.per_view_poses and B > 1 \
+            and self.cfg.stage == "gs"
         if rpi and self.prompt.scene_type == "random" \
                 and getattr(self, "_pose_cache", None) is not None \
                 and step % rpi != 0:
             smpl_inputs, smpl_outputs = self._pose_cache
+        elif per_view:
+            # independent pose draw per DP view (parallel/dp.py
+            # per_view_poses; no reference counterpart — single GPU B=1)
+            draws = [self.prompt(frame_idx=frame_idx, batch_idx=step * B + i)
+                     for i in range(B)]
+            smpl_inputs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[d[0] for d in draws])
+            smpl_outputs = draws[0][1]  # conditions render view 0's pose
+            self._pose_cache = (smpl_inputs, smpl_outputs)
         else:
             smpl_inputs, smpl_outputs = self.prompt(
                 frame_idx=frame_idx, batch_idx=step)
@@ -729,7 +742,8 @@ class Trainer:
 
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
-                    H, H, lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                    H, H, lambda_guidance=cfg.guide.lambda_guidance,
+                    per_view_poses=cfg.data.per_view_poses, **rk)
             elif getattr(self, "bg_state", None) is not None \
                     or jax.devices()[0].platform == "tpu":
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
