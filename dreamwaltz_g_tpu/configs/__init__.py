@@ -159,6 +159,9 @@ class RenderConfig:
     # DECODED opacity instead (densify_min_opacity).
     densification_interval: Optional[int] = None
     densify_min_opacity: float = 0.005
+    # gs_type='vanilla' only (opacity is a parameter there); None = scale
+    # from max_iteration like the reference's 3000/15000
+    opacity_reset_interval: Optional[int] = None
     densify_grad_threshold: float = 100.0
     densify_disable_clone: bool = False
     densify_disable_split: bool = False

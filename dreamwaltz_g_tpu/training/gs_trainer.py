@@ -272,6 +272,33 @@ def densify_vanilla(tstate: VanillaTrainState, cfg: DensifyConfig,
         opt_state, tstate.step)
 
 
+def make_vanilla_render(model, image_height: int, image_width: int,
+                        tile_size: int = 16, capacity: int = 512,
+                        chunk: int = 64, max_tiles_per_gaussian: int = 16,
+                        extra_models: tuple = ()):
+    """Jit'd eval render for gs_type='vanilla' — same call signature as
+    ``make_avatar_render`` so the Trainer's eval path is type-agnostic."""
+    from ..system.vanilla import animate_vanilla
+
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    @jax.jit
+    def render(vstate, observed_inputs, extrinsic, intrinsics, tanfov,
+               background, extra_states: tuple = ()):
+        gs = animate_vanilla(model, vstate, observed_inputs)
+        cov3d = R.covariance3d(gs.quats, gs.scales)
+        g2d = R.project_gaussians(
+            gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
+            intrinsics, H, W, tanfov=tanfov, alive=gs.alive)
+        out = R.rasterize_projected(g2d, H, W, pallas_mode="eval", **raster)
+        image = out.image + (1.0 - out.alpha)[..., None] * background
+        return image, out.alpha, out.depth
+
+    return render
+
+
 def reset_vanilla_opacity(tstate: VanillaTrainState, value: float = 0.01,
                           ) -> VanillaTrainState:
     """Periodic opacity reset — applicable to the vanilla avatar because

@@ -397,11 +397,109 @@ class Trainer:
             learn_face_betas=cfg.render.learn_face_betas,
         )
 
+    def _init_vanilla_avatar(self):
+        """gs_type='vanilla': plain learnable 3DGS rigged by LBS
+        (reference: VanillaAvatar, avatar.py:334-407 + build_gaussian_avatar
+        dispatch, 1687-1689)."""
+        from ..system.vanilla import VanillaAvatarModel, init_vanilla_avatar
+        from .optim import build_gaussian_optimizer
+
+        cfg = self.cfg
+        assert cfg.optim.batch_size == 1, \
+            "gs_type=vanilla supports batch_size=1 (no DP step yet)"
+        self._nerf_guidance = None
+        self.avatar_model = VanillaAvatarModel(
+            smpl=self.smpl,
+            canonical_inputs=self.prompt.canonical_inputs,
+            max_scale=cfg.render.max_scale)
+
+        colors = None
+        nerf_step_dir = resolve_ckpt_path(cfg.render.from_nerf) \
+            if cfg.render.from_nerf else None
+        if nerf_step_dir is not None:
+            nerf = build_nerf(cfg.nerf)
+            nerf_tx = build_nerf_optimizer(cfg.nerf, 1)
+            tmpl = nerf_trainer.init_train_state(nerf, nerf_tx,
+                                                 jax.random.PRNGKey(0))
+            raw = load_pytree(nerf_step_dir,
+                              target={"params": tmpl.params,
+                                      "opt_state": tmpl.opt_state,
+                                      "step": np.asarray(0)})
+            nerf_params = jax.tree_util.tree_map(jnp.asarray, raw["params"])
+            from ..nerf.export import export_point_cloud
+
+            pc = export_point_cloud(nerf, nerf_params,
+                                    resolution=cfg.render.nerf_resolution,
+                                    density_thresh=cfg.nerf.density_thresh,
+                                    max_points=cfg.render.n_gaussians)
+            cloud = jnp.asarray(pc.points)
+            colors = jnp.asarray(pc.colors) if pc.colors is not None else None
+        else:
+            assert cfg.log.debug, (
+                "--render.from_nerf checkpoint missing; gs_type=vanilla "
+                "needs the stage-1 NeRF (or --log.debug true)")
+            rng = np.random.default_rng(cfg.optim.seed)
+            cloud = jnp.asarray(rng.normal(size=(256, 3)) * 0.2, jnp.float32)
+
+        capacity = min(cfg.render.n_gaussians,
+                       max(2 * cloud.shape[0], cloud.shape[0] + 1024))
+        vstate = init_vanilla_avatar(
+            self.avatar_model, cloud, colors=colors, capacity=capacity,
+            init_scale=cfg.render.init_scale,
+            lbs_weight_smooth=cfg.render.lbs_weight_smooth)
+
+        spatial = cfg.render.spatial_scale or 1.0
+        tx = build_gaussian_optimizer(cfg.render, self.max_iteration,
+                                      spatial_scale=spatial)
+        self.tx = tx
+        self.state = gs_trainer.VanillaTrainState(
+            vstate, tx.init(vstate.gaussians.params),
+            jnp.zeros((), jnp.int32))
+
+        if cfg.optim.ckpt:
+            step_dir = resolve_ckpt_path(cfg.optim.ckpt)
+            if step_dir is not None:
+                template = {"params": self.state.avatar,
+                            "opt_state": self.state.opt_state,
+                            "step": np.asarray(0)}
+                restored = load_pytree(step_dir, target=template)
+                self.state = self.state._replace(
+                    avatar=jax.tree_util.tree_map(
+                        jnp.asarray, restored["params"]))
+                logger.info("warm-started vanilla avatar from %s", step_dir)
+
+        H = self.train_res
+        rk = dict(tile_size=cfg.render.tile_size,
+                  capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
+        self.mesh = None
+        self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
+            self.avatar_model, self.guidance, tx, H, H,
+            lambda_guidance=cfg.guide.lambda_guidance, **rk)
+        self.nerf2gs_step_fn = None
+        self.eval_render = gs_trainer.make_vanilla_render(
+            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
+        self.test_render = gs_trainer.make_vanilla_render(
+            self.avatar_model, cfg.data.test_h, cfg.data.test_w, **rk)
+        self.densify_cfg = DensifyConfig(
+            grad_threshold=cfg.render.densify_grad_threshold,
+            spatial_scale=spatial,
+            min_opacity=cfg.render.densify_min_opacity,
+            enable_clone=not cfg.render.densify_disable_clone,
+            enable_split=not cfg.render.densify_disable_split,
+            enable_prune=not cfg.render.densify_disable_prune)
+        self.densification_interval = cfg.render.densification_interval \
+            or max(int(self.max_iteration * 100 / 15000), 1)
+        # reference cadence 3000/15000 (gaussian_densifier.py:30-40)
+        self.opacity_reset_interval = cfg.render.opacity_reset_interval \
+            or max(int(self.max_iteration * 3000 / 15000), 1)
+
     def _init_avatar(self):
         """(reference: init_gaussian_model, trainer.py:528-576)"""
         from ..system import avatar as A
 
         cfg = self.cfg
+        if cfg.render.gs_type == "vanilla":
+            return self._init_vanilla_avatar()
         self.avatar_model = self._build_avatar_model()
         self._nerf_guidance = None
 
@@ -737,7 +835,11 @@ class Trainer:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
                       chunk=cfg.render.chunk)
-            if self.mesh is not None:
+            if cfg.render.gs_type == "vanilla":
+                self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
+                    self.avatar_model, self.guidance, self.tx, H, H,
+                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
+            elif self.mesh is not None:
                 from ..parallel.dp import make_avatar_sds_step_dp
 
                 self.sds_step_fn = make_avatar_sds_step_dp(
@@ -967,19 +1069,37 @@ class Trainer:
 
     def _maybe_densify(self):
         """(reference: densify cadence, trainer.py:879-885 +
-        densification_interval, gaussian_densifier.py:36-37)"""
+        densification_interval / opacity_reset_interval,
+        gaussian_densifier.py:30-40)"""
         r = self.cfg.render
-        if r.use_densifier and r.densify_from_iter is not None \
-                and r.densify_from_iter <= self.train_step \
-                and (r.densify_until_iter is None
-                     or self.train_step < r.densify_until_iter) \
-                and self.train_step % self.densification_interval == 0:
-            n_before = int(self.state.avatar.num_alive)
-            self.state = gs_trainer.densify(
-                self.state, self.densify_cfg, self._next_key(),
-                model=self.avatar_model)
+        if not r.use_densifier or r.densify_from_iter is None:
+            return
+        in_window = r.densify_from_iter <= self.train_step \
+            and (r.densify_until_iter is None
+                 or self.train_step < r.densify_until_iter)
+        if not in_window:
+            return
+        vanilla = r.gs_type == "vanilla"
+        if self.train_step % self.densification_interval == 0:
+            if vanilla:
+                n_before = int(self.state.avatar.gaussians.alive.sum())
+                self.state = gs_trainer.densify_vanilla(
+                    self.state, self.densify_cfg, self._next_key())
+                n_after = int(self.state.avatar.gaussians.alive.sum())
+            else:
+                n_before = int(self.state.avatar.num_alive)
+                self.state = gs_trainer.densify(
+                    self.state, self.densify_cfg, self._next_key(),
+                    model=self.avatar_model)
+                n_after = int(self.state.avatar.num_alive)
             logger.info("densify @%d: %d -> %d alive", self.train_step,
-                        n_before, int(self.state.avatar.num_alive))
+                        n_before, n_after)
+        # periodic opacity reset — vanilla only: opacity IS a parameter
+        # there (reference: gaussian_densifier.py:304-335)
+        if vanilla and self.train_step % self.opacity_reset_interval == 0:
+            self.state = gs_trainer.reset_vanilla_opacity(
+                self.state, value=self.densify_cfg.opacity_reset_value)
+            logger.info("opacity reset @%d", self.train_step)
 
     def pretrain(self) -> None:
         """NeRF pretrain against SMPL-X depth/mask
@@ -1098,12 +1218,19 @@ class Trainer:
                 tanfov = jnp.asarray(cp["tanfov"])
                 vh, vw = cp["image_height"], cp["image_width"]
                 if reenact_render is None and cfg.stage == "gs":
-                    reenact_render = gs_trainer.make_avatar_render(
-                        self.avatar_model, vh, vw,
-                        tile_size=cfg.render.tile_size,
-                        capacity=cfg.render.tile_capacity,
-                        chunk=cfg.render.chunk,
-                        extra_models=self.extra_models)
+                    if cfg.render.gs_type == "vanilla":
+                        reenact_render = gs_trainer.make_vanilla_render(
+                            self.avatar_model, vh, vw,
+                            tile_size=cfg.render.tile_size,
+                            capacity=cfg.render.tile_capacity,
+                            chunk=cfg.render.chunk)
+                    else:
+                        reenact_render = gs_trainer.make_avatar_render(
+                            self.avatar_model, vh, vw,
+                            tile_size=cfg.render.tile_size,
+                            capacity=cfg.render.tile_capacity,
+                            chunk=cfg.render.chunk,
+                            extra_models=self.extra_models)
                 Hc, Wc = vh, vw
             else:
                 cam = camera(p)
