@@ -107,7 +107,7 @@ def main():
     grid = init_occupancy(64)
     nstep = nerf_trainer.make_nerf_sds_step(
         nerf, guidance, ntx, 128, 128, ncfg, num_steps=96,
-        max_iteration=10000)
+        max_iteration=10000, ray_chunk=4096)
     ncam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 128, 128)
     for w in range(3):
         k, kk = jax.random.split(k)

@@ -68,6 +68,8 @@ class NeRFConfig:
     num_steps: int = 96          # static samples per ray (coarse, occupancy-masked)
     upsample_steps: int = 0      # PDF importance samples per ray (ref: 0)
     update_extra_interval: int = 16
+    # eval ray batching AND the training remat chunk: SDS renders march
+    # rays in jax.checkpoint'ed chunks of this size (HBM, not FLOPs)
     max_ray_batch: int = 4096
     density_thresh: float = 10.0
 

@@ -44,16 +44,46 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                   num_steps, bg_color, shading="albedo", bg_mode="color",
-                  upsample_steps=0):
+                  upsample_steps=0, ray_chunk=0):
     """Render a full (H, W, C) image by marching all pixels in one batch.
 
     ``bg_mode='nerf'`` composites the learned ray-direction background MLP
     instead of the constant color (reference: bg net path,
-    nerf_model.py:247-256 + nerf_renderer.py:404-472)."""
+    nerf_model.py:247-256 + nerf_renderer.py:404-472).
+
+    ``ray_chunk``: march rays in rematerialized chunks — at training
+    resolutions H·W·num_steps sample buffers otherwise dominate HBM under
+    autodiff (the CUDA reference compacts rays instead; here
+    ``jax.checkpoint`` over chunks trades recompute for memory, the
+    standard TPU remat pattern)."""
     rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None], H, W)
-    out = render_rays(model, params, grid, rays_o[0], rays_d[0], key=key,
-                      num_steps=num_steps, upsample_steps=upsample_steps,
-                      perturb=True, shading=shading)
+    ro, rd = rays_o[0], rays_d[0]
+    if ray_chunk and ro.shape[0] > ray_chunk:
+        n = ro.shape[0]
+        pad = (-n) % ray_chunk
+        if pad:
+            ro = jnp.concatenate([ro, jnp.zeros((pad, 3))])
+            rd = jnp.concatenate([rd, jnp.ones((pad, 3))])
+
+        @jax.checkpoint
+        def render_chunk(args):
+            o, d = args
+            return render_rays(model, params, grid, o, d, key=key,
+                               num_steps=num_steps,
+                               upsample_steps=upsample_steps,
+                               perturb=True, shading=shading)
+
+        outs = jax.lax.map(render_chunk,
+                           (ro.reshape(-1, ray_chunk, 3),
+                            rd.reshape(-1, ray_chunk, 3)))
+        out = jax.tree_util.tree_map(
+            lambda x: None if x is None
+            else x.reshape((-1,) + x.shape[2:])[:n], outs)
+    else:
+        out = render_rays(model, params, grid, ro, rd, key=key,
+                          num_steps=num_steps,
+                          upsample_steps=upsample_steps,
+                          perturb=True, shading=shading)
     if bg_mode == "nerf" and model.bg_mlp is not None:
         bg = model.background(params, rays_d[0])
     else:
@@ -115,6 +145,7 @@ def make_nerf_sds_step(
     sigma_loss_type: str = "margin",
     max_iteration: int = 10000,
     bg_mode: str = "color",
+    ray_chunk: int = 0,
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
@@ -134,7 +165,7 @@ def make_nerf_sds_step(
             img, _, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
                 image_height, image_width, k_render, num_steps, bg_color,
-                bg_mode=bg_mode,
+                bg_mode=bg_mode, ray_chunk=ray_chunk,
                 upsample_steps=getattr(nerf_cfg, "upsample_steps", 0))
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,

@@ -328,7 +328,8 @@ class Trainer:
             sigma_peak=cfg.sigma_guidance_peak,
             sigma_loss_type=cfg.sigma_loss_type,
             max_iteration=self.max_iteration,
-            bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color")
+            bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
+            ray_chunk=cfg.nerf.max_ray_batch)
         self.eval_render = nerf_trainer.make_eval_render(
             self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
 
@@ -615,12 +616,14 @@ class Trainer:
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
                 per_view_poses=cfg.data.per_view_poses, **rk)
-        elif self.bg_state is not None \
-                or jax.devices()[0].platform == "tpu":
+        elif not cfg.guide.sds_loss_type.startswith("x0") \
+                and (self.bg_state is not None
+                     or jax.devices()[0].platform == "tpu"):
             # three small XLA programs instead of one giant graph: keeps
             # compiles tractable for the remote compiler and pipelines
             # better; the split builder also hosts the trainable-background
-            # variant on any platform
+            # variant on any platform. x0 denoise modes are pixel-space
+            # losses (no latent SpecifyGradient) — monolithic step only.
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
@@ -830,7 +833,8 @@ class Trainer:
                 sigma_peak=cfg.sigma_guidance_peak,
                 sigma_loss_type=cfg.sigma_loss_type,
                 max_iteration=self.max_iteration,
-                bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color")
+                bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
+                ray_chunk=cfg.nerf.max_ray_batch)
         else:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
