@@ -284,28 +284,70 @@ class AMASS:
 
 
 class Hybrik:
-    """HybrIK video estimates (.pk with rotmat poses)
-    (reference: hybrik.py:11-120, single-person path)."""
+    """HybrIK video estimates (.pk with rotmat poses), single- AND
+    multi-person (reference: hybrik.py:11-120 — per-frame person lists,
+    frames filtered to the modal person count, betas averaged over frames,
+    root orientation zeroed)."""
 
     def __init__(self, root: Optional[str] = None):
         self.root = root or os.environ.get("HYBRIK_ROOT", "./datasets/hybrik/")
+
+    @staticmethod
+    def get_video_info(transl):
+        """(num_frame, modal num_person) (reference: hybrik.py:23-28)."""
+        counts = [np.asarray(t).reshape(-1, 3).shape[0] for t in transl]
+        num_person = int(np.bincount(counts).argmax())
+        return len(transl), num_person
 
     def get_smpl_params(self, filename: str, model_type: str = "smplx") -> Dict:
         matches = glob(osp.join(self.root, "**", f"{filename}.pk"),
                        recursive=True)
         with open(matches[0], "rb") as f:
             bdata = pickle.load(f)
-        thetas = np.asarray(bdata["pred_thetas"])    # (F, 24*9) or (F, 24, 3, 3)
-        F = thetas.shape[0]
-        rotmat = thetas.reshape(F, -1, 3, 3)
-        aa = _rotmat_to_axis_angle(rotmat)           # (F, 24, 3)
-        body = aa[:, 1:22].reshape(F, -1)
-        transl = np.asarray(bdata["transl"]).reshape(F, -1)[:, :3]
-        return {
-            "global_orient": aa[None, :, 0],
-            "body_pose": body[None],
-            "transl": transl[None],
+        thetas = bdata["pred_thetas"]
+        transl = bdata["transl"]
+        betas_raw = bdata.get("pred_betas")
+
+        if isinstance(thetas, (list, tuple)) or \
+                (isinstance(thetas, np.ndarray) and thetas.dtype == object):
+            # MP layout: per-frame lists of per-person arrays; keep only
+            # frames with the modal person count (hybrik.py:41-50)
+            _, P = self.get_video_info(transl)
+            poses_f, transl_f, betas_f = [], [], []
+            for i in range(len(thetas)):
+                th = np.asarray(thetas[i]).reshape(-1, 24, 3, 3)
+                tr = np.asarray(transl[i]).reshape(-1, 3)
+                if th.shape[0] != P or tr.shape[0] != P:
+                    continue
+                poses_f.append(th)
+                transl_f.append(tr)
+                if betas_raw is not None:
+                    betas_f.append(np.asarray(betas_raw[i]).reshape(P, -1))
+            rotmat = np.stack(poses_f, 1)            # (P, F', 24, 3, 3)
+            transl_a = np.stack(transl_f, 1)         # (P, F', 3)
+            betas = np.stack(betas_f, 1).mean(1) if betas_f else None
+        else:
+            thetas = np.asarray(thetas)              # (F, 24*9)
+            F = thetas.shape[0]
+            rotmat = thetas.reshape(1, F, 24, 3, 3)
+            transl_a = np.asarray(transl).reshape(1, F, 3)
+            betas = np.asarray(betas_raw).reshape(F, -1).mean(
+                0, keepdims=True) if betas_raw is not None else None
+
+        P, F = rotmat.shape[:2]
+        aa = _rotmat_to_axis_angle(rotmat.reshape(-1, 24, 3, 3)) \
+            .reshape(P, F, 24, 3)
+        n_joints = 21 if model_type in ("smplx", "smplh") else 23
+        body = aa[:, :, 1:1 + n_joints].reshape(P, F, -1)
+        out = {
+            # root orientation zeroed like the reference (hybrik.py:67-68)
+            "global_orient": np.zeros_like(aa[:, :, 0]),
+            "body_pose": body,
+            "transl": transl_a,
         }
+        if betas is not None:
+            out["betas"] = betas                     # (P, n_betas)
+        return out
 
 
 def _parse_reenact_camera(camera_params: dict) -> dict:

@@ -318,3 +318,52 @@ class TestTramLoader:
         np.testing.assert_allclose(seqs["global_orient"][0], aa[:, 0],
                                    atol=1e-3)
         assert cams["image_width"] == 640 and cams["image_height"] == 480
+
+
+class TestHybrik:
+    def _write_pk(self, tmp_path, data, name="vid"):
+        import pickle
+
+        d = tmp_path / "MP"
+        d.mkdir(exist_ok=True)
+        with open(d / f"{name}.pk", "wb") as f:
+            pickle.dump(data, f)
+        return str(tmp_path)
+
+    def test_single_person(self, tmp_path):
+        from dreamwaltz_g_tpu.data.motion.loaders import Hybrik
+
+        F = 5
+        eye = np.tile(np.eye(3), (F, 24, 1, 1)).reshape(F, 24 * 9)
+        root = self._write_pk(tmp_path, {
+            "pred_thetas": eye.astype(np.float32),
+            "transl": np.zeros((F, 3), np.float32),
+            "pred_betas": np.zeros((F, 10), np.float32),
+        })
+        out = Hybrik(root).get_smpl_params("vid", model_type="smplx")
+        assert out["body_pose"].shape == (1, F, 63)
+        assert out["transl"].shape == (1, F, 3)
+        np.testing.assert_allclose(out["global_orient"], 0.0)
+        assert out["betas"].shape == (1, 10)
+
+    def test_multi_person_modal_filter(self, tmp_path):
+        """MP layout: frames with a non-modal person count are dropped,
+        betas average over frames (reference: hybrik.py:23-55)."""
+        from dreamwaltz_g_tpu.data.motion.loaders import Hybrik
+
+        eye24 = np.tile(np.eye(3), (24, 1, 1))[None]      # (1, 24, 3, 3)
+        two = np.concatenate([eye24, eye24])              # (2, 24, 3, 3)
+        frames_th = [two, two, eye24, two]                # frame 2 has 1 person
+        frames_tr = [np.zeros((2, 3)), np.ones((2, 3)),
+                     np.zeros((1, 3)), np.full((2, 3), 2.0)]
+        frames_bt = [np.zeros((2, 10)), np.ones((2, 10)),
+                     np.zeros((1, 10)), np.full((2, 10), 2.0)]
+        root = self._write_pk(tmp_path, {
+            "pred_thetas": frames_th, "transl": frames_tr,
+            "pred_betas": frames_bt,
+        })
+        out = Hybrik(root).get_smpl_params("vid", model_type="smplx")
+        assert out["body_pose"].shape == (2, 3, 63)       # 2 people, 3 frames
+        assert out["transl"].shape == (2, 3, 3)
+        np.testing.assert_allclose(out["betas"], 1.0)     # mean(0, 1, 2)
+        np.testing.assert_allclose(out["transl"][:, 1], 1.0)
