@@ -566,3 +566,32 @@ def test_sdxl_avatar_sds_step():
     assert np.isfinite(float(m["loss"]))
     assert float(jnp.abs(s1.avatar.params.positions
                          - s0.avatar.params.positions).max()) > 0
+
+
+def test_ism_timestep_window():
+    """ISM's expanded warmup window shrinks from [20, 980) to [20, 500)
+    (reference: ism(), basic.py:722-742)."""
+    cfg = _FakeGuideCfg()
+    tp = TP.TimePrioritizedScheduler(cfg)
+    early = tp.get_ism_timestep(2000, train_step=0, max_iteration=10000)
+    late = tp.get_ism_timestep(2000, train_step=5000, max_iteration=10000)
+    assert early.min() >= 20 and early.max() < 980
+    assert late.max() < 500
+    assert early.max() > 500  # warmup region actually sampled early on
+
+
+def test_guidance_adjust_modes():
+    """(reference: get_guidance_scale, basic.py:404-418)"""
+    cfg = _FakeGuideCfg()
+    cfg.guidance_scale = 100.0
+    for mode, first, last in (("linear", 100.0, 7.5),
+                              ("linear_reverse", 7.5, 100.0)):
+        cfg.guidance_adjust = mode
+        tp = TP.TimePrioritizedScheduler(cfg)
+        np.testing.assert_allclose(tp.get_guidance_scale(1, 1000), first)
+        np.testing.assert_allclose(tp.get_guidance_scale(1000, 1000), last)
+    cfg.guidance_adjust = "uniform"
+    tp = TP.TimePrioritizedScheduler(cfg)
+    vals = [tp.get_guidance_scale(1, 1000) for _ in range(50)]
+    assert min(vals) >= 7.5 and max(vals) <= 100.0
+    assert np.std(vals) > 1.0
