@@ -44,6 +44,7 @@ def make_avatar_sds_step_dp(
     lambda_guidance: float = 1.0,
     axis_name: str = DATA_AXIS,
     per_view_poses: bool = False,
+    neg_embeds=None,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
@@ -82,6 +83,7 @@ def make_avatar_sds_step_dp(
             sds = guidance(
                 gparams, image[None], txt[None], unc[None], t1[None],
                 key, cond_image=cond[None] if use_cond else None,
+                neg_embeds=neg_embeds,
                 guidance_scale=guidance_scale, progress=progress)
             return lambda_guidance * sds["loss"], out.radii
 

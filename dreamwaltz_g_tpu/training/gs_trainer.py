@@ -75,8 +75,13 @@ def make_avatar_sds_step(
     chunk: int = 64,
     max_tiles_per_gaussian: int = 16,
     lambda_guidance: float = 1.0,
+    neg_embeds=None,
 ):
-    """One avatar SDS step. Returns (state', metrics)."""
+    """One avatar SDS step. Returns (state', metrics).
+
+    ``neg_embeds``: the negative-prompt embedding for the csd/nfsd 3-way
+    CFG (reference: prepare_text_embeddings with ('null','text','neg'),
+    basic.py:557-563) — constant, so it bakes into the jitted program."""
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
                   max_tiles_per_gaussian=max_tiles_per_gaussian)
@@ -98,6 +103,7 @@ def make_avatar_sds_step(
                 extrinsic, intrinsics, tanfov, background, H, W, raster)
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
+                           neg_embeds=neg_embeds,
                            guidance_scale=guidance_scale, progress=progress)
             loss = lambda_guidance * sds["loss"]
             return loss, (out.radii, {"sds_loss": sds["loss"],
@@ -201,6 +207,7 @@ def make_vanilla_sds_step(
     chunk: int = 64,
     max_tiles_per_gaussian: int = 16,
     lambda_guidance: float = 1.0,
+    neg_embeds=None,
 ):
     """One SDS step on the vanilla LBS avatar: its GaussianParams (means,
     SH features, opacity, scales, quats) are the learnables; LBS weights
@@ -233,6 +240,7 @@ def make_vanilla_sds_step(
             image = out.image + (1.0 - out.alpha)[..., None] * background
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
+                           neg_embeds=neg_embeds,
                            guidance_scale=guidance_scale, progress=progress)
             loss = lambda_guidance * sds["loss"]
             return loss, out.radii
@@ -370,6 +378,7 @@ def make_avatar_sds_step_split(
     lambda_guidance: float = 1.0,
     bg_net=None,
     bg_tx: Optional[optax.GradientTransformation] = None,
+    neg_embeds=None,
 ):
     """Avatar SDS step as THREE small jitted programs instead of one giant
     graph: (A) render -> VAE-encode forward, (B) frozen UNet eps ->
@@ -468,8 +477,8 @@ def make_avatar_sds_step_split(
                     cond_image, guidance_scale, progress=None):
         return guidance.latent_gradients(
             gparams, latents, text_embeds, uncond_embeds, t, key,
-            cond_image=cond_image, guidance_scale=guidance_scale,
-            progress=progress)
+            cond_image=cond_image, neg_embeds=neg_embeds,
+            guidance_scale=guidance_scale, progress=progress)
 
     @jax.jit
     def apply_grads(tstate, gparams, observed_inputs, extrinsic, intrinsics,

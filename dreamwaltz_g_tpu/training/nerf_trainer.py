@@ -146,6 +146,7 @@ def make_nerf_sds_step(
     max_iteration: int = 10000,
     bg_mode: str = "color",
     ray_chunk: int = 0,
+    neg_embeds=None,
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
@@ -169,6 +170,7 @@ def make_nerf_sds_step(
                 upsample_steps=getattr(nerf_cfg, "upsample_steps", 0))
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,
+                           neg_embeds=neg_embeds,
                            guidance_scale=guidance_scale, progress=progress)
             loss = lambda_guidance * sds["loss"]
             metrics = {"sds_loss": sds["loss"]}

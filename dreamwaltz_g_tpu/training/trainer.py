@@ -105,6 +105,7 @@ class Trainer:
         self.extra_models = ()
         self.bg_state = None   # trainable MLP background (gs stage opt-in)
         self.bg_net = None
+        self.neg_embeds = None  # csd/nfsd negative-prompt branch
 
         self._init_human()
         self._init_guidance()
@@ -196,6 +197,16 @@ class Trainer:
                     controlnet_scale=cfg.guide.controlnet_scale)
                 self.text_embeds = text_embed_fn(texts)      # (V, L, D)
                 self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
+            # csd/nfsd 3-way CFG needs the negative prompt as its own
+            # branch (reference: ('null','text','neg'), basic.py:557-563)
+            self.neg_embeds = None
+            if cfg.guide.sds_loss_type in ("csd", "nfsd"):
+                if is_xl:
+                    self.neg_embeds, _ = text_embed_fn(
+                        [cfg.guide.negative_text])
+                else:
+                    self.neg_embeds = text_embed_fn(
+                        [cfg.guide.negative_text])
             self._cast_guidance_dtype()
         else:
             assert cfg.log.debug, (
@@ -216,6 +227,9 @@ class Trainer:
                     [cfg.guide.null_text])
                 self.guidance.pooled_text = pooled_t[:1]
                 self.guidance.pooled_uncond = pooled_u[:1]
+                if cfg.guide.sds_loss_type in ("csd", "nfsd"):
+                    self.neg_embeds, _ = text_embed_fn(
+                        [cfg.guide.negative_text])
             else:
                 from ..tests_support import tiny_guidance
 
@@ -230,6 +244,12 @@ class Trainer:
                 self.text_embeds = jax.random.normal(
                     self._next_key(), (V, 4, D)) * 0.02
                 self.uncond_embeds = jnp.zeros((1, 4, D))
+            self.neg_embeds = None
+            if cfg.guide.sds_loss_type in ("csd", "nfsd"):
+                D = self.guidance.unet.cfg.cross_attention_dim
+                L = self.text_embeds.shape[1]
+                self.neg_embeds = jax.random.normal(
+                    self._next_key(), (1, L, D)) * 0.02
             self._cast_guidance_dtype()
 
         self._guidance_cast_done = True
@@ -259,6 +279,8 @@ class Trainer:
         self.guidance_params = jax.tree_util.tree_map(cast, self.guidance_params)
         self.text_embeds = self.text_embeds.astype(dt)
         self.uncond_embeds = self.uncond_embeds.astype(dt)
+        if getattr(self, "neg_embeds", None) is not None:
+            self.neg_embeds = self.neg_embeds.astype(dt)
         if getattr(self.guidance, "pooled_text", None) is not None:
             self.guidance.pooled_text = self.guidance.pooled_text.astype(dt)
             self.guidance.pooled_uncond = \
@@ -329,7 +351,8 @@ class Trainer:
             sigma_loss_type=cfg.sigma_loss_type,
             max_iteration=self.max_iteration,
             bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
-            ray_chunk=cfg.nerf.max_ray_batch)
+            ray_chunk=cfg.nerf.max_ray_batch,
+            neg_embeds=self.neg_embeds)
         self.eval_render = nerf_trainer.make_eval_render(
             self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
 
@@ -475,7 +498,8 @@ class Trainer:
         self.mesh = None
         self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
             self.avatar_model, self.guidance, tx, H, H,
-            lambda_guidance=cfg.guide.lambda_guidance, **rk)
+            lambda_guidance=cfg.guide.lambda_guidance,
+            neg_embeds=self.neg_embeds, **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_vanilla_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
@@ -615,6 +639,7 @@ class Trainer:
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds,
                 per_view_poses=cfg.data.per_view_poses, **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
@@ -627,12 +652,14 @@ class Trainer:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds,
                 bg_net=self.bg_net,
                 bg_tx=getattr(self, "bg_tx", None), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds, **rk)
         # scene composition: a second avatar from another run's checkpoint
         # (reference: ckpt_extra, trainer.py:273-278 + scene.py:213-222)
         self.extra_states = ()
@@ -834,7 +861,8 @@ class Trainer:
                 sigma_loss_type=cfg.sigma_loss_type,
                 max_iteration=self.max_iteration,
                 bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
-                ray_chunk=cfg.nerf.max_ray_batch)
+                ray_chunk=cfg.nerf.max_ray_batch,
+                neg_embeds=self.neg_embeds)
         else:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
@@ -842,25 +870,29 @@ class Trainer:
             if cfg.render.gs_type == "vanilla":
                 self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                    lambda_guidance=cfg.guide.lambda_guidance,
+                    neg_embeds=self.neg_embeds, **rk)
             elif self.mesh is not None:
                 from ..parallel.dp import make_avatar_sds_step_dp
 
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
                     H, H, lambda_guidance=cfg.guide.lambda_guidance,
+                    neg_embeds=self.neg_embeds,
                     per_view_poses=cfg.data.per_view_poses, **rk)
             elif getattr(self, "bg_state", None) is not None \
                     or jax.devices()[0].platform == "tpu":
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                     self.avatar_model, self.guidance, self.tx, H, H,
                     lambda_guidance=cfg.guide.lambda_guidance,
+                    neg_embeds=self.neg_embeds,
                     bg_net=self.bg_net,
                     bg_tx=getattr(self, "bg_tx", None), **rk)
             else:
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance, **rk)
+                    lambda_guidance=cfg.guide.lambda_guidance,
+                    neg_embeds=self.neg_embeds, **rk)
 
     def _bg_color(self) -> jnp.ndarray:
         if self.cfg.stage == "nerf":
