@@ -134,6 +134,10 @@ def blend_tiles_pallas(
     N, CV = values.shape
     assert CV <= 6, "pack at most 4 channels + depth + alpha"
     P = tile_size * tile_size
+    if not interpret and chunk % 128 and chunk < K:
+        # Mosaic blocks must be 128-lane divisible (or span the array);
+        # round the chunking knob up rather than fail to lower
+        chunk = -(-chunk // 128) * 128
     C = min(chunk, K)
     n_chunks = -(-K // C)
     if K % C:
@@ -572,6 +576,9 @@ def blend_tiles_pallas_train(
     N, CV = values.shape
     assert CV <= 6
     P = tile_size * tile_size
+    if not interpret and chunk % 128 and chunk < K:
+        # Mosaic blocks must be 128-lane divisible (or span the array)
+        chunk = -(-chunk // 128) * 128
     C = min(chunk, K)
     n_chunks = -(-K // C)
     if K % C:
