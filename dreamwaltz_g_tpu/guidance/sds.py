@@ -451,6 +451,49 @@ def make_pgc(clip_value: float = 0.1, mode: str = "clip"):
     return pgc
 
 
+def make_rgb_grad_hook(grad_clip: bool, grad_norm: bool,
+                       grad_clip_scale: float = 3.0):
+    """RMS-std clip then global L2 normalize of the rendered-image gradient
+    (reference: build_grad_hook_func, pgc.py:13-41)."""
+
+    @jax.custom_vjp
+    def hook(x):
+        return x
+
+    def fwd(x):
+        return x, None
+
+    def bwd(_, g):
+        out = g
+        if grad_clip:
+            gz = jnp.nan_to_num(out)
+            nz = jnp.maximum(jnp.sum(jnp.abs(gz) > 0), 1)
+            std = jnp.sqrt(jnp.sum(gz * gz) / nz) * grad_clip_scale
+            out = jnp.nan_to_num(jnp.clip(out, -std, std))
+        if grad_norm:
+            n = jnp.sqrt(jnp.sum(out * out))
+            out = out / jnp.maximum(n, 1e-8)
+        return (out,)
+
+    hook.defvjp(fwd, bwd)
+    return hook
+
+
+def build_pixel_grad_hook(guide_cfg):
+    """Select the image-gradient hook from config, or None
+    (reference: the register_hook dispatch, basic.py:795-817 — PGC suppress
+    when pgc_clip_rgb >= 0, else the clip/norm hook)."""
+    if getattr(guide_cfg, "pgc_clip_rgb", -1.0) is not None \
+            and guide_cfg.pgc_clip_rgb >= 0:
+        return make_pgc_suppress(guide_cfg.pgc_clip_rgb,
+                                 guide_cfg.pgc_suppress_type)
+    if guide_cfg.grad_rgb_clip or guide_cfg.grad_rgb_norm:
+        return make_rgb_grad_hook(guide_cfg.grad_rgb_clip,
+                                  guide_cfg.grad_rgb_norm,
+                                  guide_cfg.grad_rgb_clip_scale)
+    return None
+
+
 def make_pgc_suppress(clip_value: float, suppress_type: int = 0):
     """The reference's numbered PGC suppress family as a custom_vjp
     (reference: build_pgc_hook_func, pgc.py:44-79; channel dim last here

@@ -45,6 +45,7 @@ def make_avatar_sds_step_dp(
     axis_name: str = DATA_AXIS,
     per_view_poses: bool = False,
     neg_embeds=None,
+    pgc=None,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
@@ -77,7 +78,7 @@ def make_avatar_sds_step_dp(
                     lambda x: x[None], obs)
             image, out = _render_with_dummy(
                 model, state, params, obs, dummy,
-                extr, intr, tf, bg, H, W, raster)
+                extr, intr, tf, bg, H, W, raster, pgc=pgc)
             use_cond = guidance.controlnet is not None \
                 and gparams.controlnet is not None
             sds = guidance(

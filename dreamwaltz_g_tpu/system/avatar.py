@@ -142,6 +142,14 @@ class AvatarModel:
     # nerf_scale_and_quaternion_net MLP(enc -> 7), scale = exp(.) *
     # init_scale, quat normalized); sq_net is then SigmaMLP(out=7)
     hash_mode: bool = False
+    # render overrides (reference: Scene.forward, scene.py:134-145 +
+    # avatar.py:1546,1585) — debug/visualization knobs applied to every
+    # animate() output; static model config, so branches trace once
+    use_zero_scales: bool = False
+    use_constant_colors: Optional[Tuple[float, float, float]] = None
+    use_constant_opacities: Optional[float] = None
+    use_fixed_n_gaussians: Optional[int] = None
+    render_only: str = "all"   # {'all', 'unconstrained', 'mesh'}
 
     def part_learns_betas(self, name: str) -> bool:
         return (name == "hands" and self.learn_hand_betas) or \
@@ -261,6 +269,7 @@ def init_avatar_state(
     nerf_params: Optional[NeRFParams] = None,
     prune_dists_close_to_mesh: Optional[float] = 0.01,
     lbs_weight_smooth: bool = False,
+    lbs_weight_smooth_K: int = 30,
 ) -> AvatarState:
     """Build the avatar from a stage-1 NeRF point cloud
     (reference: DreamWaltzG.__init__, avatar.py:1176-1245).
@@ -287,7 +296,8 @@ def init_avatar_state(
             keep = keep & ~close
 
     lbs_w = initialize_lbs_weights(
-        model.smpl, nearest, point_cloud, smooth=lbs_weight_smooth)
+        model.smpl, nearest, point_cloud, smooth=lbs_weight_smooth,
+        smooth_K=lbs_weight_smooth_K)
 
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
     zero_pose_positions = inverse_lbs(canonical_tr, point_cloud, lbs_w)
@@ -476,7 +486,7 @@ def animate(
         densify_mask=jnp.ones(state.capacity, bool),
     )
     if unconstrained_only or not model.mesh_parts:
-        return unconstrained
+        return _apply_render_overrides(model, unconstrained)
 
     # parts with a learnable shape tweak skin through transforms recomputed
     # WITH extra_betas, canonical and observed alike (reference:
@@ -494,7 +504,35 @@ def animate(
             observed_tr_b if model.part_learns_betas(name) else observed_tr)
         for name in model.mesh_parts
     ]
-    return merge_gaussians(unconstrained, *parts)
+    return _apply_render_overrides(model, merge_gaussians(unconstrained,
+                                                          *parts))
+
+
+def _apply_render_overrides(model: AvatarModel, gs: GaussiansOut,
+                            ) -> GaussiansOut:
+    """Scene-level render overrides, static-shape via alive masks
+    (reference: Scene.forward, scene.py:134-145 — zero scales is a 0.1x
+    shrink there; avatar.py:1546/1585 render-only paths)."""
+    if model.render_only == "unconstrained":
+        gs = gs._replace(alive=gs.alive & gs.densify_mask)
+    elif model.render_only == "mesh":
+        gs = gs._replace(alive=gs.alive & ~gs.densify_mask)
+    if model.use_zero_scales:
+        gs = gs._replace(scales=gs.scales * 0.1)
+    if model.use_constant_colors is not None:
+        c = jnp.asarray(model.use_constant_colors, gs.colors.dtype)
+        gs = gs._replace(colors=jnp.broadcast_to(
+            c, gs.colors.shape[:-1] + (3,)))
+    if model.use_constant_opacities is not None:
+        gs = gs._replace(opacities=jnp.full_like(
+            gs.opacities, model.use_constant_opacities))
+    if model.use_fixed_n_gaussians is not None:
+        # keep the first n alive entries (downsample_gaussians analog,
+        # gaussian_utils.py:77-81, under static shapes)
+        keep = jnp.cumsum(gs.alive.astype(jnp.int32)) \
+            <= model.use_fixed_n_gaussians
+        gs = gs._replace(alive=gs.alive & keep)
+    return gs
 
 
 def merge_gaussians(*gs: GaussiansOut) -> GaussiansOut:

@@ -54,6 +54,7 @@ def init_vanilla_avatar(
     capacity: Optional[int] = None,
     sh_levels: int = 4,
     init_scale: float = 0.001,
+    init_opacity: float = 0.99,
     lbs_weight_smooth: bool = False,
 ) -> VanillaAvatarState:
     """Attach LBS weights by nearest triangle and inverse-LBS the cloud into
@@ -69,6 +70,7 @@ def init_vanilla_avatar(
     zero_pose = inverse_lbs(canonical_tr, point_cloud, lbs_w)
 
     gs = init_state(zero_pose, colors, capacity=capacity, sh_levels=sh_levels,
+                    init_opacity=init_opacity,
                     init_scale=jnp.full((point_cloud.shape[0], 3), init_scale))
     C = gs.capacity
     N = point_cloud.shape[0]

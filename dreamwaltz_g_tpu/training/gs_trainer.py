@@ -51,8 +51,11 @@ def init_avatar_train_state(state: AvatarState,
 
 def _render_with_dummy(model: AvatarModel, state: AvatarState, params,
                        observed_inputs, dummy, extrinsic, intrinsics, tanfov,
-                       background, H, W, raster):
-    """Animate + project (+dummy on means2d) + rasterize + composite."""
+                       background, H, W, raster, pgc=None):
+    """Animate + project (+dummy on means2d) + rasterize + composite.
+
+    ``pgc``: optional custom_vjp image hook — RGB pixel-gradient clipping
+    (reference: register_hook on inputs, basic.py:795-817)."""
     gs = animate(model, state._replace(params=params), observed_inputs)
     cov3d = R.covariance3d(gs.quats, gs.scales)
     g2d = R.project_gaussians(
@@ -61,6 +64,8 @@ def _render_with_dummy(model: AvatarModel, state: AvatarState, params,
     g2d = g2d._replace(means2d=g2d.means2d + dummy)
     out = R.rasterize_projected(g2d, H, W, **raster)
     image = out.image + (1.0 - out.alpha)[..., None] * background
+    if pgc is not None and image.shape[-1] == 3:
+        image = pgc(image)
     return image, out
 
 
@@ -76,6 +81,7 @@ def make_avatar_sds_step(
     max_tiles_per_gaussian: int = 16,
     lambda_guidance: float = 1.0,
     neg_embeds=None,
+    pgc=None,
 ):
     """One avatar SDS step. Returns (state', metrics).
 
@@ -100,7 +106,8 @@ def make_avatar_sds_step(
         def loss_fn(params, dummy):
             image, out = _render_with_dummy(
                 model, state, params, observed_inputs, dummy,
-                extrinsic, intrinsics, tanfov, background, H, W, raster)
+                extrinsic, intrinsics, tanfov, background, H, W, raster,
+                pgc=pgc)
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
                            neg_embeds=neg_embeds,
@@ -208,6 +215,7 @@ def make_vanilla_sds_step(
     max_tiles_per_gaussian: int = 16,
     lambda_guidance: float = 1.0,
     neg_embeds=None,
+    pgc=None,
 ):
     """One SDS step on the vanilla LBS avatar: its GaussianParams (means,
     SH features, opacity, scales, quats) are the learnables; LBS weights
@@ -238,6 +246,8 @@ def make_vanilla_sds_step(
             g2d = g2d._replace(means2d=g2d.means2d + dummy)
             out = R.rasterize_projected(g2d, H, W, **raster)
             image = out.image + (1.0 - out.alpha)[..., None] * background
+            if pgc is not None and image.shape[-1] == 3:
+                image = pgc(image)
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
                            neg_embeds=neg_embeds,
@@ -379,6 +389,7 @@ def make_avatar_sds_step_split(
     bg_net=None,
     bg_tx: Optional[optax.GradientTransformation] = None,
     neg_embeds=None,
+    pgc=None,
 ):
     """Avatar SDS step as THREE small jitted programs instead of one giant
     graph: (A) render -> VAE-encode forward, (B) frozen UNet eps ->
@@ -406,7 +417,8 @@ def make_avatar_sds_step_split(
                tanfov, background):
         image, out = _render_with_dummy(
             model, state, params, observed_inputs, dummy,
-            extrinsic, intrinsics, tanfov, background, H, W, raster)
+            extrinsic, intrinsics, tanfov, background, H, W, raster,
+            pgc=pgc)
         return image, out
 
     def _bg_image(bg_params, c2w, intrinsics):

@@ -44,7 +44,7 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                   num_steps, bg_color, shading="albedo", bg_mode="color",
-                  upsample_steps=0, ray_chunk=0):
+                  upsample_steps=0, ray_chunk=0, min_near=0.05):
     """Render a full (H, W, C) image by marching all pixels in one batch.
 
     ``bg_mode='nerf'`` composites the learned ray-direction background MLP
@@ -71,6 +71,7 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
             return render_rays(model, params, grid, o, d, key=key,
                                num_steps=num_steps,
                                upsample_steps=upsample_steps,
+                               min_near=min_near,
                                perturb=True, shading=shading)
 
         outs = jax.lax.map(render_chunk,
@@ -83,6 +84,7 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
         out = render_rays(model, params, grid, ro, rd, key=key,
                           num_steps=num_steps,
                           upsample_steps=upsample_steps,
+                          min_near=min_near,
                           perturb=True, shading=shading)
     if bg_mode == "nerf" and model.bg_mlp is not None:
         bg = model.background(params, rays_d[0])
@@ -147,6 +149,7 @@ def make_nerf_sds_step(
     bg_mode: str = "color",
     ray_chunk: int = 0,
     neg_embeds=None,
+    pgc=None,
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
@@ -167,7 +170,10 @@ def make_nerf_sds_step(
                 model, params, grid, cam_c2w, cam_intr,
                 image_height, image_width, k_render, num_steps, bg_color,
                 bg_mode=bg_mode, ray_chunk=ray_chunk,
+                min_near=getattr(nerf_cfg, "min_near", 0.05),
                 upsample_steps=getattr(nerf_cfg, "upsample_steps", 0))
+            if pgc is not None and img.shape[-1] == 3:
+                img = pgc(img)
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,
                            neg_embeds=neg_embeds,

