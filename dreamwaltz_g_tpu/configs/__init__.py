@@ -246,6 +246,8 @@ class GuideConfig:
     sds_weight_type: str = "sjc"  # {'dreamfusion', 'latent-nerf', 'sjc', 'ism'}
     input_interpolate: bool = True
 
+    guidance_rescale: float = 0.0   # CFG std-rescale (arXiv 2305.08891)
+    denoise_timesteps: int = 50     # z0/x0 inference grid
     grad_latent_clip: bool = False
     grad_latent_clip_scale: float = 3.0
     grad_latent_norm: bool = False

@@ -248,6 +248,8 @@ def load_converted_guidance(
     weight_type: str = "sjc",
     guidance_scale: float = 50.0,
     controlnet_scale: float = 1.0,
+    guidance_rescale: float = 0.0,
+    denoise_timesteps: int = 50,
 ):
     """Build the SD1.5 guidance stack from a converted-weights directory:
     ``unet.msgpack``, ``vae.msgpack``, ``clip.msgpack``, optional
@@ -310,7 +312,9 @@ def load_converted_guidance(
     sd = ScoreDistillation(
         unet=unet, vae=vae, controlnet=cn,
         loss_type=loss_type, weight_type=weight_type,
-        guidance_scale=guidance_scale, controlnet_scale=controlnet_scale)
+        guidance_scale=guidance_scale, controlnet_scale=controlnet_scale,
+        guidance_rescale=guidance_rescale,
+        denoise_timesteps=denoise_timesteps)
     return sd, GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p), \
         text_embed_fn
 
@@ -412,6 +416,8 @@ def load_converted_guidance_xl(
     loss_type: str = "sds",
     weight_type: str = "sjc",
     guidance_scale: float = 50.0,
+    guidance_rescale: float = 0.0,
+    denoise_timesteps: int = 50,
 ):
     """Build the SDXL guidance stack from a converted-weights directory:
     ``unet_xl.msgpack``, ``vae.msgpack``, ``clip.msgpack`` (CLIP-L) +
@@ -474,7 +480,8 @@ def load_converted_guidance_xl(
 
     sd = ScoreDistillationXL(
         unet=unet, vae=vae, loss_type=loss_type, weight_type=weight_type,
-        guidance_scale=guidance_scale, latent_size=128)
+        guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
+        denoise_timesteps=denoise_timesteps, latent_size=128)
     return sd, GuidanceParams(unet=unet_p, vae=vae_p), text_embed_fn
 
 

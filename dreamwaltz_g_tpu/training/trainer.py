@@ -233,7 +233,9 @@ class Trainer:
                  text_embed_fn) = load_converted_guidance_xl(
                     weights_dir, loss_type=cfg.guide.sds_loss_type,
                     weight_type=cfg.guide.sds_weight_type,
-                    guidance_scale=cfg.guide.guidance_scale)
+                    guidance_scale=cfg.guide.guidance_scale,
+                    guidance_rescale=cfg.guide.guidance_rescale,
+                    denoise_timesteps=cfg.guide.denoise_timesteps)
                 self.text_embeds, pooled_t = text_embed_fn(texts)
                 self.uncond_embeds, pooled_u = text_embed_fn([uncond])
                 # view variants share the base prompt's pooled embedding
@@ -249,7 +251,9 @@ class Trainer:
                     loss_type=cfg.guide.sds_loss_type,
                     weight_type=cfg.guide.sds_weight_type,
                     guidance_scale=cfg.guide.guidance_scale,
-                    controlnet_scale=cfg.guide.controlnet_scale)
+                    controlnet_scale=cfg.guide.controlnet_scale,
+                    guidance_rescale=cfg.guide.guidance_rescale,
+                    denoise_timesteps=cfg.guide.denoise_timesteps)
                 self.text_embeds = text_embed_fn(texts)      # (V, L, D)
                 self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
             # csd/nfsd 3-way CFG needs the negative prompt as its own
@@ -276,6 +280,9 @@ class Trainer:
                 self.guidance.loss_type = cfg.guide.sds_loss_type
                 self.guidance.weight_type = cfg.guide.sds_weight_type
                 self.guidance.guidance_scale = cfg.guide.guidance_scale
+                self.guidance.guidance_rescale = cfg.guide.guidance_rescale
+                self.guidance.denoise_timesteps = \
+                    cfg.guide.denoise_timesteps
                 texts = list(self.view_prompt.texts)
                 self.text_embeds, pooled_t = text_embed_fn(texts)
                 self.uncond_embeds, pooled_u = text_embed_fn(
@@ -294,6 +301,9 @@ class Trainer:
                 self.guidance.loss_type = cfg.guide.sds_loss_type
                 self.guidance.weight_type = cfg.guide.sds_weight_type
                 self.guidance.guidance_scale = cfg.guide.guidance_scale
+                self.guidance.guidance_rescale = cfg.guide.guidance_rescale
+                self.guidance.denoise_timesteps = \
+                    cfg.guide.denoise_timesteps
                 D = self.guidance.unet.cfg.cross_attention_dim
                 V = len(self.view_prompt.texts)
                 self.text_embeds = jax.random.normal(

@@ -595,3 +595,21 @@ def test_guidance_adjust_modes():
     vals = [tp.get_guidance_scale(1, 1000) for _ in range(50)]
     assert min(vals) >= 7.5 and max(vals) <= 100.0
     assert np.std(vals) > 1.0
+
+
+def test_guidance_rescale_changes_gradient(tiny_guidance):
+    """CFG std-rescale (arXiv 2305.08891 §3.4) alters the sds gradient."""
+    unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
+    params = S.GuidanceParams(unet=unet_p, vae=vae_p)
+    D = ucfg.cross_attention_dim
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 4, D)) * 0.1
+    unc = jax.random.normal(jax.random.PRNGKey(2), (1, 4, D)) * 0.1
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    t = jnp.asarray([400], jnp.int32)
+    outs = []
+    for r in (0.0, 0.7):
+        sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                 guidance_scale=7.5, guidance_rescale=r)
+        out = sd(params, imgs, ctx, unc, t, jax.random.PRNGKey(3))
+        outs.append(np.asarray(out["gradients"]))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7

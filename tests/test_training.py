@@ -570,3 +570,44 @@ class TestGsTypeVariants:
         t4 = reset_vanilla_opacity(t3, value=0.01)
         op = opacities(t4.avatar.gaussians.params)
         assert float(op[t4.avatar.gaussians.alive].max()) <= 0.011
+
+
+class TestPixelGradHooks:
+    def test_pgc_changes_step_update(self):
+        """The wired RGB pixel-gradient hook changes the parameter update
+        (reference: register_hook dispatch, basic.py:795-817)."""
+        import dreamwaltz_g_tpu.tests_support as ts
+        from dreamwaltz_g_tpu.data.camera import make_camera_batch
+        from dreamwaltz_g_tpu.guidance.sds import make_pgc_suppress
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            init_avatar_train_state,
+            make_avatar_sds_step,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+
+        setup = ts.tiny_avatar_setup(capacity=64, n_points=32)
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=50)
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = 24
+        cam = make_camera_batch(2.5, 0.0, 80.0, 60.0, H, W)
+        D = guidance.unet.cfg.cross_attention_dim
+        txt = jax.random.normal(jax.random.PRNGKey(5), (1, 4, D)) * 0.1
+        args = None
+
+        def run(pgc):
+            step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
+                                        tile_size=8, capacity=64, chunk=32,
+                                        pgc=pgc)
+            s0 = init_avatar_train_state(setup.state, tx)
+            s1, m = step(s0, gparams, setup.observed, cam.extrinsic[0],
+                         cam.intrinsics[0], cam.tanfov[0],
+                         jnp.zeros((H, W, 3)), txt, txt * 0,
+                         jnp.asarray([400], jnp.int32), jax.random.PRNGKey(2))
+            return np.asarray(s1.avatar.params.positions), float(m["loss"])
+
+        p_plain, l_plain = run(None)
+        p_pgc, l_pgc = run(make_pgc_suppress(1e-4, suppress_type=1))
+        # forward (loss) identical — the hook is identity on the forward
+        np.testing.assert_allclose(l_plain, l_pgc, rtol=1e-5)
+        # backward differs — the update moved differently
+        assert np.abs(p_plain - p_pgc).max() > 1e-9
