@@ -52,12 +52,27 @@ class ControlNet(nn.Module):
         context: jnp.ndarray,      # (B, L, D) text embeddings
         cond_image: jnp.ndarray,   # (B, 8h, 8w, 3) condition in [0, 1]
         conditioning_scale: float = 1.0,
+        pooled_embeds: jnp.ndarray = None,  # (B, Dp) SDXL 'text_time'
+        add_time_ids: jnp.ndarray = None,   # (B, 6) SDXL
+        guess_mode: bool = False,
     ):
+        """``guess_mode``: residual scales ramp logspace(-1, 0) shallow ->
+        deep (the diffusers/SDXL guess-mode semantics the reference flips on
+        for its SDXL ControlNet, core/guidance/controlnet.py:117-197)."""
         cfg = self.cfg
         ch0 = cfg.block_out_channels[0]
         temb = timestep_embedding(timesteps, ch0,
                                   downscale_freq_shift=cfg.freq_shift)
         temb = TimestepEmbedding(ch0 * 4, name="time_embedding")(temb)
+        if cfg.addition_embed:
+            assert pooled_embeds is not None and add_time_ids is not None
+            B = sample.shape[0]
+            ids = add_time_ids.reshape(-1)
+            id_emb = timestep_embedding(ids, cfg.addition_time_embed_dim,
+                                        downscale_freq_shift=cfg.freq_shift)
+            id_emb = id_emb.reshape(B, -1)
+            aug = jnp.concatenate([pooled_embeds, id_emb], axis=-1)
+            temb = temb + TimestepEmbedding(ch0 * 4, name="add_embedding")(aug)
 
         x = nn.Conv(ch0, (3, 3), padding=1, name="conv_in")(sample)
         x = x + ControlNetConditioningEmbedding(
@@ -69,12 +84,19 @@ class ControlNet(nn.Module):
             last = bi == len(cfg.block_out_channels) - 1
             x, s = CrossAttnDownBlock(
                 cfg, out_ch, with_attn=cfg.attn_down[bi],
-                add_downsample=not last, name=f"down_blocks_{bi}",
+                add_downsample=not last, block_index=bi,
+                name=f"down_blocks_{bi}",
             )(x, temb, context)
             skips.extend(s)
 
         x = UNetMidBlock(cfg, cfg.block_out_channels[-1], name="mid_block")(
             x, temb, context)
+
+        n_out = len(skips) + 1
+        if guess_mode:
+            scales = jnp.logspace(-1.0, 0.0, n_out) * conditioning_scale
+        else:
+            scales = jnp.full((n_out,), conditioning_scale)
 
         down_res: List[jnp.ndarray] = []
         for i, s in enumerate(skips):
@@ -82,9 +104,9 @@ class ControlNet(nn.Module):
                         kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros,
                         name=f"controlnet_down_blocks_{i}")(s)
-            down_res.append(r * conditioning_scale)
+            down_res.append(r * scales[i])
         mid_res = nn.Conv(x.shape[-1], (1, 1),
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
-                          name="controlnet_mid_block")(x) * conditioning_scale
+                          name="controlnet_mid_block")(x) * scales[-1]
         return down_res, mid_res

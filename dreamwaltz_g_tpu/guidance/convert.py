@@ -116,9 +116,14 @@ def convert_controlnet(cn_module, torch_sd, sample_shape=(1, 64, 64, 4),
                        cond_shape=(1, 512, 512, 3), strict: bool = True):
     import jax
 
+    kw = {}
+    if cn_module.cfg.addition_embed:  # SDXL ControlNet 'text_time'
+        kw = dict(
+            pooled_embeds=jnp.zeros((1, cn_module.cfg.addition_pooled_dim)),
+            add_time_ids=jnp.zeros((1, 6)))
     params = cn_module.init(
         jax.random.PRNGKey(0), jnp.zeros(sample_shape), jnp.zeros((1,)),
-        jnp.zeros(context_shape), jnp.zeros(cond_shape))
+        jnp.zeros(context_shape), jnp.zeros(cond_shape), **kw)
 
     def rename(n):
         # diffusers: controlnet_cond_embedding.blocks.N / conv_in / conv_out
@@ -356,7 +361,8 @@ def convert_from_hf_cache(hf_root: str, out_dir: str,
     for cond in conditions:
         path = osp.join(hf_root, f"controlnet_{cond}.safetensors")
         if osp.isfile(path):
-            cn_p, _ = convert_controlnet(ControlNet(ucfg), load_sd(path))
+            cn_p, _, _ = convert_controlnet(ControlNet(ucfg),
+                                            load_sd(path))
             save_params(osp.join(out_dir, f"controlnet_{cond}.msgpack"), cn_p)
 
 
@@ -409,6 +415,20 @@ def convert_sdxl_from_hf_cache(hf_root: str, out_dir: str) -> None:
         CLIPTextModel(clip_bigg_config()), load_sd(find("text_encoder_2")),
         mode="penultimate_pooled")
     save_params(osp.join(out_dir, "clip2.msgpack"), clip2_p)
+    from .controlnet import ControlNet
+
+    for cond in ("pose", "depth", "canny"):
+        for ext in (".safetensors", ".bin"):
+            path = osp.join(hf_root, f"controlnet_{cond}_xl{ext}")
+            if osp.isfile(path):
+                cn_p, _, _ = convert_controlnet(
+                    ControlNet(ucfg), load_sd(path),
+                    sample_shape=(1, 128, 128, 4),
+                    context_shape=(1, 77, ucfg.cross_attention_dim),
+                    cond_shape=(1, 1024, 1024, 3))
+                save_params(
+                    osp.join(out_dir, f"controlnet_{cond}_xl.msgpack"), cn_p)
+                break
 
 
 def load_converted_guidance_xl(
@@ -418,6 +438,9 @@ def load_converted_guidance_xl(
     guidance_scale: float = 50.0,
     guidance_rescale: float = 0.0,
     denoise_timesteps: int = 50,
+    use_controlnet: bool = False,
+    controlnet_scale: float = 1.0,
+    guess_mode: bool = False,
 ):
     """Build the SDXL guidance stack from a converted-weights directory:
     ``unet_xl.msgpack``, ``vae.msgpack``, ``clip.msgpack`` (CLIP-L) +
@@ -456,6 +479,23 @@ def load_converted_guidance_xl(
                   add_time_ids=jnp.zeros((1, 6))))
     vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
                         vae.init(key, image_size=1024))
+    cn, cn_p = None, None
+    if use_controlnet:
+        from .controlnet import ControlNet
+
+        import glob as _glob
+
+        matches = sorted(_glob.glob(
+            osp.join(weights_dir, "controlnet_*_xl.msgpack")))
+        if matches:
+            cn = ControlNet(ucfg)
+            cn_p = load_params(
+                matches[0],
+                cn.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
+                        jnp.zeros((1, 1024, 1024, 3)),
+                        pooled_embeds=jnp.zeros(
+                            (1, ucfg.addition_pooled_dim)),
+                        add_time_ids=jnp.zeros((1, 6))))
 
     ids_probe = jnp.zeros((1, 77), jnp.int32)
     clip1 = CLIPTextModel(CLIPTextConfig())
@@ -479,10 +519,13 @@ def load_converted_guidance_xl(
         return jnp.concatenate([h1, h2], axis=-1), pooled
 
     sd = ScoreDistillationXL(
-        unet=unet, vae=vae, loss_type=loss_type, weight_type=weight_type,
+        unet=unet, vae=vae, controlnet=cn,
+        loss_type=loss_type, weight_type=weight_type,
         guidance_scale=guidance_scale, guidance_rescale=guidance_rescale,
-        denoise_timesteps=denoise_timesteps, latent_size=128)
-    return sd, GuidanceParams(unet=unet_p, vae=vae_p), text_embed_fn
+        denoise_timesteps=denoise_timesteps, latent_size=128,
+        controlnet_scale=controlnet_scale, guess_mode=guess_mode)
+    return sd, GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p), \
+        text_embed_fn
 
 
 def convert_clip_vision(vision_module, torch_sd, strict: bool = True):

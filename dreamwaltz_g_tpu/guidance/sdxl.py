@@ -49,7 +49,8 @@ class ScoreDistillationXL(ScoreDistillation):
                 and params.controlnet is not None:
             down_res, mid_res = self.controlnet.apply(
                 params.controlnet, latents, t, context, cond_image,
-                self.controlnet_scale)
+                self.controlnet_scale, pooled_embeds=pooled,
+                add_time_ids=tids, guess_mode=self.guess_mode)
             return self.unet.apply(params.unet, latents, t, context,
                                    down_residuals=down_res,
                                    mid_residual=mid_res,

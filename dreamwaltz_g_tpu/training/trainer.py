@@ -235,7 +235,9 @@ class Trainer:
                     weight_type=cfg.guide.sds_weight_type,
                     guidance_scale=cfg.guide.guidance_scale,
                     guidance_rescale=cfg.guide.guidance_rescale,
-                    denoise_timesteps=cfg.guide.denoise_timesteps)
+                    denoise_timesteps=cfg.guide.denoise_timesteps,
+                    use_controlnet=cfg.guide.use_controlnet,
+                    controlnet_scale=cfg.guide.controlnet_scale)
                 self.text_embeds, pooled_t = text_embed_fn(texts)
                 self.uncond_embeds, pooled_u = text_embed_fn([uncond])
                 # view variants share the base prompt's pooled embedding

@@ -613,3 +613,56 @@ def test_guidance_rescale_changes_gradient(tiny_guidance):
         out = sd(params, imgs, ctx, unc, t, jax.random.PRNGKey(3))
         outs.append(np.asarray(out["gradients"]))
     assert np.abs(outs[0] - outs[1]).max() > 1e-7
+
+
+def test_sdxl_controlnet_guess_mode():
+    """SDXL-style ControlNet: addition embeds + per-block depth + guess-mode
+    logspace residual ramp (reference: core/guidance/controlnet.py:117-197)."""
+    from dreamwaltz_g_tpu.guidance.controlnet import ControlNet
+    from dreamwaltz_g_tpu.guidance.unet import UNetConfig
+
+    ucfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                      cross_attention_dim=32, num_heads=2,
+                      attn_down=(True, False), addition_embed=True,
+                      addition_pooled_dim=24, addition_time_embed_dim=8,
+                      transformer_depth=(1, 2))
+    cn = ControlNet(ucfg, cond_block_channels=(16, 32))
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 4, 32))
+    cond = jnp.ones((1, 16, 16, 3)) * 0.5
+    pooled = jnp.zeros((1, 24))
+    tids = jnp.zeros((1, 6))
+    p = cn.init(jax.random.PRNGKey(0), lat, jnp.zeros((1,)), ctx, cond,
+                pooled_embeds=pooled, add_time_ids=tids)
+    down, mid = cn.apply(p, lat, jnp.asarray([100.0]), ctx, cond, 1.0,
+                         pooled_embeds=pooled, add_time_ids=tids,
+                         guess_mode=True)
+    # zero-init output convs: residuals are zero at init regardless of mode
+    assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+    assert float(jnp.abs(mid).max()) == 0.0
+    # conversion roundtrip covers the add_embedding keys
+    from dreamwaltz_g_tpu.guidance.convert import (
+        _flatten,
+        _torch_name,
+        convert_controlnet,
+    )
+    rng = np.random.default_rng(0)
+    sd = {}
+    for path, leaf in _flatten(p["params"]).items():
+        name = _torch_name(path, "")
+        shape = tuple(leaf.shape)
+        if path[-1] == "kernel":
+            shape = (shape[3], shape[2], shape[0], shape[1]) \
+                if len(shape) == 4 else (shape[1], shape[0])
+        sd[name] = (rng.normal(size=shape) * 0.02).astype(np.float32)
+    assert "add_embedding.linear_1.weight" in sd
+    conv, missing, unused = convert_controlnet(
+        cn, sd, sample_shape=(1, 8, 8, 4), context_shape=(1, 4, 32),
+        cond_shape=(1, 16, 16, 3), strict=True)
+    assert not missing and not unused
+    down2, mid2 = cn.apply(conv, lat, jnp.asarray([100.0]), ctx, cond, 1.0,
+                           pooled_embeds=pooled, add_time_ids=tids,
+                           guess_mode=True)
+    # with real weights the guess-mode ramp scales shallow < deep
+    norms = [float(jnp.abs(d).mean()) for d in down2]
+    assert np.isfinite(norms).all() and norms[0] > 0
