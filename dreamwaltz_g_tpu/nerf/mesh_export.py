@@ -361,8 +361,11 @@ def rasterize_uv_attribute(attr: np.ndarray, faces: np.ndarray,
               + l2[inside, None] * attr[f[2]])
         ix = p[inside, 0].astype(int)
         iy = p[inside, 1].astype(int)
-        out[ix, iy] = pv
-        mask[ix, iy] = True
+        # texel layout is row = v, col = u — the convention every consumer
+        # samples with (render_mesh: albedo[iy, ix], mesh_io.py; external
+        # viewers via the OBJ 'vt u v' + image row order)
+        out[iy, ix] = pv
+        mask[iy, ix] = True
     return out, mask
 
 

@@ -77,6 +77,14 @@ def make_sharded_render(
         shift = jnp.stack([jnp.zeros((), jnp.float32),
                            row0.astype(jnp.float32)])
         g2d = g2d._replace(means2d=g2d.means2d - shift)
+        # drop splats that don't overlap this chip's row block: projection
+        # culled against H_pad, so without this every other chip's splats
+        # would clamp into the border tile rows and burn per-tile capacity
+        # in depth order, evicting genuine splats (ADVICE r2 #2)
+        y = g2d.means2d[:, 1]
+        ov = (y + g2d.radius > 0) & (y - g2d.radius < Hd)
+        g2d = g2d._replace(mask=g2d.mask & ov,
+                           radius=jnp.where(ov, g2d.radius, 0.0))
         out = R.rasterize_projected(g2d, Hd, W, pallas_mode="eval", **raster)
         img = out.image + (1.0 - out.alpha)[..., None] \
             * jax.lax.dynamic_slice_in_dim(background, row0, Hd, 0)

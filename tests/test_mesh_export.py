@@ -88,6 +88,53 @@ def test_bake_albedo_fills_charts():
     np.testing.assert_allclose(fc.mean(0), [0.8, 0.2, 0.1], atol=0.05)
 
 
+def test_uv_bake_roundtrip_spatially_varying():
+    """Bake vertex positions into the atlas and re-sample them through
+    render_mesh: catches u/v axis transposition in rasterize_uv_attribute
+    (ADVICE r2 #1 — constant-color bakes cannot see the texel layout)."""
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.utils.mesh_io import Mesh, render_mesh
+
+    v, f = _sphere_mesh(10)
+    vt, ft = ME.unwrap_uv(v, f)
+    attr = (v + 1.0) * 0.5  # spatially varying, in [0, 1]
+    tex, mask = ME.rasterize_uv_attribute(attr, f, vt, ft, 128)
+    assert mask.mean() > 0.02
+    tex = ME.inpaint_texture(tex.astype(np.float32), mask, iters=3)
+
+    # direct texel check: each face corner's uv texel holds its attribute
+    uv_px = vt * 127
+    checked = 0
+    for i in range(0, len(f), 7):
+        for j in range(3):
+            ix, iy = int(round(uv_px[ft[i, j], 0])), int(round(uv_px[ft[i, j], 1]))
+            if mask[iy, ix]:  # row = v, col = u
+                np.testing.assert_allclose(tex[iy, ix], attr[f[i, j]],
+                                           atol=0.08)
+                checked += 1
+    assert checked > 10
+
+    # full roundtrip: render with ambient=1 (unshaded) and compare the
+    # sampled albedo against the hit position recovered from the depth
+    m = Mesh(v=v, f=f, vt=vt, ft=ft, albedo=tex).auto_normal()
+    H = W = 64
+    cam = make_camera_batch(3.0, 30.0, 80.0, 50.0, H, W)
+    rgb, alpha, depth = render_mesh(
+        m, np.asarray(cam.extrinsic[0]), np.asarray(cam.intrinsics[0]),
+        H, W, bg_color=(0.0, 0.0, 0.0), ambient=1.0)
+    import jax.numpy as jnp
+    from dreamwaltz_g_tpu.data.camera import get_rays
+
+    c2w = np.linalg.inv(np.asarray(cam.extrinsic[0]))
+    ro, rd = get_rays(jnp.asarray(c2w)[None], cam.intrinsics[:1], H, W)
+    p = (np.asarray(ro[0]) + np.asarray(rd[0])
+         * depth.reshape(-1, 1)).reshape(H, W, 3)
+    expect = (p + 1.0) * 0.5
+    hit = alpha > 0
+    err = np.abs(rgb[hit] - expect[hit]).mean()
+    assert err < 0.06, f"baked-texture roundtrip error {err:.3f}"
+
+
 def test_export_textured_mesh_end_to_end(tmp_path):
     model = _ConstModel()
     obj = ME.export_textured_mesh(model, None, str(tmp_path),
