@@ -66,6 +66,11 @@ class NeRFConfig:
     # cuda_ray/max_steps compaction is replaced by num_steps static samples)
     grid_size: int = 128
     num_steps: int = 96          # static samples per ray (coarse, occupancy-masked)
+    # static occupied-sample budget per ray for TRAINING renders: of the
+    # num_steps candidates, only the occupied ones (up to this many, evenly
+    # strided) reach the encoder+MLP — the static-shape analog of the CUDA
+    # march's compaction (kernel_march_rays_train). 0 disables.
+    compact_steps: int = 32
     upsample_steps: int = 0      # PDF importance samples per ray (ref: 0)
     update_extra_interval: int = 16
     # eval ray batching AND the training remat chunk: SDS renders march
@@ -76,7 +81,13 @@ class NeRFConfig:
     bound: float = 2.0
     min_near: float = 0.1
 
-    backbone: str = "tiledgrid"  # {'tiledgrid', 'hashgrid'}
+    backbone: str = "tiledgrid"  # {'tiledgrid', 'hashgrid', 'triplane'}
+    # 'triplane': TPU-first factorized plane encoding (12 gathered rows per
+    # sample vs the grid's 128 — see nerf/encoder.py TriplaneConfig); the
+    # grid backbones stay the reference-parity default
+    triplane_resolution: int = 256
+    triplane_dim: int = 32
+    grid_dtype: str = "f32"      # {'f32', 'bf16'} encoder-table gather dtype
     nerf_type: str = "rgb"       # {'rgb', 'latent'}
     structure: str = "shared_mlp"  # {'shared_mlp', 'dual_mlp', 'dual_enc'}
     density_prior: str = "none"  # {'none', 'gaussian', 'sqrt'}
@@ -431,6 +442,10 @@ class LogConfig:
     max_keep_ckpts: int = 1
     debug: bool = False
     check: bool = False
+    # render actual SD/ControlNet samples for the prompt before training
+    # (reference: export_samples, core/trainer.py:386-443)
+    check_sd: bool = False
+    check_sd_steps: int = 50  # DDIM grid for the check_sd samples
     # force a JAX platform ('cpu'/'tpu'); the environment may pin platforms
     # programmatically, so env vars alone cannot select CPU smoke runs
     platform: Optional[str] = None

@@ -41,6 +41,10 @@ class GridEncoderConfig(NamedTuple):
     desired_resolution: int = 2048
     log2_hashmap_size: int = 19
     gridtype: str = "tiled"   # {'tiled', 'hash'}
+    # gather dtype: 'bf16' halves the bytes of the hot (N, 8, F) table
+    # gathers (~10% step time, PERF.md gather probe); master params stay
+    # f32 (grads upcast through the pre-gather cast)
+    compute_dtype: str = "f32"  # {'f32', 'bf16'}
 
     @property
     def output_dim(self) -> int:
@@ -164,17 +168,94 @@ def grid_encode(
     in_bounds = jnp.all((coords01 >= 0.0) & (coords01 <= 1.0), axis=-1)
     coords01 = jnp.clip(coords01, 0.0, 1.0)
 
+    tables = params.tables
+    if cfg.compute_dtype == "bf16":
+        tables = tables.astype(jnp.bfloat16)
     feats = []
     for level in range(cfg.num_levels):
         idx, w = _level_indices(
             coords01, cfg.level_scale(level), cfg.level_resolution(level),
             cfg.level_table_size(level), cfg.gridtype,
         )
-        emb = jnp.take(params.tables[level], idx, axis=0)  # (N, 8, F)
+        emb = jnp.take(tables[level], idx, axis=0)  # (N, 8, F)
         feats.append(jnp.sum(emb * w[..., None], axis=1))
     out = jnp.concatenate(feats, axis=-1)
     out = jnp.where(in_bounds[:, None], out, 0.0)
     return out.reshape(shape + (cfg.output_dim,))
+
+
+class TriplaneConfig(NamedTuple):
+    """Axis-aligned factorized plane encoding (EG3D/TensoRF-style).
+
+    TPU-first alternative to the hash grid (``--nerf.backbone triplane``):
+    the hash encoder costs 8 corners x L levels = 128 gathered table rows
+    per sample and is gather-rate-bound on TPU (PERF.md: ~340M rows/s
+    ceiling); three bilinear plane lookups cost 12 rows per sample with
+    16x wider rows — a ~10x cut in the stage-1 bottleneck. Not a port:
+    the reference has no counterpart (its CUDA hash gathers are cheap on
+    GPU, core/nerf/gridencoder/src/gridencoder.cu)."""
+
+    resolution: int = 256
+    feature_dim: int = 32
+    reduce: str = "sum"       # {'sum', 'concat'}
+    compute_dtype: str = "f32"
+
+    @property
+    def output_dim(self) -> int:
+        return self.feature_dim * (3 if self.reduce == "concat" else 1)
+
+
+class TriplaneParams(NamedTuple):
+    planes: jnp.ndarray  # (3, R, R, F) — XY, XZ, YZ
+
+
+def init_triplane(cfg: TriplaneConfig, key, scale: float = 0.1) -> TriplaneParams:
+    planes = scale * jax.random.normal(
+        key, (3, cfg.resolution, cfg.resolution, cfg.feature_dim),
+        jnp.float32)
+    return TriplaneParams(planes=planes)
+
+
+def triplane_encode(
+    params: TriplaneParams,
+    cfg: TriplaneConfig,
+    positions: jnp.ndarray,
+    bound: float = 1.0,
+) -> jnp.ndarray:
+    """Encode (..., 3) world positions in [-bound, bound] -> (..., D).
+
+    Each point bilinearly samples the XY/XZ/YZ feature planes; features
+    are summed (or concatenated). Out-of-bound points yield zero features
+    (same contract as ``grid_encode``)."""
+    shape = positions.shape[:-1]
+    x = positions.reshape(-1, 3)
+    coords01 = (x / bound + 1.0) * 0.5
+    in_bounds = jnp.all((coords01 >= 0.0) & (coords01 <= 1.0), axis=-1)
+    coords01 = jnp.clip(coords01, 0.0, 1.0)
+
+    R = cfg.resolution
+    planes = params.planes
+    if cfg.compute_dtype == "bf16":
+        planes = planes.astype(jnp.bfloat16)
+    pairs = ((0, 1), (0, 2), (1, 2))  # XY, XZ, YZ
+    feats = []
+    for p, (a, b) in enumerate(pairs):
+        uv = coords01[:, (a, b)] * (R - 1)
+        uv0 = jnp.floor(uv)
+        frac = uv - uv0
+        i0 = uv0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, R - 1)
+        flat = planes[p].reshape(R * R, cfg.feature_dim)
+        f00 = jnp.take(flat, i0[:, 0] * R + i0[:, 1], axis=0)
+        f01 = jnp.take(flat, i0[:, 0] * R + i1[:, 1], axis=0)
+        f10 = jnp.take(flat, i1[:, 0] * R + i0[:, 1], axis=0)
+        f11 = jnp.take(flat, i1[:, 0] * R + i1[:, 1], axis=0)
+        wu, wv = frac[:, :1], frac[:, 1:2]
+        feats.append((1 - wu) * ((1 - wv) * f00 + wv * f01)
+                     + wu * ((1 - wv) * f10 + wv * f11))
+    out = sum(feats) if cfg.reduce == "sum" else jnp.concatenate(feats, -1)
+    out = jnp.where(in_bounds[:, None], out, 0.0)
+    return out.astype(jnp.float32).reshape(shape + (cfg.output_dim,))
 
 
 def frequency_encode(x: jnp.ndarray, degree: int = 6, include_input: bool = True) -> jnp.ndarray:

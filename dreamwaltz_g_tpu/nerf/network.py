@@ -18,11 +18,27 @@ from ..configs import NeRFConfig
 from .encoder import (
     GridEncoderConfig,
     GridEncoderParams,
+    TriplaneConfig,
     frequency_encode,
     freq_output_dim,
     grid_encode,
     init_grid_encoder,
+    init_triplane,
+    triplane_encode,
 )
+
+
+def _encode_any(enc_cfg, enc_params, positions, bound):
+    """Backbone dispatch: hash/tiled grid or factorized triplane."""
+    if isinstance(enc_cfg, TriplaneConfig):
+        return triplane_encode(enc_params, enc_cfg, positions, bound)
+    return grid_encode(enc_params, enc_cfg, positions, bound)
+
+
+def _init_encoder_any(enc_cfg, key):
+    if isinstance(enc_cfg, TriplaneConfig):
+        return init_triplane(enc_cfg, key)
+    return init_grid_encoder(enc_cfg, key)
 
 
 @jax.custom_vjp
@@ -138,12 +154,12 @@ class NeRFModel(NamedTuple):
 
     def init(self, key) -> NeRFParams:
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        enc = init_grid_encoder(self.enc_cfg, k1)
+        enc = _init_encoder_any(self.enc_cfg, k1)
         probe = jnp.zeros((1, self.enc_cfg.output_dim))
         sig = self.sigma_mlp.init(k2, probe)
         bg = self.bg_mlp.init(k3, jnp.zeros((1, 3))) if self.bg_mlp else None
         alb = self.albedo_mlp.init(k4, probe) if self.albedo_mlp else None
-        enc_s = init_grid_encoder(self.enc_cfg, k5) \
+        enc_s = _init_encoder_any(self.enc_cfg, k5) \
             if self.structure == "dual_enc" else None
         ss = jnp.zeros(()) \
             if self.cfg.density_activation == "scaling" else None
@@ -152,7 +168,8 @@ class NeRFModel(NamedTuple):
                           sigma_scale=ss)
 
     def encode(self, params: NeRFParams, positions: jnp.ndarray) -> jnp.ndarray:
-        return grid_encode(params.encoder, self.enc_cfg, positions, self.bound)
+        return _encode_any(self.enc_cfg, params.encoder, positions,
+                           self.bound)
 
     def density(self, params: NeRFParams, positions: jnp.ndarray):
         """(reference: common_forward — shared nerf_model.py:280-295,
@@ -163,7 +180,7 @@ class NeRFModel(NamedTuple):
             out = self.sigma_mlp.apply(params.sigma_mlp, h)
             raw, alb = out[..., 0], out[..., 1:]
         elif self.structure == "dual_enc":
-            h_sig = grid_encode(params.encoder_sigma, self.enc_cfg,
+            h_sig = _encode_any(self.enc_cfg, params.encoder_sigma,
                                 positions, self.bound)
             raw = self.sigma_mlp.apply(params.sigma_mlp, h_sig)[..., 0]
             alb = self.albedo_mlp.apply(params.albedo_mlp, h)
@@ -184,15 +201,24 @@ class NeRFModel(NamedTuple):
 
 def build_nerf(cfg: NeRFConfig, with_background: bool = True) -> NeRFModel:
     """(reference: build_NeRFNetwork, nerf_model.py:565-574 — structure
-    selects shared_mlp / dual_mlp / dual_enc)"""
-    enc_cfg = GridEncoderConfig(
-        num_levels=cfg.num_levels,
-        level_dim=cfg.level_dim,
-        base_resolution=cfg.base_resolution,
-        desired_resolution=int(cfg.desired_resolution * cfg.bound),
-        log2_hashmap_size=cfg.log2_hashmap_size,
-        gridtype="tiled" if cfg.backbone == "tiledgrid" else "hash",
-    )
+    selects shared_mlp / dual_mlp / dual_enc; 'triplane' is a TPU-first
+    backbone addition with no reference counterpart, see TriplaneConfig)"""
+    if cfg.backbone == "triplane":
+        enc_cfg = TriplaneConfig(
+            resolution=cfg.triplane_resolution,
+            feature_dim=cfg.triplane_dim,
+            compute_dtype=cfg.grid_dtype,
+        )
+    else:
+        enc_cfg = GridEncoderConfig(
+            num_levels=cfg.num_levels,
+            level_dim=cfg.level_dim,
+            base_resolution=cfg.base_resolution,
+            desired_resolution=int(cfg.desired_resolution * cfg.bound),
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            gridtype="tiled" if cfg.backbone == "tiledgrid" else "hash",
+            compute_dtype=cfg.grid_dtype,
+        )
     C = 4 if cfg.nerf_type == "latent" else 3
     structure = getattr(cfg, "structure", "shared_mlp")
     if structure == "shared_mlp":

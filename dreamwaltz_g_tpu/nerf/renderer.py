@@ -158,6 +158,7 @@ def render_rays(
     ambient_ratio: float = 0.1,
     min_near: float = 0.05,
     return_normals: bool = False,
+    compact_steps: int = 0,
 ) -> RenderOutput:
     """March ``num_steps`` static samples per ray and composite; with
     ``upsample_steps`` a second importance-sampled pass follows the coarse
@@ -166,6 +167,18 @@ def render_rays(
 
     (reference: run_cuda train path, nerf_renderer.py:311-402: march ->
     sigma/color MLP -> composite; here fixed-shape and autodiff-driven.)
+
+    ``compact_steps=K``: occupancy-test all ``num_steps`` candidates
+    (cheap boolean gathers), then keep at most K *occupied* samples per
+    ray and run the hash-encode + MLP on those (R, K) — the TPU
+    static-shape analog of the CUDA kernel's variable-step compaction
+    (kernel_march_rays_train, raymarching.cu: only occupied samples reach
+    the MLP). Exact w.r.t. the masked formulation whenever a ray has <= K
+    occupied candidates (unoccupied samples contribute sigma=0 to the
+    composite either way); rays with more keep an evenly-strided subset
+    with dt scaled by the stride, like the reference's adaptive step
+    sizing under its per-ray max_steps budget. Cuts the gather-bound
+    encoder cost by num_steps/K.
     """
     R = rays_o.shape[0]
     bound = model.bound
@@ -194,13 +207,33 @@ def render_rays(
     pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
     pts = jnp.clip(pts, -bound, bound)
 
-    sigma, albedo = model.density(params, pts.reshape(-1, 3))
-    sigma = sigma.reshape(R, num_steps)
-    albedo = albedo.reshape(R, num_steps, -1)
-
     live = hit[:, None]
     if grid is not None:
         live = live & occupancy_lookup(grid, pts, bound)
+
+    if compact_steps and grid is not None and compact_steps < num_steps:
+        # occupied-first stable sort keeps depth order among the kept
+        # samples; when a ray has more than K occupied candidates, keep an
+        # evenly-strided subset (full-depth coverage) and scale each kept
+        # sample's dt by the stride so the transmittance integral keeps its
+        # support — the analog of the CUDA march's adaptive step sizing
+        K = compact_steps
+        order = jnp.argsort(~live, axis=-1, stable=True)
+        n_occ = jnp.sum(live, axis=-1)                   # (R,)
+        j = jnp.arange(K)
+        pos = jnp.where(n_occ[:, None] > K,
+                        (j[None] * n_occ[:, None]) // K, j[None])
+        sel = jnp.take_along_axis(order, pos, axis=-1)   # (R, K)
+        ts = jnp.take_along_axis(ts, sel, axis=-1)
+        live = jnp.take_along_axis(live, sel, axis=-1)
+        dt = dt * jnp.maximum(n_occ.astype(jnp.float32) / K, 1.0)[:, None]
+        pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
+        pts = jnp.clip(pts, -bound, bound)
+
+    S = ts.shape[1]
+    sigma, albedo = model.density(params, pts.reshape(-1, 3))
+    sigma = sigma.reshape(R, S)
+    albedo = albedo.reshape(R, S, -1)
     sigma = jnp.where(live, sigma, 0.0)
 
     if upsample_steps > 0:

@@ -44,7 +44,8 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                   num_steps, bg_color, shading="albedo", bg_mode="color",
-                  upsample_steps=0, ray_chunk=0, min_near=0.05):
+                  upsample_steps=0, ray_chunk=0, min_near=0.05,
+                  compact_steps=0):
     """Render a full (H, W, C) image by marching all pixels in one batch.
 
     ``bg_mode='nerf'`` composites the learned ray-direction background MLP
@@ -72,6 +73,7 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                                num_steps=num_steps,
                                upsample_steps=upsample_steps,
                                min_near=min_near,
+                               compact_steps=compact_steps,
                                perturb=True, shading=shading)
 
         outs = jax.lax.map(render_chunk,
@@ -85,6 +87,7 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                           num_steps=num_steps,
                           upsample_steps=upsample_steps,
                           min_near=min_near,
+                          compact_steps=compact_steps,
                           perturb=True, shading=shading)
     if bg_mode == "nerf" and model.bg_mlp is not None:
         bg = model.background(params, rays_d[0])
@@ -103,6 +106,7 @@ def make_pretrain_step(
     num_steps: int = 96,
     lambda_mask: float = 1.0,
     lambda_depth: float = 1.0,
+    compact_steps: int = 0,
 ):
     """Depth/mask MSE against SMPL-X 'depth_raw' renders
     (reference: pretrain_forward, trainer.py:1242-1279: loss =
@@ -115,7 +119,8 @@ def make_pretrain_step(
             _, depth, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
                 image_height, image_width, key, num_steps,
-                jnp.zeros(model.color_channels))
+                jnp.zeros(model.color_channels),
+                compact_steps=compact_steps)
             m = gt_mask.astype(jnp.float32)
             mask_loss = jnp.mean((wsum - m) ** 2)
             depth_loss = jnp.sum(m * (depth - gt_depth) ** 2) \
@@ -150,10 +155,15 @@ def make_nerf_sds_step(
     ray_chunk: int = 0,
     neg_embeds=None,
     pgc=None,
+    tp_lr_weights=None,
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
-    sparsity + sigma-margin regularizers -> adam update."""
+    sparsity + sigma-margin regularizers -> adam update.
+
+    ``tp_lr_weights``: (T,) per-timestep lr weights — the 'ddpm' lr_policy
+    (reference: TimePrioritizedLR, time_prior.py:394-431) applied to the
+    updates at this step's sampled t."""
 
     @functools.partial(jax.jit, static_argnames=("use_sigma",))
     def step(state: NeRFTrainState, grid: OccupancyGrid,
@@ -171,7 +181,8 @@ def make_nerf_sds_step(
                 image_height, image_width, k_render, num_steps, bg_color,
                 bg_mode=bg_mode, ray_chunk=ray_chunk,
                 min_near=getattr(nerf_cfg, "min_near", 0.05),
-                upsample_steps=getattr(nerf_cfg, "upsample_steps", 0))
+                upsample_steps=getattr(nerf_cfg, "upsample_steps", 0),
+                compact_steps=getattr(nerf_cfg, "compact_steps", 0))
             if pgc is not None and img.shape[-1] == 3:
                 img = pgc(img)
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
@@ -195,6 +206,9 @@ def make_nerf_sds_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if tp_lr_weights is not None:
+            w = tp_lr_weights[jnp.clip(t[0], 0, tp_lr_weights.shape[0] - 1)]
+            updates = jax.tree_util.tree_map(lambda u: u * w, updates)
         params = optax.apply_updates(state.params, updates)
         metrics["loss"] = loss
         return NeRFTrainState(params, opt_state, state.step + 1), metrics

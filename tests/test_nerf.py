@@ -295,3 +295,168 @@ def test_ray_chunked_render_matches(small_cfg):
         model, p, None, cam.c2w[0], cam.intrinsics[0], H, W, key, 16, bg,
         ray_chunk=128)[0]))(params)
     assert float(jnp.abs(g.encoder.tables).sum()) > 0
+
+
+def test_compaction_exact_when_under_budget(small_cfg):
+    """compact_steps: when every ray has <= K occupied candidates the
+    compacted march must equal the dense masked march exactly (the CUDA
+    compaction analog, renderer.py render_rays)."""
+    model = build_nerf(small_cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+    G = small_cfg.grid_size
+    # occupancy: two thin z-slabs far apart -> the tightened interval spans
+    # both, so only a small fraction of the fine samples land occupied
+    # (n_occ per ray stays well under the K budget -> exactness regime)
+    occ = np.zeros((G, G, G), bool)
+    occ[:, :, 4:6] = True            # axis 2 = z: slabs the z-rays cross
+    occ[:, :, G - 6: G - 4] = True
+    grid = RD.OccupancyGrid(density=jnp.zeros((G, G, G)),
+                            occupied=jnp.asarray(occ),
+                            mean_density=jnp.zeros(()))
+    R = 32
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (R, 1)), jnp.float32)
+    d = rng.normal(size=(R, 3)) * 0.08 + np.asarray([0.0, 0.0, 1.0])
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                         jnp.float32)
+    dense = RD.render_rays(model, params, grid, rays_o, rays_d,
+                           num_steps=32, perturb=False)
+    # slab spans ~4/32 of the tightened interval -> well under K=16
+    comp = RD.render_rays(model, params, grid, rays_o, rays_d,
+                          num_steps=32, perturb=False, compact_steps=16)
+    np.testing.assert_allclose(np.asarray(comp.image),
+                               np.asarray(dense.image), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(comp.weights_sum),
+                               np.asarray(dense.weights_sum), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(comp.depth),
+                               np.asarray(dense.depth), atol=1e-4)
+    # gradients flow through the compacted gathers
+    g = jax.grad(lambda p: jnp.sum(RD.render_rays(
+        model, p, grid, rays_o, rays_d, num_steps=32,
+        compact_steps=16).image))(params)
+    assert float(jnp.abs(g.encoder.tables).sum()) > 0
+
+
+def test_compaction_oversubscribed_still_composites(small_cfg):
+    """Rays with more occupied candidates than the budget keep an evenly
+    strided subset with rescaled dt: weights_sum stays in [0, 1] and close
+    to the dense result for a solid object."""
+    class SphereModel:
+        bound = small_cfg.bound
+
+        @staticmethod
+        def density(_params, pts):
+            r = jnp.linalg.norm(pts, axis=-1)
+            sigma = jnp.where(r < 0.6, 30.0, 0.0)
+            albedo = jnp.broadcast_to(jnp.asarray([0.9, 0.4, 0.2]),
+                                      pts.shape[:-1] + (3,))
+            return sigma, albedo
+
+    G = small_cfg.grid_size
+    occ = np.ones((G, G, G), bool)  # fully occupied -> every sample kept
+    grid = RD.OccupancyGrid(density=jnp.zeros((G, G, G)),
+                            occupied=jnp.asarray(occ),
+                            mean_density=jnp.zeros(()))
+    R = 16
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (R, 1)), jnp.float32)
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(R, 3)) * 0.05 + np.asarray([0.0, 0.0, 1.0])
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                         jnp.float32)
+    dense = RD.render_rays(SphereModel, None, grid, rays_o, rays_d,
+                           num_steps=64, perturb=False)
+    comp = RD.render_rays(SphereModel, None, grid, rays_o, rays_d,
+                          num_steps=64, perturb=False, compact_steps=16)
+    ws = np.asarray(comp.weights_sum)
+    assert (ws >= 0).all() and (ws <= 1 + 1e-5).all()
+    # solid object: both saturate the same silhouette
+    np.testing.assert_allclose(ws, np.asarray(dense.weights_sum), atol=0.05)
+    np.testing.assert_allclose(np.asarray(comp.image),
+                               np.asarray(dense.image), atol=0.05)
+
+
+def test_triplane_encoder_basics():
+    cfg = E.TriplaneConfig(resolution=16, feature_dim=8)
+    params = E.init_triplane(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray([[0.1, -0.5, 0.3], [0.0, 0.0, 0.0]])
+    out = E.triplane_encode(params, cfg, x, bound=1.0)
+    assert out.shape == (2, cfg.output_dim)
+    # out-of-bounds -> zero features (grid_encode contract)
+    oob = E.triplane_encode(params, cfg, jnp.asarray([[2.0, 0.0, 0.0]]),
+                            bound=1.0)
+    np.testing.assert_array_equal(np.asarray(oob), 0.0)
+    # gradients flow to the planes
+    g = jax.grad(lambda p: jnp.sum(
+        E.triplane_encode(p, cfg, x) ** 2))(params)
+    assert float(jnp.abs(g.planes).sum()) > 0
+
+
+def test_triplane_matches_manual_bilinear():
+    cfg = E.TriplaneConfig(resolution=8, feature_dim=4)
+    params = E.init_triplane(cfg, jax.random.PRNGKey(3))
+    planes = np.asarray(params.planes)
+    rng = np.random.default_rng(0)
+    x01 = rng.uniform(0.05, 0.95, size=(10, 3))
+    R = cfg.resolution
+    pairs = ((0, 1), (0, 2), (1, 2))
+    expect = np.zeros((10, cfg.feature_dim))
+    for p, (a, b) in enumerate(pairs):
+        uv = x01[:, (a, b)] * (R - 1)
+        i0 = np.floor(uv).astype(int)
+        fr = uv - i0
+        i1 = np.minimum(i0 + 1, R - 1)
+        f00 = planes[p][i0[:, 0], i0[:, 1]]
+        f01 = planes[p][i0[:, 0], i1[:, 1]]
+        f10 = planes[p][i1[:, 0], i0[:, 1]]
+        f11 = planes[p][i1[:, 0], i1[:, 1]]
+        wu, wv = fr[:, :1], fr[:, 1:2]
+        expect += ((1 - wu) * ((1 - wv) * f00 + wv * f01)
+                   + wu * ((1 - wv) * f10 + wv * f11))
+    got = E.triplane_encode(params, cfg,
+                            jnp.asarray(x01 * 2 - 1, jnp.float32), bound=1.0)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-5)
+
+
+def test_build_nerf_triplane_trains():
+    """--nerf.backbone triplane: the full model builds, renders, and a
+    training step moves the planes (TPU-first backbone, no reference
+    counterpart)."""
+    import dataclasses
+
+    from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
+
+    cfg = NeRFConfig(backbone="triplane", triplane_resolution=16,
+                     triplane_dim=8, grid_size=16, num_steps=16, bound=1.0)
+    model = build_nerf(cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+    assert isinstance(params.encoder, E.TriplaneParams)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-0.5,
+                             maxval=0.5)
+    sigma, albedo = model.density(params, pts)
+    assert np.isfinite(np.asarray(sigma)).all()
+
+    tx = build_nerf_optimizer(cfg, max_steps=10)
+    opt_state = tx.init(params)
+    g = jax.grad(lambda p: jnp.sum(model.density(p, pts)[0]))(params)
+    updates, _ = tx.update(g, opt_state, params)
+    import optax
+    p2 = optax.apply_updates(params, updates)
+    assert float(jnp.abs(p2.encoder.planes - params.encoder.planes).max()) > 0
+
+
+def test_grid_encoder_bf16_close_to_f32():
+    cfg32 = E.GridEncoderConfig(num_levels=4, base_resolution=4,
+                                desired_resolution=64, log2_hashmap_size=10)
+    cfg16 = cfg32._replace(compute_dtype="bf16")
+    params = E.init_grid_encoder(cfg32, jax.random.PRNGKey(0), scale=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.9,
+                           maxval=0.9)
+    a = np.asarray(E.grid_encode(params, cfg32, x))
+    b = np.asarray(E.grid_encode(params, cfg16, x))
+    assert b.dtype == np.float32 or b.dtype == np.dtype("float32") \
+        or b.dtype.kind == "f"
+    np.testing.assert_allclose(a, b, atol=5e-3)
+    # grads still land on the f32 master tables
+    g = jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg16, x) ** 2))(params)
+    assert g.tables.dtype == jnp.float32
+    assert float(jnp.abs(g.tables).sum()) > 0
