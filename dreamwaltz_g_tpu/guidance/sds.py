@@ -72,6 +72,10 @@ class ScoreDistillation:
     denoise_timesteps: int = 50       # inference grid for z0/x0 modes
     latent_size: int = 64
     latent_input: bool = False    # 4-channel renders ARE latents (Latent-NeRF)
+    # input_interpolate=False keeps a natively-supported render size instead
+    # of resizing to the default (reference: prepare_latents,
+    # basic.py:354-383 — SD1.5 accepts 512/768 pixels i.e. 64/96 latents)
+    input_interpolate: bool = True
 
     @property
     def is_denoising_mode(self) -> bool:
@@ -94,14 +98,22 @@ class ScoreDistillation:
         B, H, W, C = images.shape
         if self.latent_input:
             assert C == 4, "latent_input expects 4-channel renders"
-            if H != self.latent_size or W != self.latent_size:
+            if (H != self.latent_size or W != self.latent_size) and (
+                    self.input_interpolate
+                    or H != W or H not in (self.latent_size, 96)):
                 images = jax.image.resize(
                     images, (B, self.latent_size, self.latent_size, 4),
                     "bilinear")
             return images
         vae_factor = 2 ** (len(self.vae.cfg.block_out_channels) - 1)
         target = self.latent_size * vae_factor
-        if H != target or W != target:
+        if (H != target or W != target) and (
+                self.input_interpolate
+                or H != W or H not in (target, 768)):
+            # input_interpolate=False keeps a square 768 (or native) render
+            # un-resized — it encodes to 96^2 latents which the conv/attn
+            # UNet handles natively (reference: basic.py:358-366 asserts
+            # 512/768 for SD1.5 instead of resizing)
             images = jax.image.resize(images, (B, target, target, 3), "bilinear")
         return self.vae.encode(params.vae, images)
 
@@ -133,6 +145,33 @@ class ScoreDistillation:
         eps_uncond, eps_text = eps[:B], eps[B:]
         return eps_uncond + guidance_scale * (eps_text - eps_uncond), \
             eps_uncond, eps_text
+
+    def sample_images(self, params: GuidanceParams, text_embeds,
+                      uncond_embeds, key, num_inference_steps: int = 50,
+                      guidance_scale=None, cond_image=None) -> jnp.ndarray:
+        """Full text->image DDIM sampling from pure noise — the
+        ``--log.check_sd`` sanity export (reference: export_samples,
+        core/trainer.py:386-443 drives the diffusers pipeline; here the
+        same frozen UNet/CFG/ControlNet stack walks the DDIM grid).
+        Returns (B, H, W, 3) images in [0, 1]."""
+        gs = self.guidance_scale if guidance_scale is None else guidance_scale
+        dt = text_embeds.dtype
+        B = text_embeds.shape[0]
+        T = self.schedule.num_train_timesteps
+        stride = T // num_inference_steps
+        x = jax.random.normal(
+            key, (B, self.latent_size, self.latent_size, 4), dtype=dt)
+
+        def body(i, x):
+            t_cur = jnp.full((B,), T - stride - i * stride, jnp.int32)
+            eps, _, _ = self._cfg_eps(params, x, t_cur, text_embeds,
+                                      uncond_embeds, cond_image, gs)
+            # the f32 schedule promotes the bf16 carry — keep its dtype
+            return self.schedule.ddim_step(
+                x, eps, t_cur, t_cur - stride).astype(x.dtype)
+
+        x = jax.lax.fori_loop(0, num_inference_steps, body, x)
+        return self.vae.decode(params.vae, x.astype(jnp.float32))
 
     def _weight(self, t: jnp.ndarray) -> jnp.ndarray:
         ac = self.schedule.alphas_cumprod[t]

@@ -246,16 +246,31 @@ def load_smplx_npz(
     num_expr: int = 100,
     flat_hand_mean: bool = False,
     dtype=jnp.float32,
+    kid_template_path: Optional[str] = None,
 ) -> SMPLXModelData:
     """Load a SMPLX_*.npz model file (the reference uses
     SMPLX_NEUTRAL_2020.npz with 300 betas / 100 expressions,
-    core/human/smpl_model.py:75-99)."""
+    core/human/smpl_model.py:75-99).
+
+    ``kid_template_path``: smplx_kid_template.npy (the AGORA kid model) —
+    its offset from the adult template is appended as an extra shape
+    direction, so ``betas[..., -1]`` interpolates adult -> kid (the
+    reference sets it to 0.7 for age='kid',
+    core/human/smpl_model.py:102-104, 120-122; smplx's
+    kid_template_path mechanics)."""
     with np.load(path, allow_pickle=True) as data:
         v_template = np.asarray(data["v_template"], np.float32)
         shapedirs_full = np.asarray(data["shapedirs"], np.float32)
         # smplx convention: first 300 columns betas, next 100 expressions
         shapedirs = shapedirs_full[..., :num_betas]
         expr_dirs = shapedirs_full[..., 300: 300 + num_expr]
+        if kid_template_path is not None:
+            # smplx mechanics: mean-center the kid template, then append
+            # its offset from the adult template as one extra column
+            kid = np.asarray(np.load(kid_template_path), np.float32)
+            kid = kid - np.mean(kid, axis=0, keepdims=True)
+            shapedirs = np.concatenate(
+                [shapedirs, (kid - v_template)[..., None]], axis=-1)
         posedirs = np.asarray(data["posedirs"], np.float32)
         posedirs = posedirs.reshape(posedirs.shape[0] * 3, -1).T if posedirs.ndim == 3 \
             else posedirs

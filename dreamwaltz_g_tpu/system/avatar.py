@@ -270,6 +270,7 @@ def init_avatar_state(
     prune_dists_close_to_mesh: Optional[float] = 0.01,
     lbs_weight_smooth: bool = False,
     lbs_weight_smooth_K: int = 30,
+    init_scales: Optional[jnp.ndarray] = None,  # (N, 3) linear per-point
 ) -> AvatarState:
     """Build the avatar from a stage-1 NeRF point cloud
     (reference: DreamWaltzG.__init__, avatar.py:1176-1245).
@@ -337,7 +338,12 @@ def init_avatar_state(
 
     params = AvatarParams(
         positions=pad(zero_pose_positions),
-        log_scales=jnp.full((C, 3), float(np.log(model.init_scale))),
+        # per-point seeds: the gaussian_scale_init='radius' SuGaR path
+        # (reference: initialize_scales, avatar.py:196-221)
+        log_scales=pad(jnp.log(jnp.maximum(init_scales, 1e-7)),
+                       fill=float(np.log(model.init_scale)))
+        if init_scales is not None
+        else jnp.full((C, 3), float(np.log(model.init_scale))),
         quats=jnp.zeros((C, 4)).at[:, 0].set(1.0),
         lbs_weights=pad(lbs_w),
         encoder=encoder,

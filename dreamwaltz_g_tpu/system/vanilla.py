@@ -69,9 +69,12 @@ def init_vanilla_avatar(
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
     zero_pose = inverse_lbs(canonical_tr, point_cloud, lbs_w)
 
+    # init_scale: scalar, or per-point (N, 3) linear scales (the
+    # gaussian_scale_init='radius' SuGaR path, reference avatar.py:196-221)
+    scale_arr = init_scale if hasattr(init_scale, "ndim") \
+        else jnp.full((point_cloud.shape[0], 3), init_scale)
     gs = init_state(zero_pose, colors, capacity=capacity, sh_levels=sh_levels,
-                    init_opacity=init_opacity,
-                    init_scale=jnp.full((point_cloud.shape[0], 3), init_scale))
+                    init_opacity=init_opacity, init_scale=scale_arr)
     C = gs.capacity
     N = point_cloud.shape[0]
     if C > N:

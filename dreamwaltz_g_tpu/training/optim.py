@@ -105,7 +105,62 @@ def make_optimizer(kind: str, lr, **kwargs) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {kind!r}")
 
 
+def nerf_lr_schedule(policy: str, base: float, max_steps: int,
+                     alphas_cumprod=None):
+    """Stage-1 lr policies (reference: build_scheduler,
+    nerf_model.py:187-211 + make_scheduler, core/optim/scheduler):
+
+    * 'none'/'constant' — flat;
+    * 'cosine' — cosine decay (TPU addition);
+    * 'step' — x0.1 after 0.7 x max_steps (StepLR, gamma=0.1);
+    * 'multistep' — x0.1 at [s0, s0+s0/2, s0+3s0/4], s0=0.7 max (MultiStepLR);
+    * 'warmup' — linear 1000-step warmup then the multistep decays
+      (WarmupMultiStepLR, warmup_iter=1000);
+    * 'lambda' — factor = 1 - alphas_cumprod[(1 - i/max) x 1000]
+      (the DDPM-alphas ramp, nerf_model.py:197-207);
+    * 'ddpm' — flat here; the per-timestep TimePrioritizedLR weight is
+      applied to the updates inside the train step (time_prior.py:394-431).
+    """
+    if policy in ("none", "constant", "ddpm"):
+        return lambda s: base
+    if policy == "cosine":
+        return optax.cosine_decay_schedule(base, max_steps)
+    if policy == "step":
+        k = int(max_steps * 0.7)
+        return lambda s: base * jnp.where(jnp.asarray(s) >= k, 0.1, 1.0)
+    if policy in ("multistep", "multi_step", "warmup"):
+        s0 = int(max_steps * 0.7)
+        ms = jnp.asarray([s0, s0 + s0 // 2, s0 + s0 // 2 + s0 // 4])
+        warmup_iter = 1000 if policy == "warmup" else 0
+
+        def sched(s):
+            s = jnp.asarray(s, jnp.float32)
+            n = jnp.sum((s >= ms).astype(jnp.float32))
+            lr = base * jnp.power(0.1, n)
+            if warmup_iter > 0:
+                lr = lr * jnp.clip((s + 1.0) / warmup_iter, 0.0, 1.0)
+            return lr
+
+        return sched
+    if policy == "lambda":
+        assert alphas_cumprod is not None, (
+            "lr_policy='lambda' needs the diffusion alphas_cumprod "
+            "(pass the guidance schedule to build_nerf_optimizer)")
+        ac = jnp.asarray(alphas_cumprod)
+        T = ac.shape[0]
+
+        def sched(s):
+            idx = ((1.0 - jnp.asarray(s, jnp.float32) / max_steps)
+                   * T).astype(jnp.int32)
+            return base * jnp.where(
+                idx >= T, 1.0, 1.0 - ac[jnp.clip(idx, 0, T - 1)])
+
+        return sched
+    raise ValueError(f"unknown nerf lr_policy {policy!r}")
+
+
 def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
+                         alphas_cumprod=None,
                          ) -> optax.GradientTransformation:
     """Encoder gets lr x ``encoder_lr_scale`` (reference:
     nerf_model.py:171-211 get_params: encoder lr x10), MLPs base lr.
@@ -114,10 +169,8 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
     use_adan = cfg.optimizer == "adan"
     base = cfg.lr * (5.0 if use_adan else 1.0)
     bg_lr = cfg.bg_lr * (5.0 if use_adan else 1.0)
-    sched = {
-        "constant": lambda s: base,
-        "cosine": optax.cosine_decay_schedule(base, max_steps),
-    }.get(cfg.lr_policy, lambda s: base)
+    sched = nerf_lr_schedule(cfg.lr_policy, base, max_steps,
+                             alphas_cumprod=alphas_cumprod)
 
     def scale_by_group(path_key):
         def label_fn(params):

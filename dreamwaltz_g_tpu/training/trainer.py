@@ -117,7 +117,7 @@ class Trainer:
             self._init_nerf()
         else:
             self._init_avatar()
-        if cfg.log.check:
+        if cfg.log.check or cfg.log.check_sd:
             self.check()
 
     def _warn_unsupported_knobs(self):
@@ -133,14 +133,6 @@ class Trainer:
             (r.non_rigid_scale_mode != "add", "render.non_rigid_scale_mode"),
             (r.non_rigid_rotation_mode != "add",
              "render.non_rigid_rotation_mode"),
-            (r.init_scale_radius_rate != 1.0,
-             "render.init_scale_radius_rate"),
-            (r.gaussian_color_init != "rand", "render.gaussian_color_init"),
-            (r.gaussian_point_init != "mesh_surface",
-             "render.gaussian_point_init"),
-            (r.gaussian_scale_init != "default",
-             "render.gaussian_scale_init"),
-            (r.n_gaussians_per_vertex != 1, "render.n_gaussians_per_vertex"),
             (r.enable_grad_prune, "render.enable_grad_prune"),
             (r.use_nerf_opacities is False, "render.use_nerf_opacities"),
             (r.use_nerf_scales_and_quaternions is False,
@@ -152,12 +144,18 @@ class Trainer:
             (not r.learn_mesh_quaternions is False,
              "render.learn_mesh_quaternions (mesh quats derive from "
              "triangle frames here)"),
-            (not g.input_interpolate, "guide.input_interpolate=false "
-             "(renders are always resized to the SD input here)"),
-            (d.batched_view, "data.batched_view"),
+            # batched_view / uniform_sphere_rate / jitter_pose are DEAD IN
+            # THE REFERENCE TOO: defined in its DataConfig
+            # (reference configs/__init__.py:319-322) and never read by any
+            # code (stable-dreamfusion vestiges) — deliberately not
+            # implemented here; parsed only for CLI compatibility
+            (d.batched_view, "data.batched_view (dead in the reference: "
+             "parsed at configs/__init__.py:319, never read)"),
             (d.uniform_sphere_rate not in (None, 0, 0.0),
-             "data.uniform_sphere_rate"),
-            (d.jitter_pose, "data.jitter_pose"),
+             "data.uniform_sphere_rate (dead in the reference: parsed at "
+             "configs/__init__.py:320, never read)"),
+            (d.jitter_pose, "data.jitter_pose (dead in the reference: "
+             "parsed at configs/__init__.py:322, never read)"),
             (r.lbs_weight_smooth_N != 5000,
              "render.lbs_weight_smooth_N (smoothing runs over all points)"),
         ]
@@ -186,7 +184,28 @@ class Trainer:
         cfg = self.cfg
         npz = _find_smplx_npz(cfg)
         if npz is not None:
-            self.smpl = load_smplx_npz(npz, flat_hand_mean=cfg.prompt.flat_hand_mean)
+            kid_path = None
+            if cfg.prompt.smpl_age == "kid":
+                # AGORA kid template: extra shape direction + betas[-1]=0.7
+                # (reference: smpl_model.py:102-104, 120-122)
+                cand = Path(npz).parent / "smplx_kid_template.npy"
+                if cand.is_file():
+                    kid_path = str(cand)
+                else:
+                    logger.warning(
+                        "smpl_age='kid' but %s is missing — training the "
+                        "adult template", cand)
+            self.smpl = load_smplx_npz(
+                npz, flat_hand_mean=cfg.prompt.flat_hand_mean,
+                kid_template_path=kid_path)
+            if kid_path is not None:
+                rate = 0.7  # kid_interpolation_rate (smpl_model.py:121)
+                kid_vec = np.zeros((1, self.smpl.num_betas), np.float32)
+                kid_vec[0, -1] = rate
+                if cfg.prompt.canonical_betas is None:
+                    cfg.prompt.canonical_betas = kid_vec
+                if cfg.prompt.observed_betas is None:
+                    cfg.prompt.observed_betas = kid_vec
             landmarks = load_landmark_data(npz)
             hand_components = load_hand_components(npz)
         else:
@@ -320,6 +339,9 @@ class Trainer:
             self._cast_guidance_dtype()
 
         self._guidance_cast_done = True
+        # keep natively-supported render sizes un-resized when requested
+        # (reference: prepare_latents + input_interpolate, basic.py:354-383)
+        self.guidance.input_interpolate = cfg.guide.input_interpolate
         from ..guidance.sds import build_pixel_grad_hook
 
         # RGB pixel-gradient hook (PGC / clip / norm) applied to the
@@ -400,8 +422,19 @@ class Trainer:
             cfg.nerf,
             with_background=cfg.nerf.bg_mode == 'nerf'
             or cfg.nerf.bg_radius > 0)
-        tx = build_nerf_optimizer(cfg.nerf, self.max_iteration)
+        ac = np.asarray(self.guidance.schedule.alphas_cumprod)
+        tx = build_nerf_optimizer(cfg.nerf, self.max_iteration,
+                                  alphas_cumprod=ac)
         self.tx = tx
+        # 'ddpm' lr_policy: per-timestep update weights applied inside the
+        # SDS step (reference: TimePrioritizedLR, time_prior.py:394-431)
+        self._tp_lr_weights = None
+        if cfg.nerf.lr_policy == "ddpm":
+            from ..guidance.time_prior import TimePrioritizedLR
+
+            self._tp_lr_weights = jnp.asarray(
+                TimePrioritizedLR(self.guidance.schedule).weights,
+                jnp.float32)
         self.state = nerf_trainer.init_train_state(
             self.nerf, tx, self._next_key())
         if cfg.optim.ckpt:
@@ -419,9 +452,29 @@ class Trainer:
         self.grid = init_occupancy(cfg.nerf.grid_size)
         H = self.train_res
         self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
-            self.nerf, tx, H, H, num_steps=cfg.nerf.num_steps)
-        self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
-            self.nerf, self.guidance, tx, H, H, cfg.nerf,
+            self.nerf, tx, H, H, num_steps=cfg.nerf.num_steps,
+            compact_steps=cfg.nerf.compact_steps)
+        if cfg.optim.batch_size > 1:
+            # stage-1 data parallelism: one view per chip (VERDICT r2 #1 —
+            # the reference is single-GPU B=1; SDS view-gradient averaging
+            # makes the B-view step B reference steps averaged)
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            assert cfg.optim.batch_size % max(n_dev, 1) == 0 \
+                or n_dev == 1, (
+                f"batch_size {cfg.optim.batch_size} must divide over "
+                f"{n_dev} devices")
+            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+        else:
+            self.mesh = None
+        self._build_nerf_sds_step(H)
+        self.eval_render = nerf_trainer.make_eval_render(
+            self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
+
+    def _build_nerf_sds_step(self, H: int):
+        cfg = self.cfg
+        common = dict(
             num_steps=cfg.nerf.num_steps,
             lambda_guidance=cfg.guide.lambda_guidance,
             lambda_sigma=cfg.lambda_sigma_sigma,
@@ -430,9 +483,17 @@ class Trainer:
             max_iteration=self.max_iteration,
             bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
             ray_chunk=cfg.nerf.max_ray_batch,
-            neg_embeds=self.neg_embeds, pgc=self.pgc)
-        self.eval_render = nerf_trainer.make_eval_render(
-            self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
+            neg_embeds=self.neg_embeds, pgc=self.pgc,
+            tp_lr_weights=getattr(self, "_tp_lr_weights", None))
+        if getattr(self, "mesh", None) is not None and cfg.stage == "nerf":
+            from ..parallel.dp import make_nerf_sds_step_dp
+
+            self.sds_step_fn = make_nerf_sds_step_dp(
+                self.nerf, self.guidance, self.tx, self.mesh, H, H,
+                cfg.nerf, **common)
+        else:
+            self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
+                self.nerf, self.guidance, self.tx, H, H, cfg.nerf, **common)
 
     def _build_avatar_model(self):
         from ..human.deform import DeformNetwork
@@ -507,6 +568,39 @@ class Trainer:
             if cfg.render.render_unconstrained_3d_gaussians_only else "all",
         )
 
+    def _seed_cloud(self):
+        """Mesh-based gaussian seeding when no stage-1 NeRF cloud exists
+        (reference: initialize_positions/colors/scales,
+        core/system/avatar.py:65-222 — the gaussian_point_init /
+        gaussian_color_init / gaussian_scale_init knobs).
+
+        Returns (cloud (N, 3), colors (N, 3), scales (N, 3) linear or
+        None when gaussian_scale_init='default')."""
+        from ..gaussian.seed import (
+            seed_colors,
+            seed_positions,
+            seed_scales_radius,
+        )
+
+        r = self.cfg.render
+        verts = jnp.asarray(self.prompt.canonical_outputs.vertices[0])
+        faces = jnp.asarray(self.smpl.faces)
+        cloud = seed_positions(
+            r.gaussian_point_init, self._next_key(), verts, faces,
+            r.n_gaussians, r.n_gaussians_per_vertex)
+        colors = seed_colors(r.gaussian_color_init, self._next_key(),
+                             cloud, verts, faces)
+        scales = None
+        if r.gaussian_scale_init == "radius":
+            scales = seed_scales_radius(cloud, verts,
+                                        r.init_scale_radius_rate)
+        logger.info(
+            "seeded %d gaussians from the SMPL-X mesh (point_init=%s, "
+            "color_init=%s, scale_init=%s)", cloud.shape[0],
+            r.gaussian_point_init, r.gaussian_color_init,
+            r.gaussian_scale_init)
+        return cloud, colors, scales
+
     def _init_vanilla_avatar(self):
         """gs_type='vanilla': plain learnable 3DGS rigged by LBS
         (reference: VanillaAvatar, avatar.py:334-407 + build_gaussian_avatar
@@ -515,8 +609,6 @@ class Trainer:
         from .optim import build_gaussian_optimizer
 
         cfg = self.cfg
-        assert cfg.optim.batch_size == 1, \
-            "gs_type=vanilla supports batch_size=1 (no DP step yet)"
         self._nerf_guidance = None
         self.avatar_model = VanillaAvatarModel(
             smpl=self.smpl,
@@ -547,19 +639,19 @@ class Trainer:
                                     max_points=cfg.render.n_gaussians)
             cloud = jnp.asarray(pc.points)
             colors = jnp.asarray(pc.colors) if pc.colors is not None else None
+            seed_scales = None
         else:
-            assert cfg.log.debug, (
-                "--render.from_nerf checkpoint missing; gs_type=vanilla "
-                "needs the stage-1 NeRF (or --log.debug true)")
-            rng = np.random.default_rng(cfg.optim.seed)
-            cloud = jnp.asarray(rng.normal(size=(256, 3)) * 0.2, jnp.float32)
+            # no stage-1 checkpoint: seed from the SMPL-X mesh (reference:
+            # initialize_positions/colors/scales, avatar.py:65-222)
+            cloud, colors, seed_scales = self._seed_cloud()
 
         capacity = min(cfg.render.n_gaussians,
                        max(2 * cloud.shape[0], cloud.shape[0] + 1024))
         vstate = init_vanilla_avatar(
             self.avatar_model, cloud, colors=colors, capacity=capacity,
             sh_levels=cfg.render.sh_levels,
-            init_scale=cfg.render.init_scale,
+            init_scale=seed_scales if seed_scales is not None
+            else cfg.render.init_scale,
             init_opacity=cfg.render.init_opacity,
             lbs_weight_smooth=cfg.render.lbs_weight_smooth)
 
@@ -587,10 +679,28 @@ class Trainer:
         rk = dict(tile_size=cfg.render.tile_size,
                   capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
         self.mesh = None
-        self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
-            self.avatar_model, self.guidance, tx, H, H,
-            lambda_guidance=cfg.guide.lambda_guidance,
-            neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+        if cfg.optim.batch_size > 1:
+            # vanilla DP: one view per chip (VERDICT r2 #6 — batch_size
+            # restriction lifted)
+            from ..parallel.dp import make_vanilla_sds_step_dp
+            from ..parallel.mesh import make_mesh
+
+            n_dev = len(jax.devices())
+            assert cfg.optim.batch_size % max(n_dev, 1) == 0 \
+                or n_dev == 1, (
+                f"batch_size {cfg.optim.batch_size} must divide over "
+                f"{n_dev} devices")
+            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+            self.sds_step_fn = make_vanilla_sds_step_dp(
+                self.avatar_model, self.guidance, tx, self.mesh, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
+                per_view_poses=cfg.data.per_view_poses, **rk)
+        else:
+            self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
+                self.avatar_model, self.guidance, tx, H, H,
+                lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_vanilla_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
@@ -661,18 +771,20 @@ class Trainer:
             cloud = jnp.asarray(
                 rng.normal(size=(forced_capacity, 3)) * 0.2, jnp.float32)
         elif nerf_step_dir is None:
-            assert cfg.log.debug, (
-                "--render.from_nerf checkpoint missing; stage gs needs the "
-                "stage-1 NeRF (or --log.debug true)")
-            rng = np.random.default_rng(cfg.optim.seed)
-            cloud = jnp.asarray(rng.normal(size=(256, 3)) * 0.2, jnp.float32)
+            # no stage-1 checkpoint: seed from the SMPL-X mesh (reference:
+            # initialize_positions/scales, avatar.py:65-115, 196-221;
+            # colors come from the NeRF field in this gs_type)
+            cloud, _, seed_scales = self._seed_cloud()
 
+        if nerf_step_dir is not None or forced_capacity is not None:
+            seed_scales = None
         capacity = forced_capacity or min(
             cfg.render.n_gaussians,
             max(2 * cloud.shape[0], cloud.shape[0] + 1024))
         avatar_state = A.init_avatar_state(
             self.avatar_model, cloud, self._next_key(), capacity=capacity,
             nerf_params=nerf_params,
+            init_scales=seed_scales,
             prune_dists_close_to_mesh=cfg.render.prune_dists_close_to_mesh
             if cfg.render.prune_points_close_to_mesh
             and self.avatar_model.mesh_parts else None,
@@ -716,7 +828,7 @@ class Trainer:
         # trainer.py:594-598)
         self.bg_state = None
         self.bg_net = None
-        if cfg.render.use_mlp_background and cfg.optim.batch_size == 1:
+        if cfg.render.use_mlp_background:
             from ..system.background import BackgroundMLPNet
             from .optim import adan
 
@@ -739,7 +851,9 @@ class Trainer:
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
                 neg_embeds=self.neg_embeds, pgc=self.pgc,
-                per_view_poses=cfg.data.per_view_poses, **rk)
+                per_view_poses=cfg.data.per_view_poses,
+                bg_net=self.bg_net,
+                bg_tx=getattr(self, "bg_tx", None), **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
                      or jax.devices()[0].platform == "tpu"):
@@ -817,6 +931,7 @@ class Trainer:
         except Exception as e:
             logger.warning("timestep curve export failed: %s", e)
         _, smpl_outputs = self.prompt()
+        cond_arrays = {}
         for azim in (0.0, 90.0, 180.0, 270.0):
             cam = make_camera_batch(2.0, azim, 80.0, 60.0,
                                     self.cond_size, self.cond_size)
@@ -824,13 +939,49 @@ class Trainer:
                 try:
                     img = self.prompt.get_cond_images(
                         smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
-                        cond_type=cond)[0]
+                        cond_type=cond, height=self.cond_size,
+                        width=self.cond_size)[0]
                     if isinstance(img, tuple):
                         continue  # depth_raw returns arrays, skip
                     save_image(str(d / f"cond_{cond}_az{int(azim)}.png"), img)
+                    cond_arrays[azim] = np.asarray(img, np.float32) / 255.0
                 except Exception as e:
                     logger.warning("condition export %s failed: %s", cond, e)
+        if self.cfg.log.check_sd:
+            self._check_sd(d, cond_arrays)
         logger.info("sanity exports written to %s", d)
+
+    def _check_sd(self, d: Path, cond_arrays: Dict[float, np.ndarray]):
+        """Sample the frozen SD (+ControlNet) for the prompt BEFORE
+        committing hours of training — the cheapest end-to-end guidance
+        validation (reference: export_samples, trainer.py:386-443: sd
+        samples at cfg 7.5 and the configured scale; with ControlNet, one
+        sample per condition view)."""
+        import functools
+
+        steps = self.cfg.log.check_sd_steps
+        sample = jax.jit(functools.partial(
+            self.guidance.sample_images, num_inference_steps=steps))
+        txt, unc = self.text_embeds[:1], self.uncond_embeds[:1]
+        try:
+            has_cn = self.guidance.controlnet is not None \
+                and self.guidance_params.controlnet is not None
+            if has_cn and cond_arrays:
+                for azim, cond in cond_arrays.items():
+                    img = sample(self.guidance_params, txt, unc,
+                                 self._next_key(),
+                                 cond_image=jnp.asarray(cond)[None])
+                    save_image(str(d / f"control_az{int(azim)}.png"),
+                               np.asarray(jnp.clip(img[0], 0, 1)))
+            for gs_val in {7.5, float(self.cfg.guide.guidance_scale)}:
+                img = sample(self.guidance_params, txt, unc,
+                             self._next_key(),
+                             guidance_scale=jnp.asarray(gs_val))
+                save_image(str(d / f"sd_{gs_val:g}.png"),
+                           np.asarray(jnp.clip(img[0], 0, 1)))
+            logger.info("check_sd samples written to %s", d)
+        except Exception as e:
+            logger.warning("check_sd sampling failed: %s", e)
 
     # ------------------------------------------------------------------
     # data assembly (host side)
@@ -847,7 +998,7 @@ class Trainer:
         """
         if step is None:
             step = self.train_step
-        B = self.cfg.optim.batch_size if self.cfg.stage == "gs" else 1
+        B = self.cfg.optim.batch_size
         frame_idx = None
         if self.prompt.scene_type == "motion":
             frame_idx = int(self._batch_rng.integers(0, self.prompt.num_frame))
@@ -859,7 +1010,7 @@ class Trainer:
         if rpi and self.prompt.scene_type == "random" \
                 and getattr(self, "_pose_cache", None) is not None \
                 and step % rpi != 0:
-            smpl_inputs, smpl_outputs = self._pose_cache
+            smpl_inputs, smpl_outputs, per_view_outputs = self._pose_cache
         elif per_view:
             # independent pose draw per DP view (parallel/dp.py
             # per_view_poses; no reference counterpart — single GPU B=1)
@@ -868,21 +1019,28 @@ class Trainer:
             smpl_inputs = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0),
                 *[d[0] for d in draws])
-            smpl_outputs = draws[0][1]  # conditions render view 0's pose
-            self._pose_cache = (smpl_inputs, smpl_outputs)
+            # each view's ControlNet conditions must come from ITS pose
+            # draw, or views 1..B-1 get conditioning that contradicts their
+            # render (ADVICE r2 #3)
+            per_view_outputs = [d[1] for d in draws]
+            smpl_outputs = draws[0][1]
+            self._pose_cache = (smpl_inputs, smpl_outputs, per_view_outputs)
         else:
             smpl_inputs, smpl_outputs = self.prompt(
                 frame_idx=frame_idx, batch_idx=step)
-            self._pose_cache = (smpl_inputs, smpl_outputs)
+            per_view_outputs = None
+            self._pose_cache = (smpl_inputs, smpl_outputs, None)
 
         cams, parts, conds, texts, uncs = [], [], [], [], []
-        for _ in range(B):
+        for i in range(B):
             cam, part = self.train_camera(1)
             cams.append(cam)
             parts.append(part)
             if self.cfg.guide.use_controlnet:
+                outs_i = per_view_outputs[i] if per_view_outputs is not None \
+                    else smpl_outputs
                 imgs = self.prompt.get_cond_images(
-                    smpl_outputs, cam.extrinsic[0], cam.intrinsics[0],
+                    outs_i, cam.extrinsic[0], cam.intrinsics[0],
                     cond_type=self.cfg.guide.controlnet_condition[0],
                     height=self.cond_size, width=self.cond_size)
                 conds.append(np.asarray(imgs[0], np.float32) / 255.0)
@@ -950,27 +1108,28 @@ class Trainer:
         H = self.train_res
         if cfg.stage == "nerf":
             self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
-                self.nerf, self.tx, H, H, num_steps=cfg.nerf.num_steps)
-            self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
-                self.nerf, self.guidance, self.tx, H, H, cfg.nerf,
-                num_steps=cfg.nerf.num_steps,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                lambda_sigma=cfg.lambda_sigma_sigma,
-                sigma_peak=cfg.sigma_guidance_peak,
-                sigma_loss_type=cfg.sigma_loss_type,
-                max_iteration=self.max_iteration,
-                bg_mode="nerf" if cfg.nerf.bg_mode == "nerf" else "color",
-                ray_chunk=cfg.nerf.max_ray_batch,
-                neg_embeds=self.neg_embeds, pgc=self.pgc)
+                self.nerf, self.tx, H, H, num_steps=cfg.nerf.num_steps,
+                compact_steps=cfg.nerf.compact_steps)
+            self._build_nerf_sds_step(H)
         else:
             rk = dict(tile_size=cfg.render.tile_size,
                       capacity=cfg.render.tile_capacity,
                       chunk=cfg.render.chunk)
             if cfg.render.gs_type == "vanilla":
-                self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
-                    self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+                if self.mesh is not None:
+                    from ..parallel.dp import make_vanilla_sds_step_dp
+
+                    self.sds_step_fn = make_vanilla_sds_step_dp(
+                        self.avatar_model, self.guidance, self.tx,
+                        self.mesh, H, H,
+                        lambda_guidance=cfg.guide.lambda_guidance,
+                        neg_embeds=self.neg_embeds, pgc=self.pgc,
+                        per_view_poses=cfg.data.per_view_poses, **rk)
+                else:
+                    self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
+                        self.avatar_model, self.guidance, self.tx, H, H,
+                        lambda_guidance=cfg.guide.lambda_guidance,
+                        neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
             elif self.mesh is not None:
                 from ..parallel.dp import make_avatar_sds_step_dp
 
@@ -978,7 +1137,9 @@ class Trainer:
                     self.avatar_model, self.guidance, self.tx, self.mesh,
                     H, H, lambda_guidance=cfg.guide.lambda_guidance,
                     neg_embeds=self.neg_embeds, pgc=self.pgc,
-                    per_view_poses=cfg.data.per_view_poses, **rk)
+                    per_view_poses=cfg.data.per_view_poses,
+                    bg_net=self.bg_net,
+                    bg_tx=getattr(self, "bg_tx", None), **rk)
             elif getattr(self, "bg_state", None) is not None \
                     or jax.devices()[0].platform == "tpu":
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
@@ -1155,27 +1316,57 @@ class Trainer:
                     num_points=cfg.sigma_num_points,
                     noise_range=cfg.sigma_noise_range,
                     surface_thickness=cfg.sigma_surface_thickness)
-            self.state, metrics = self.sds_step_fn(
-                self.state, self.grid, self.guidance_params,
-                cam.c2w[0], cam.intrinsics[0], self._bg_color(),
-                batch["text"], batch["uncond"], batch["t"], self._next_key(),
-                cond_image=batch["cond_image"],
-                guidance_scale=batch["guidance_scale"],
-                progress=batch["progress"],
-                sigma_pts=sigma_pts, use_sigma=use_sigma)
+            if self.mesh is not None:
+                # stage-1 DP: one view per chip (parallel/dp.py
+                # make_nerf_sds_step_dp)
+                B = cam.c2w.shape[0]
+                bg = jnp.stack([self._bg_color() for _ in range(B)])
+                keys = jax.random.split(self._next_key(), B)
+                with self.mesh:
+                    self.state, metrics = self.sds_step_fn(
+                        self.state, self.grid, self.guidance_params,
+                        cam.c2w, cam.intrinsics, bg,
+                        batch["text"], batch["uncond"], batch["t"], keys,
+                        cond_image=batch["cond_image"],
+                        guidance_scale=batch["guidance_scale"],
+                        progress=batch["progress"],
+                        sigma_pts=sigma_pts, use_sigma=use_sigma)
+            else:
+                self.state, metrics = self.sds_step_fn(
+                    self.state, self.grid, self.guidance_params,
+                    cam.c2w[0], cam.intrinsics[0], self._bg_color(),
+                    batch["text"], batch["uncond"], batch["t"],
+                    self._next_key(),
+                    cond_image=batch["cond_image"],
+                    guidance_scale=batch["guidance_scale"],
+                    progress=batch["progress"],
+                    sigma_pts=sigma_pts, use_sigma=use_sigma)
         elif self.mesh is not None:
             B = cam.extrinsic.shape[0]
             bg = jnp.broadcast_to(self._bg_color(),
                                   (B, self.train_res, self.train_res, 3))
             keys = jax.random.split(self._next_key(), B)
             with self.mesh:
-                self.state, metrics = self.sds_step_fn(
-                    self.state, self.guidance_params, batch["smpl_inputs"],
-                    cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
-                    batch["text"], batch["uncond"], batch["t"], keys,
-                    cond_image=batch["cond_image"],
-                    guidance_scale=batch["guidance_scale"],
-                progress=batch["progress"])
+                if self.bg_state is not None \
+                        and cfg.render.gs_type != "vanilla":
+                    self.state, self.bg_state, metrics = self.sds_step_fn(
+                        self.state, self.guidance_params,
+                        batch["smpl_inputs"],
+                        cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
+                        batch["text"], batch["uncond"], batch["t"], keys,
+                        cond_image=batch["cond_image"],
+                        guidance_scale=batch["guidance_scale"],
+                        progress=batch["progress"],
+                        bg_state=self.bg_state, c2w=cam.c2w)
+                else:
+                    self.state, metrics = self.sds_step_fn(
+                        self.state, self.guidance_params,
+                        batch["smpl_inputs"],
+                        cam.extrinsic, cam.intrinsics, cam.tanfov, bg,
+                        batch["text"], batch["uncond"], batch["t"], keys,
+                        cond_image=batch["cond_image"],
+                        guidance_scale=batch["guidance_scale"],
+                        progress=batch["progress"])
             self._maybe_densify()
         else:
             bg = jnp.broadcast_to(self._bg_color(),
