@@ -100,29 +100,40 @@ def main():
     from dreamwaltz_g_tpu.training import nerf_trainer
     from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
 
-    ncfg = NeRFConfig()
-    nerf = build_nerf(ncfg, with_background=False)
-    ntx = build_nerf_optimizer(ncfg, 10000)
-    nstate = nerf_trainer.init_train_state(nerf, ntx, jax.random.PRNGKey(2))
-    grid = init_occupancy(64)
-    nstep = nerf_trainer.make_nerf_sds_step(
-        nerf, guidance, ntx, 128, 128, ncfg, num_steps=96,
-        max_iteration=10000, ray_chunk=4096)
-    ncam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 128, 128)
-    for w in range(3):
-        k, kk = jax.random.split(k)
-        nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
-                           ncam.intrinsics[0], jnp.asarray([0.5, 0.5, 0.5]),
-                           txt, txt, t, kk)
-    jax.block_until_ready(nm["loss"])
-    t0 = time.time()
-    for i in range(iters):
-        k, kk = jax.random.split(k)
-        nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
-                           ncam.intrinsics[0], jnp.asarray([0.5, 0.5, 0.5]),
-                           txt, txt, t, kk)
-    jax.block_until_ready(nm["loss"])
-    ndt = (time.time() - t0) / iters
+    def bench_stage1(ncfg, n_iters=iters):
+        nonlocal k
+        nerf = build_nerf(ncfg, with_background=False)
+        ntx = build_nerf_optimizer(ncfg, 10000)
+        nstate = nerf_trainer.init_train_state(nerf, ntx,
+                                               jax.random.PRNGKey(2))
+        grid = init_occupancy(64)
+        nstep = nerf_trainer.make_nerf_sds_step(
+            nerf, guidance, ntx, 128, 128, ncfg, num_steps=96,
+            max_iteration=10000, ray_chunk=4096)
+        ncam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 128, 128)
+        for w in range(3):
+            k, kk = jax.random.split(k)
+            nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
+                               ncam.intrinsics[0],
+                               jnp.asarray([0.5, 0.5, 0.5]),
+                               txt, txt, t, kk)
+        jax.block_until_ready(nm["loss"])
+        t0 = time.time()
+        for i in range(n_iters):
+            k, kk = jax.random.split(k)
+            nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
+                               ncam.intrinsics[0],
+                               jnp.asarray([0.5, 0.5, 0.5]),
+                               txt, txt, t, kk)
+        jax.block_until_ready(nm["loss"])
+        return (time.time() - t0) / n_iters
+
+    # parity hash-grid backbone with occupied-sample compaction + bf16
+    # table gathers (round-2 baseline, dense f32: 0.15 it/s)
+    ndt = bench_stage1(NeRFConfig(grid_dtype="bf16"))
+    # TPU-first factorized-plane backbone (12 gathered rows/sample vs the
+    # grid's 128 — see nerf/encoder.py TriplaneConfig)
+    tdt = bench_stage1(NeRFConfig(backbone="triplane"))
 
     print(json.dumps({
         "metric": "sds_train_steps_per_sec",
@@ -130,7 +141,9 @@ def main():
         "unit": "SDS it/s (512^2, 200k gaussians, SD1.5-size UNet, 1 chip)",
         "vs_baseline": round((1.0 / dt) / 2.5, 3),
         "nerf_sds_steps_per_sec": round(1.0 / ndt, 2),
-        "nerf_sds_unit": "stage-1 NeRF SDS it/s (128^2, 96 samples/ray)",
+        "nerf_sds_unit": "stage-1 NeRF SDS it/s (128^2, 96-candidate "
+                         "compacted march, hash grid bf16)",
+        "nerf_sds_triplane_steps_per_sec": round(1.0 / tdt, 2),
     }))
 
 

@@ -507,7 +507,8 @@ class Trainer:
             base_resolution=cfg.nerf.base_resolution,
             desired_resolution=int(cfg.nerf.desired_resolution * cfg.nerf.bound),
             log2_hashmap_size=cfg.nerf.log2_hashmap_size,
-            gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash")
+            gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash",
+            compute_dtype=cfg.nerf.grid_dtype)
 
         # gs_type dispatch (reference: build_avatar, avatar.py:1643-1712):
         # 'dreamwaltz-g' = hybrid w/ mesh parts + deform net; 'hash' = the
