@@ -375,6 +375,53 @@ def make_avatar_render(model: AvatarModel, image_height: int,
     return render
 
 
+def make_avatar_render_frames(model: AvatarModel, image_height: int,
+                              image_width: int, tile_size: int = 16,
+                              capacity: int = 512, chunk: int = 64,
+                              max_tiles_per_gaussian: int = 16):
+    """Frame-batched animation rendering: ONE dispatch renders F frames
+    (``lax.map`` over stacked poses+cameras inside one jit). On the
+    remote-TPU runtime each dispatch pays a host round trip comparable to
+    the 1024^2 frame itself, so motion-sequence eval/video rendering should
+    batch frames (PERF.md "batched frames" lever; no reference counterpart
+    — the reference renders one frame per Python iteration,
+    core/trainer.py:1019-1112)."""
+    from ..system.avatar import animate as _animate
+
+    H, W = image_height, image_width
+    raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
+                  max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    @jax.jit
+    def render_frames(state: AvatarState, observed_frames,
+                      extrinsic, intrinsics, tanfov, background):
+        """observed_frames: SMPLXParams stacked (F, 1, ...); extrinsic
+        (F, 4, 4); intrinsics (F, 3, 3); tanfov (F,); background
+        (H, W, 3) shared or (F, H, W, 3). Returns (F, H, W, 3) images +
+        (F, H, W) alpha/depth."""
+
+        def one(args):
+            obs, extr, intr, tf, bg = args
+            gs = _animate(model, state, obs)
+            cov3d = R.covariance3d(gs.quats, gs.scales)
+            g2d = R.project_gaussians(
+                gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,
+                H, W, tanfov=tf, alive=gs.alive)
+            out = R.rasterize_projected(g2d, H, W, pallas_mode="eval",
+                                        **raster)
+            img = out.image + (1.0 - out.alpha)[..., None] * bg
+            return img, out.alpha, out.depth
+
+        F = extrinsic.shape[0]
+        bg = background
+        if bg.ndim == 3:
+            bg = jnp.broadcast_to(bg, (F,) + bg.shape)
+        return jax.lax.map(one, (observed_frames, extrinsic, intrinsics,
+                                 tanfov, bg))
+
+    return render_frames
+
+
 def make_avatar_sds_step_split(
     model: AvatarModel,
     guidance: ScoreDistillation,

@@ -1539,6 +1539,15 @@ class Trainer:
         # overlay_pngs_on_video, motionx_reenact.py:162-274)
         overlay_rgba = [] if video_bg is not None else None
 
+        # frame-batched fast path: the standard gs animation eval (fixed
+        # resolution, hybrid avatar, no scene extras) defers renders and
+        # runs them 8-frames-per-dispatch (make_avatar_render_frames —
+        # each dispatch pays a host round trip on the remote TPU runtime)
+        batchable = (cfg.stage == "gs" and not predefined
+                     and cfg.render.gs_type != "vanilla"
+                     and not self.extra_states and size > 1)
+        pending = [] if batchable else None
+
         frames = []
         for i in range(size):
             p = i / max(size, 1)
@@ -1605,6 +1614,10 @@ class Trainer:
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
                     cam.intrinsics[0], bg)
+            elif pending is not None:
+                pending.append((smpl_inputs, extr, intr, tanfov, bg))
+                frames.append(None)  # filled by the batched pass below
+                continue
             elif overlay_rgba is not None:
                 # render over a transparent bg once; composite the video
                 # frame host-side and keep the RGBA for the overlay export
@@ -1621,6 +1634,45 @@ class Trainer:
                 img, _, _ = r(self.state.avatar, smpl_inputs, extr, intr,
                               tanfov, bg, self.extra_states)
             frames.append(np.asarray(jnp.clip(img, 0, 1)))
+
+        if pending:
+            cache = getattr(self, "_frame_render_cache", {})
+            if (H, W) not in cache:
+                cache[(H, W)] = gs_trainer.make_avatar_render_frames(
+                    self.avatar_model, H, W,
+                    tile_size=cfg.render.tile_size,
+                    capacity=cfg.render.tile_capacity,
+                    chunk=cfg.render.chunk)
+                self._frame_render_cache = cache
+            rf = cache[(H, W)]
+            Fc = min(8, len(pending))
+            for s0 in range(0, len(pending), Fc):
+                chunk = pending[s0: s0 + Fc]
+                n = len(chunk)
+                chunk = chunk + [chunk[-1]] * (Fc - n)  # pad: static shape
+                obs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[c[0] for c in chunk])
+                extr = jnp.stack([c[1] for c in chunk])
+                intr = jnp.stack([c[2] for c in chunk])
+                tf = jnp.stack([c[3] for c in chunk])
+                bgs = jnp.stack([jnp.broadcast_to(c[4], (H, W, 3))
+                                 for c in chunk])
+                if overlay_rgba is not None:
+                    imgs, alphas, _ = rf(self.state.avatar, obs, extr,
+                                         intr, tf, jnp.zeros((H, W, 3)))
+                    for j in range(n):
+                        overlay_rgba.append(np.concatenate(
+                            [np.asarray(jnp.clip(imgs[j], 0, 1)),
+                             np.asarray(alphas[j])[..., None]], axis=-1))
+                        comp = imgs[j] + (1.0 - alphas[j])[..., None] \
+                            * bgs[j]
+                        frames[s0 + j] = np.asarray(jnp.clip(comp, 0, 1))
+                else:
+                    imgs, _, _ = rf(self.state.avatar, obs, extr, intr,
+                                    tf, bgs)
+                    for j in range(n):
+                        frames[s0 + j] = np.asarray(
+                            jnp.clip(imgs[j], 0, 1))
         if cfg.data.eval_save_image:
             for i, f in enumerate(frames):
                 save_image(str(save_dir / f"step_{self.train_step:06d}"

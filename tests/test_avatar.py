@@ -188,3 +188,42 @@ def test_render_scene_sanity(setup):
     corner = np.asarray(out.image[0, 0])
     if float(out.alpha[0, 0]) < 0.01:
         np.testing.assert_allclose(corner, [1, 1, 1], atol=0.02)
+
+
+def test_frame_batched_render_matches_per_frame(setup):
+    """make_avatar_render_frames (one dispatch, F frames via lax.map) must
+    equal F single-frame renders (PERF.md 'batched frames' lever)."""
+    import jax
+
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.training.gs_trainer import (
+        make_avatar_render,
+        make_avatar_render_frames,
+    )
+
+    from dreamwaltz_g_tpu.human.smplx_model import default_params
+
+    model, state, _ = setup
+    observed = default_params(model.smpl, 1)
+    H = W = 32
+    F = 3
+    rk = dict(tile_size=8, capacity=64, chunk=32)
+    single = make_avatar_render(model, H, W, **rk)
+    batched = make_avatar_render_frames(model, H, W, **rk)
+    cams = make_camera_batch([2.5] * F, [0.0, 120.0, 240.0], [80.0] * F,
+                             [55.0] * F, H, W)
+    obs_frames = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (F,) + x.shape), observed)
+    bg = jnp.full((H, W, 3), 0.3)
+
+    imgs, alphas, depths = batched(state, obs_frames, cams.extrinsic,
+                                   cams.intrinsics, cams.tanfov, bg)
+    assert imgs.shape == (F, H, W, 3)
+    for i in range(F):
+        img1, a1, d1 = single(state, observed,
+                              cams.extrinsic[i], cams.intrinsics[i],
+                              cams.tanfov[i], bg, ())
+        np.testing.assert_allclose(np.asarray(imgs[i]), np.asarray(img1),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(alphas[i]), np.asarray(a1),
+                                   atol=2e-3)

@@ -197,3 +197,28 @@ def test_trainer_check_sd_writes_samples(tmp_path):
     pngs = sorted(p.name for p in d.glob("*.png"))
     assert any(n.startswith("sd_") for n in pngs), pngs
     assert any(n.startswith("control_az") for n in pngs), pngs
+
+
+def test_evaluate_frame_batched_path(tmp_path):
+    """The gs animation eval defers renders into 8-frame dispatches
+    (make_avatar_render_frames fast path); every frame must be filled."""
+    from dreamwaltz_g_tpu.configs import parse_args
+    from dreamwaltz_g_tpu.training.trainer import Trainer
+
+    cfg = parse_args([
+        "--stage", "gs", "--log.debug", "true",
+        "--log.exp_root", str(tmp_path), "--log.exp_name", "fbe",
+        "--optim.iters", "1", "--render.n_gaussians", "128",
+        "--data.train_w", "16", "--data.eval_h", "16", "--data.eval_w",
+        "16", "--data.test_h", "16", "--data.test_w", "16",
+        "--data.eval_size", "3", "--data.eval_save_image", "false",
+        "--data.eval_save_video", "false",
+        "--log.snapshot_interval", "0", "--log.evaluate_interval", "0",
+        "--log.save_interval", "0",
+    ])
+    tr = Trainer(cfg)
+    frames = tr.evaluate(size=3, save_dir=tmp_path / "ev")
+    assert len(frames) == 3
+    for f in frames:
+        assert f is not None and f.shape == (16, 16, 3)
+        assert np.isfinite(f).all()
