@@ -793,3 +793,22 @@ class TestDenoiseDriftDDIMvsDDPM:
         assert rel < 1.0, (
             f"deterministic-DDIM x0 drifted beyond the latent scale "
             f"(rel={rel:.3f}) vs the stochastic-DDPM reference walk")
+
+
+def test_sample_images_xl():
+    """check_sd sampling through the SDXL stack (pooled embeds +
+    add_time_ids ride the inherited DDIM walk)."""
+    from dreamwaltz_g_tpu import tests_support as ts
+
+    guidance, gparams, embed_fn = ts.tiny_guidance_xl(jax.random.PRNGKey(0))
+    txt, pooled = embed_fn(["a test"])
+    unc, pooled_u = embed_fn([""])
+    guidance.pooled_text = pooled[:1]
+    guidance.pooled_uncond = pooled_u[:1]
+    img = guidance.sample_images(gparams, txt, unc, jax.random.PRNGKey(1),
+                                 num_inference_steps=3, guidance_scale=5.0)
+    vf = 2 ** (len(guidance.vae.cfg.block_out_channels) - 1)
+    hw = guidance.latent_size * vf
+    assert img.shape == (1, hw, hw, 3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
