@@ -417,6 +417,11 @@ class OptimConfig:
     # accepted for reference-script compatibility; TPU precision policy is
     # parallel.compute_dtype (bf16), not torch AMP (reference fp16 flag)
     fp16: bool = False
+    # stage-2 step as ONE jitted program (render fwd once inside the grad
+    # graph) vs three small programs that re-render in the backward pass;
+    # fused measured 16% faster (PERF.md). Trainable background and DP
+    # batches always use the split/DP builders regardless of this flag.
+    fused_step: bool = True
 
 
 @dataclass

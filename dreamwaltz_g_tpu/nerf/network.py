@@ -19,9 +19,11 @@ from .encoder import (
     GridEncoderConfig,
     GridEncoderParams,
     TriplaneConfig,
+    encode_any,
     frequency_encode,
     freq_output_dim,
     grid_encode,
+    init_encoder_any,
     init_grid_encoder,
     init_triplane,
     triplane_encode,
@@ -30,15 +32,11 @@ from .encoder import (
 
 def _encode_any(enc_cfg, enc_params, positions, bound):
     """Backbone dispatch: hash/tiled grid or factorized triplane."""
-    if isinstance(enc_cfg, TriplaneConfig):
-        return triplane_encode(enc_params, enc_cfg, positions, bound)
-    return grid_encode(enc_params, enc_cfg, positions, bound)
+    return encode_any(enc_params, enc_cfg, positions, bound)
 
 
 def _init_encoder_any(enc_cfg, key):
-    if isinstance(enc_cfg, TriplaneConfig):
-        return init_triplane(enc_cfg, key)
-    return init_grid_encoder(enc_cfg, key)
+    return init_encoder_any(enc_cfg, key)
 
 
 @jax.custom_vjp

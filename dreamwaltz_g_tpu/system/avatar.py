@@ -25,7 +25,7 @@ shapes.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,11 @@ from ..gaussian.densify import DensifyConfig
 from ..human.deform import DeformNetwork
 from ..human.glbs import GLBSTransforms, glbs_transforms
 from ..human.smplx_model import SMPLXModelData, SMPLXParams, smplx_forward
-from ..nerf.encoder import GridEncoderConfig, GridEncoderParams, grid_encode
+from ..nerf.encoder import (
+    GridEncoderConfig,
+    GridEncoderParams,
+    encode_any,
+)
 from ..nerf.network import NeRFModel, NeRFParams, SigmaMLP
 from ..ops.mesh import (
     NearestTriangles,
@@ -77,7 +81,8 @@ class AvatarParams(NamedTuple):
     log_scales: jnp.ndarray         # (C, 3) learnable base scales (exp act.)
     quats: jnp.ndarray              # (C, 4) learnable base orientations
     lbs_weights: jnp.ndarray        # (C, J)
-    encoder: GridEncoderParams      # stage-1 NeRF hash tables (continued)
+    encoder: Any                    # stage-1 NeRF field tables (continued:
+    #                                 GridEncoderParams or TriplaneParams)
     color_mlp: dict                 # NeRF sigma/albedo net -> opacity/color
     sq_net: dict                    # DeformNetwork: offsets/scales/quats
     mesh: Dict[str, MeshBindingParams]
@@ -119,7 +124,7 @@ class AvatarModel:
 
     smpl: SMPLXModelData
     canonical_inputs: SMPLXParams
-    enc_cfg: GridEncoderConfig
+    enc_cfg: Any  # GridEncoderConfig or TriplaneConfig (backbone dispatch)
     nerf_bound: float
     color_mlp: SigmaMLP
     sq_net: DeformNetwork
@@ -318,9 +323,9 @@ def init_avatar_state(
         encoder = nerf_params.encoder
         color_mlp = nerf_params.sigma_mlp
     else:
-        from ..nerf.encoder import init_grid_encoder
+        from ..nerf.encoder import init_encoder_any
 
-        encoder = init_grid_encoder(model.enc_cfg, k1)
+        encoder = init_encoder_any(model.enc_cfg, k1)
         color_mlp = model.color_mlp.init(
             k2, jnp.zeros((1, model.enc_cfg.output_dim)))
 
@@ -396,7 +401,7 @@ def _mesh_part_gaussians(
     obs_pos = jnp.einsum("fgk,fkc->fgc", bary, obs_verts[tris]).reshape(-1, 3)
 
     # colors from the NeRF at canonical positions; opacity fixed to 1
-    enc = grid_encode(params.encoder, model.enc_cfg, cnl_pos, model.nerf_bound)
+    enc = encode_any(params.encoder, model.enc_cfg, cnl_pos, model.nerf_bound)
     oc = model.color_mlp.apply(params.color_mlp, enc)
     colors = jax.nn.sigmoid(oc[:, 1:])
     opacities = jnp.ones(obs_pos.shape[0])
@@ -448,7 +453,7 @@ def animate(
     w = params.lbs_weights
     canonical_positions = forward_lbs(canonical_tr, params.positions, w)
 
-    enc = grid_encode(params.encoder, model.enc_cfg, canonical_positions,
+    enc = encode_any(params.encoder, model.enc_cfg, canonical_positions,
                       model.nerf_bound)
     oc = model.color_mlp.apply(params.color_mlp, enc)
     opacities = jax.nn.sigmoid(oc[:, 0])
@@ -577,7 +582,7 @@ def decode_opacities(model: AvatarModel, state: AvatarState) -> jnp.ndarray:
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
     pos = forward_lbs(canonical_tr, state.params.positions,
                       state.params.lbs_weights)
-    enc = grid_encode(state.params.encoder, model.enc_cfg, pos,
+    enc = encode_any(state.params.encoder, model.enc_cfg, pos,
                       model.nerf_bound)
     oc = model.color_mlp.apply(state.params.color_mlp, enc)
     return jax.nn.sigmoid(oc[:, 0])

@@ -38,15 +38,23 @@ class TinyAvatarSetup(NamedTuple):
 def tiny_avatar_setup(capacity: int = 128, n_points: int = 64,
                       num_vertices: int = 120, num_joints: int = 6,
                       seed: int = 0, with_mesh_part: bool = True,
+                      enc_cfg=None,
                       ) -> TinyAvatarSetup:
-    """A small articulated avatar around the synthetic stick body."""
+    """A small articulated avatar around the synthetic stick body.
+
+    ``enc_cfg``: override the NeRF-field encoder config — a
+    GridEncoderConfig or TriplaneConfig (backbone dispatch, avatar
+    color/opacity decode runs through nerf.encoder.encode_any)."""
     smpl = make_synthetic_model(num_vertices=num_vertices,
                                 num_joints=num_joints, num_betas=3,
                                 num_expr=2, seed=seed)
     canonical = default_params(smpl, 1)
 
-    enc_cfg = GridEncoderConfig(num_levels=4, level_dim=2, base_resolution=4,
-                                desired_resolution=32, log2_hashmap_size=8)
+    if enc_cfg is None:
+        enc_cfg = GridEncoderConfig(num_levels=4, level_dim=2,
+                                    base_resolution=4,
+                                    desired_resolution=32,
+                                    log2_hashmap_size=8)
     mesh_parts = {}
     if with_mesh_part:
         faces = smpl.faces

@@ -502,13 +502,25 @@ class Trainer:
         from ..system import avatar as A
 
         cfg = self.cfg
-        enc_cfg = GridEncoderConfig(
-            num_levels=cfg.nerf.num_levels, level_dim=cfg.nerf.level_dim,
-            base_resolution=cfg.nerf.base_resolution,
-            desired_resolution=int(cfg.nerf.desired_resolution * cfg.nerf.bound),
-            log2_hashmap_size=cfg.nerf.log2_hashmap_size,
-            gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash",
-            compute_dtype=cfg.nerf.grid_dtype)
+        if cfg.nerf.backbone == "triplane":
+            # stage-2 inherits stage-1's TPU-first factorized field: the
+            # avatar's color/opacity decode (and its backward scatter, the
+            # dominant stage-2 cost on TPU — PERF.md) runs on 12 bilinear
+            # plane rows per point instead of 8 x num_levels hash rows
+            from ..nerf.encoder import TriplaneConfig
+
+            enc_cfg = TriplaneConfig(
+                resolution=cfg.nerf.triplane_resolution,
+                feature_dim=cfg.nerf.triplane_dim,
+                compute_dtype=cfg.nerf.grid_dtype)
+        else:
+            enc_cfg = GridEncoderConfig(
+                num_levels=cfg.nerf.num_levels, level_dim=cfg.nerf.level_dim,
+                base_resolution=cfg.nerf.base_resolution,
+                desired_resolution=int(cfg.nerf.desired_resolution * cfg.nerf.bound),
+                log2_hashmap_size=cfg.nerf.log2_hashmap_size,
+                gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash",
+                compute_dtype=cfg.nerf.grid_dtype)
 
         # gs_type dispatch (reference: build_avatar, avatar.py:1643-1712):
         # 'dreamwaltz-g' = hybrid w/ mesh parts + deform net; 'hash' = the
@@ -857,12 +869,15 @@ class Trainer:
                 bg_tx=getattr(self, "bg_tx", None), **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
-                     or jax.devices()[0].platform == "tpu"):
-            # three small XLA programs instead of one giant graph: keeps
-            # compiles tractable for the remote compiler and pipelines
-            # better; the split builder also hosts the trainable-background
-            # variant on any platform. x0 denoise modes are pixel-space
-            # losses (no latent SpecifyGradient) — monolithic step only.
+                     or (jax.devices()[0].platform == "tpu"
+                         and not cfg.optim.fused_step)):
+            # three small XLA programs instead of one giant graph — the
+            # remote-compiler fallback (--optim.fused_step false) and the
+            # host of the trainable-background variant. The fused step
+            # renders forward ONCE inside the grad graph and measured 16%
+            # faster (PERF.md), so it is the default elsewhere. x0 denoise
+            # modes are pixel-space losses (no latent SpecifyGradient) —
+            # monolithic step only.
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,

@@ -227,3 +227,65 @@ def test_frame_batched_render_matches_per_frame(setup):
                                    atol=2e-3)
         np.testing.assert_allclose(np.asarray(alphas[i]), np.asarray(a1),
                                    atol=2e-3)
+
+
+class TestTriplaneAvatar:
+    """Stage-2 avatar over the TPU-first triplane field (encode_any
+    dispatch): the nerf2gs handoff passes the stage-1 encoder verbatim, so
+    a triplane stage-1 yields a triplane avatar decode (PERF.md: the hash
+    scatter-add backward dominates the stage-2 step on TPU; triplane cuts
+    it from 8 x num_levels rows/point to 12)."""
+
+    def _setup(self):
+        from dreamwaltz_g_tpu import tests_support as ts
+        from dreamwaltz_g_tpu.nerf.encoder import TriplaneConfig
+
+        return ts.tiny_avatar_setup(
+            enc_cfg=TriplaneConfig(resolution=16, feature_dim=8))
+
+    def test_animate_and_grads(self):
+        setup = self._setup()
+        gs = A.animate(setup.model, setup.state, setup.observed)
+        assert np.isfinite(np.asarray(gs.positions)).all()
+        assert np.isfinite(np.asarray(gs.colors)).all()
+
+        def loss(p):
+            g = A.animate(setup.model, setup.state._replace(params=p),
+                          setup.observed)
+            return jnp.sum(g.colors ** 2) + jnp.sum(g.opacities ** 2)
+
+        g = jax.grad(loss)(setup.state.params)
+        # gradient reaches the plane tables (the trainable stage-1 field)
+        assert float(jnp.linalg.norm(g.encoder.planes)) > 0.0
+        assert np.isfinite(np.asarray(g.encoder.planes)).all()
+
+    def test_sds_step_runs(self):
+        from dreamwaltz_g_tpu import tests_support as ts
+        from dreamwaltz_g_tpu.configs import RenderConfig
+        from dreamwaltz_g_tpu.training.gs_trainer import (
+            init_avatar_train_state,
+            make_avatar_sds_step_split,
+        )
+        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
+
+        setup = self._setup()
+        guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))
+        H = W = guidance.latent_size * 8
+        tx = build_avatar_optimizer(RenderConfig(), max_steps=100)
+        tstate = init_avatar_train_state(setup.state, tx)
+        step = make_avatar_sds_step_split(
+            setup.model, guidance, tx, H, W, tile_size=8, capacity=64,
+            chunk=32, max_tiles_per_gaussian=4)
+        cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, W)
+        txt = jnp.zeros((1, 77, guidance.unet.cfg.cross_attention_dim))
+        t = jnp.asarray([50], jnp.int32)
+        bg = jnp.zeros((H, W, 3))
+        tstate2, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
+                          cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t,
+                          jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+        # plane tables moved
+        d = np.abs(np.asarray(
+            tstate2.avatar.params.encoder.planes
+            - tstate.avatar.params.encoder.planes)).max()
+        assert d > 0.0

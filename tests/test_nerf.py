@@ -460,3 +460,69 @@ def test_grid_encoder_bf16_close_to_f32():
     g = jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg16, x) ** 2))(params)
     assert g.tables.dtype == jnp.float32
     assert float(jnp.abs(g.tables).sum()) > 0
+
+
+def test_flat_gather_matches_per_level_naive():
+    """Both encoders gather from ONE flattened table (single scatter-add
+    backward — encoder.py design note). Forward AND table gradient must
+    equal the naive per-level/per-plane formulation."""
+    cfg = E.GridEncoderConfig(num_levels=4, base_resolution=4,
+                              desired_resolution=64, log2_hashmap_size=10)
+    params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0), scale=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3), minval=-1.2,
+                           maxval=1.2)  # includes out-of-bounds points
+
+    def naive(p, x):
+        coords01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+        inb = jnp.all((jnp.abs(x) <= 1.0), axis=-1)
+        feats = []
+        for level in range(cfg.num_levels):
+            idx, w = E._level_indices(
+                coords01, cfg.level_scale(level),
+                cfg.level_resolution(level), cfg.level_table_size(level),
+                cfg.gridtype)
+            emb = jnp.take(p.tables[level], idx, axis=0)
+            feats.append(jnp.sum(emb * w[..., None], axis=1))
+        return jnp.where(inb[:, None], jnp.concatenate(feats, -1), 0.0)
+
+    a = np.asarray(E.grid_encode(params, cfg, x))
+    b = np.asarray(naive(params, x))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    ct = jax.random.normal(jax.random.PRNGKey(2), a.shape)
+    g1 = jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg, x) * ct))(params)
+    g2 = jax.grad(lambda p: jnp.sum(naive(p, x) * ct))(params)
+    np.testing.assert_allclose(np.asarray(g1.tables), np.asarray(g2.tables),
+                               atol=1e-5)
+
+    # triplane: concat mode pins plane-major output ordering
+    tcfg = E.TriplaneConfig(resolution=8, feature_dim=4, reduce="concat")
+    tp = E.init_triplane(tcfg, jax.random.PRNGKey(3))
+
+    def tnaive(p, x):
+        coords01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+        inb = jnp.all(jnp.abs(x) <= 1.0, axis=-1)
+        R = tcfg.resolution
+        feats = []
+        for pl, (ax, bx) in enumerate(((0, 1), (0, 2), (1, 2))):
+            uv = coords01[:, (ax, bx)] * (R - 1)
+            i0 = jnp.floor(uv).astype(jnp.int32)
+            frac = uv - jnp.floor(uv)
+            i1 = jnp.minimum(i0 + 1, R - 1)
+            flat = p.planes[pl].reshape(R * R, tcfg.feature_dim)
+            f00 = jnp.take(flat, i0[:, 0] * R + i0[:, 1], axis=0)
+            f01 = jnp.take(flat, i0[:, 0] * R + i1[:, 1], axis=0)
+            f10 = jnp.take(flat, i1[:, 0] * R + i0[:, 1], axis=0)
+            f11 = jnp.take(flat, i1[:, 0] * R + i1[:, 1], axis=0)
+            wu, wv = frac[:, :1], frac[:, 1:2]
+            feats.append((1 - wu) * ((1 - wv) * f00 + wv * f01)
+                         + wu * ((1 - wv) * f10 + wv * f11))
+        return jnp.where(inb[:, None], jnp.concatenate(feats, -1), 0.0)
+
+    ta = np.asarray(E.triplane_encode(tp, tcfg, x))
+    tb = np.asarray(tnaive(tp, x))
+    np.testing.assert_allclose(ta, tb, atol=1e-6)
+    tg1 = jax.grad(lambda p: jnp.sum(E.triplane_encode(p, tcfg, x) ** 2))(tp)
+    tg2 = jax.grad(lambda p: jnp.sum(tnaive(p, x) ** 2))(tp)
+    np.testing.assert_allclose(np.asarray(tg1.planes),
+                               np.asarray(tg2.planes), atol=1e-5)

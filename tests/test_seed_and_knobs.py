@@ -222,3 +222,33 @@ def test_evaluate_frame_batched_path(tmp_path):
     for f in frames:
         assert f is not None and f.shape == (16, 16, 3)
         assert np.isfinite(f).all()
+
+
+def test_trainer_triplane_avatar_stage2(tmp_path):
+    """Full Trainer smoke: --nerf.backbone triplane carries into stage 2 —
+    the avatar's color/opacity decode runs on the factorized plane field
+    (encode_any dispatch) and a train step updates the planes."""
+    from dreamwaltz_g_tpu.configs import parse_args
+    from dreamwaltz_g_tpu.nerf.encoder import TriplaneConfig
+    from dreamwaltz_g_tpu.training.trainer import Trainer
+
+    cfg = parse_args([
+        "--stage", "gs", "--nerf.backbone", "triplane",
+        "--nerf.triplane_resolution", "16", "--nerf.triplane_dim", "8",
+        "--log.debug", "true", "--log.exp_root", str(tmp_path),
+        "--log.exp_name", "tri", "--optim.iters", "1",
+        "--optim.batch_size", "1",
+        "--render.n_gaussians", "128",
+        "--data.train_w", "16", "--data.eval_h", "16",
+        "--data.eval_w", "16", "--data.test_h", "16",
+        "--data.test_w", "16",
+        "--log.snapshot_interval", "0", "--log.evaluate_interval", "0",
+        "--log.save_interval", "0",
+    ])
+    tr = Trainer(cfg)
+    assert isinstance(tr.avatar_model.enc_cfg, TriplaneConfig)
+    before = np.asarray(tr.state.avatar.params.encoder.planes).copy()
+    tr.train()
+    assert tr.train_step == 1
+    after = np.asarray(tr.state.avatar.params.encoder.planes)
+    assert np.abs(after - before).max() > 0.0
