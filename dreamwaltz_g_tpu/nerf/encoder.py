@@ -34,15 +34,17 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861)
 
 
-# Backward-path design note (measured on v5e, PERF.md "encoder backward"):
-# the raw (T, F) scatter-add of the table gradient is fast (~0.06 ms for
-# 1.6M rows at T=2^19) — what dominated the 16-level backward was indexing
-# ``tables[level]`` separately per level, whose vjps each materialize a
-# full (L, T_max, F) zero stack (~1 GB of traffic at reference size). Both
-# encoders therefore gather from ONE flattened table with level/plane row
-# offsets, so autodiff emits a single scatter-add. A sort+cumsum
-# "scatter-free" backward was also built and measured strictly slower
-# (searchsorted over 2^19 rows ~76 ms/level); it was removed.
+# Backward-path design note (A/B-measured on v5e, 200k pts,
+# scripts/probe_gather_ab.py): the per-level/per-plane
+# ``jnp.take(tables[level])`` formulation is kept — a single gather over
+# the flattened (L*T_max, F) stack measured 2223 ms fwd+bwd vs 1205
+# per-level at 16L/2^19 (and 57 vs 44 ms for the triplane): XLA's
+# smaller per-table scatter-adds beat one mega-scatter with a larger
+# index space. A sort+cumsum "scatter-free" backward was also built and
+# measured strictly slower (searchsorted over 2^19 rows ~76 ms/level);
+# both alternatives were removed. The backward scatter is architectural
+# on TPU (random HBM writes); the supported escape is the factorized
+# triplane backbone below (44 ms fwd+bwd at the same point count).
 
 
 class GridEncoderConfig(NamedTuple):
@@ -182,20 +184,15 @@ def grid_encode(
     tables = params.tables
     if cfg.compute_dtype == "bf16":
         tables = tables.astype(jnp.bfloat16)
-    idx_all, w_all = [], []
+    feats = []
     for level in range(cfg.num_levels):
         idx, w = _level_indices(
             coords01, cfg.level_scale(level), cfg.level_resolution(level),
             cfg.level_table_size(level), cfg.gridtype,
         )
-        idx_all.append(idx + np.int32(level * cfg.max_table_size))
-        w_all.append(w)
-    # ONE gather over the flattened (L*T_max, F) stack: autodiff emits a
-    # single scatter-add for the table gradient (see design note above)
-    flat = tables.reshape(cfg.num_levels * cfg.max_table_size, cfg.level_dim)
-    emb = jnp.take(flat, jnp.stack(idx_all, axis=1), axis=0)  # (N, L, 8, F)
-    out = jnp.sum(emb * jnp.stack(w_all, axis=1)[..., None], axis=2)
-    out = out.reshape(-1, cfg.output_dim)  # level-major, matches concat order
+        emb = jnp.take(tables[level], idx, axis=0)  # (N, 8, F)
+        feats.append(jnp.sum(emb * w[..., None], axis=1))
+    out = jnp.concatenate(feats, axis=-1)
     out = jnp.where(in_bounds[:, None], out, 0.0)
     return out.reshape(shape + (cfg.output_dim,))
 
@@ -254,32 +251,22 @@ def triplane_encode(
     if cfg.compute_dtype == "bf16":
         planes = planes.astype(jnp.bfloat16)
     pairs = ((0, 1), (0, 2), (1, 2))  # XY, XZ, YZ
-    idx_all, w_all = [], []
+    feats = []
     for p, (a, b) in enumerate(pairs):
         uv = coords01[:, (a, b)] * (R - 1)
         uv0 = jnp.floor(uv)
         frac = uv - uv0
         i0 = uv0.astype(jnp.int32)
         i1 = jnp.minimum(i0 + 1, R - 1)
-        rows = jnp.stack(
-            [i0[:, 0] * R + i0[:, 1], i0[:, 0] * R + i1[:, 1],
-             i1[:, 0] * R + i0[:, 1], i1[:, 0] * R + i1[:, 1]],
-            axis=1) + np.int32(p * R * R)
-        wu, wv = frac[:, 0], frac[:, 1]
-        w = jnp.stack([(1 - wu) * (1 - wv), (1 - wu) * wv,
-                       wu * (1 - wv), wu * wv], axis=1)
-        idx_all.append(rows)
-        w_all.append(w)
-    # ONE gather over the flattened (3*R*R, F) stack: single scatter-add
-    # backward (see design note above)
-    flat = planes.reshape(3 * R * R, cfg.feature_dim)
-    emb = jnp.take(flat, jnp.concatenate(idx_all, axis=1), axis=0)  # (N,12,F)
-    contrib = emb * jnp.concatenate(w_all, axis=1)[..., None]
-    if cfg.reduce == "sum":
-        out = contrib.sum(axis=1)
-    else:  # plane-major concat: XY | XZ | YZ
-        out = contrib.reshape(-1, 3, 4, cfg.feature_dim).sum(axis=2)
-        out = out.reshape(-1, 3 * cfg.feature_dim)
+        flat = planes[p].reshape(R * R, cfg.feature_dim)
+        f00 = jnp.take(flat, i0[:, 0] * R + i0[:, 1], axis=0)
+        f01 = jnp.take(flat, i0[:, 0] * R + i1[:, 1], axis=0)
+        f10 = jnp.take(flat, i1[:, 0] * R + i0[:, 1], axis=0)
+        f11 = jnp.take(flat, i1[:, 0] * R + i1[:, 1], axis=0)
+        wu, wv = frac[:, :1], frac[:, 1:2]
+        feats.append((1 - wu) * ((1 - wv) * f00 + wv * f01)
+                     + wu * ((1 - wv) * f10 + wv * f11))
+    out = sum(feats) if cfg.reduce == "sum" else jnp.concatenate(feats, -1)
     out = jnp.where(in_bounds[:, None], out, 0.0)
     return out.astype(jnp.float32).reshape(shape + (cfg.output_dim,))
 

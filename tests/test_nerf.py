@@ -462,10 +462,12 @@ def test_grid_encoder_bf16_close_to_f32():
     assert float(jnp.abs(g.tables).sum()) > 0
 
 
-def test_flat_gather_matches_per_level_naive():
-    """Both encoders gather from ONE flattened table (single scatter-add
-    backward — encoder.py design note). Forward AND table gradient must
-    equal the naive per-level/per-plane formulation."""
+def test_encoders_match_naive_reference():
+    """Pin grid_encode / triplane_encode (fwd AND table gradient) against
+    independent naive per-level/per-plane reimplementations — guards any
+    future reformulation of the gather layout (encoder.py design note:
+    flat-gather and sort-based backward rewrites were both tried and
+    reverted on A/B measurements)."""
     cfg = E.GridEncoderConfig(num_levels=4, base_resolution=4,
                               desired_resolution=64, log2_hashmap_size=10)
     params = E.init_grid_encoder(cfg, jax.random.PRNGKey(0), scale=0.5)
