@@ -4,7 +4,12 @@
 Measures one avatar SDS step end-to-end — animate (GLBS + NeRF-field decode)
 -> project -> bin -> Pallas blend fwd -> VAE encode -> SD1.5-sized UNet
 CFG forward -> blend bwd (Pallas) -> optimizer — with random weights at the
-real architecture sizes (512² render, 200k gaussians, 64² latents).
+real architecture sizes (512² render, 200k gaussians, 64² latents, full-size
+256²x32 triplane avatar field). The step is the FUSED single-program builder
+(optim.fused_step default); the avatar field is the triplane backbone — the
+TPU flagship config (PERF.md: a reference-size 16L/2^19 hash field costs
+~1.8 s/step in backward scatter-adds on TPU; the factorized field is the
+documented TPU-first design, carried from stage 1 via the nerf2gs handoff).
 
 Reference budget: 15k stage-2 iters in "several hours" total on one L40S
 (BASELINE.md) — roughly 2-3 SDS it/s. Prints one JSON line.
@@ -35,15 +40,18 @@ def main():
     from dreamwaltz_g_tpu.guidance.sds import GuidanceParams, ScoreDistillation
     from dreamwaltz_g_tpu.guidance.unet import UNet2DCondition, sd15_unet_config
     from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, sd_vae_config
+    from dreamwaltz_g_tpu.nerf.encoder import TriplaneConfig
     from dreamwaltz_g_tpu.training.gs_trainer import (
         init_avatar_train_state,
-        make_avatar_sds_step_split,
+        make_avatar_sds_step,
     )
     from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
 
     H = W = 512
     setup = ts.tiny_avatar_setup(capacity=200_000, n_points=180_000,
-                                 num_vertices=2048)
+                                 num_vertices=2048,
+                                 enc_cfg=TriplaneConfig(resolution=256,
+                                                        feature_dim=32))
 
     # real-size frozen guidance, random weights, bf16
     ucfg = sd15_unet_config()
@@ -63,7 +71,7 @@ def main():
 
     tx = build_avatar_optimizer(RenderConfig(), max_steps=5000)
     tstate = init_avatar_train_state(setup.state, tx)
-    step = make_avatar_sds_step_split(setup.model, guidance, tx, H, W,
+    step = make_avatar_sds_step(setup.model, guidance, tx, H, W,
                                 tile_size=32, capacity=512, chunk=128,
                                 max_tiles_per_gaussian=4)
 
