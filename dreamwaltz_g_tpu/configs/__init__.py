@@ -467,6 +467,10 @@ class ParallelConfig:
 
     # data-parallel axis size; -1 = all available devices
     dp: int = -1
+    # tensor-parallel axis size for the frozen guidance transformer
+    # (parallel/tp.py, Megatron sharding via GSPMD); devices used = dp * tp.
+    # tp should divide the UNet head count (SD1.5: 2/4/8; SDXL: 2).
+    tp: int = 1
     # mesh axis names
     axis_name: str = "data"
     # compute dtype for the hot paths

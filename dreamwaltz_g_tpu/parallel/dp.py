@@ -54,6 +54,7 @@ def make_avatar_sds_step_dp(
     pgc=None,
     bg_net=None,
     bg_tx=None,
+    gparams_shardings=None,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
@@ -76,6 +77,8 @@ def make_avatar_sds_step_dp(
                   max_tiles_per_gaussian=max_tiles_per_gaussian)
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis_name))
+    # tensor-parallel guidance weights on a (data, model) mesh (parallel/tp.py)
+    gshard = rep if gparams_shardings is None else gparams_shardings
     with_bg = bg_net is not None
 
     def step(tstate: AvatarTrainState, gparams: GuidanceParams,
@@ -135,7 +138,7 @@ def make_avatar_sds_step_dp(
     obs_shard = shd if per_view_poses else rep
     jitted = jax.jit(
         step,
-        in_shardings=(rep, rep, obs_shard, shd, shd, shd, shd, shd, shd,
+        in_shardings=(rep, gshard, obs_shard, shd, shd, shd, shd, shd, shd,
                       shd, shd, cond_shard, rep, rep, rep, shd),
         out_shardings=(rep, rep, rep),
     )
@@ -199,6 +202,7 @@ def make_nerf_sds_step_dp(
     pgc=None,
     tp_lr_weights=None,
     axis_name: str = DATA_AXIS,
+    gparams_shardings=None,
 ):
     """Data-parallel stage-1 NeRF SDS: one camera view per mesh slot.
 
@@ -219,6 +223,7 @@ def make_nerf_sds_step_dp(
     H, W = image_height, image_width
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis_name))
+    gshard = rep if gparams_shardings is None else gparams_shardings
     compact = getattr(nerf_cfg, "compact_steps", 0)
     min_near = getattr(nerf_cfg, "min_near", 0.05)
     upsample = getattr(nerf_cfg, "upsample_steps", 0)
@@ -283,7 +288,7 @@ def make_nerf_sds_step_dp(
     jitted = jax.jit(
         step,
         static_argnames=("use_sigma",),
-        in_shardings=(rep, rep, rep, shd, shd, shd, shd, shd, shd, shd,
+        in_shardings=(rep, rep, gshard, shd, shd, shd, shd, shd, shd, shd,
                       shd, rep, rep, rep),
         out_shardings=(rep, rep),
     )
@@ -328,6 +333,7 @@ def make_vanilla_sds_step_dp(
     per_view_poses: bool = False,
     neg_embeds=None,
     pgc=None,
+    gparams_shardings=None,
 ):
     """Data-parallel SDS step for gs_type='vanilla' (VERDICT r2 #6: lift
     the batch_size==1 restriction). Mirrors ``make_avatar_sds_step_dp``:
@@ -341,6 +347,7 @@ def make_vanilla_sds_step_dp(
                   max_tiles_per_gaussian=max_tiles_per_gaussian)
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis_name))
+    gshard = rep if gparams_shardings is None else gparams_shardings
 
     def step(tstate, gparams: GuidanceParams, observed_inputs,
              extrinsic, intrinsics, tanfov, background,
@@ -400,7 +407,7 @@ def make_vanilla_sds_step_dp(
     obs_shard = shd if per_view_poses else rep
     jitted = jax.jit(
         step,
-        in_shardings=(rep, rep, obs_shard, shd, shd, shd, shd, shd, shd,
+        in_shardings=(rep, gshard, obs_shard, shd, shd, shd, shd, shd, shd,
                       shd, shd, shd, rep, rep),
         out_shardings=(rep, rep),
     )

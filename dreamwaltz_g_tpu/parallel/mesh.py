@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(dp: int = -1, axis_name: str = DATA_AXIS, devices=None) -> Mesh:
@@ -25,6 +26,20 @@ def make_mesh(dp: int = -1, axis_name: str = DATA_AXIS, devices=None) -> Mesh:
     if dp == -1:
         dp = len(devices)
     return Mesh(np.asarray(devices[:dp]).reshape(dp), (axis_name,))
+
+
+def make_mesh_2d(dp: int = -1, tp: int = 1, devices=None,
+                 data_axis: str = DATA_AXIS,
+                 model_axis: str = MODEL_AXIS) -> Mesh:
+    """(data, model) mesh: views shard over ``data``, the guidance
+    transformer shards over ``model`` (parallel/tp.py). The model axis is
+    minor (contiguous device ids) so its all-reduces ride nearest-neighbor
+    ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    if dp == -1:
+        dp = len(devices) // tp
+    return Mesh(np.asarray(devices[:dp * tp]).reshape(dp, tp),
+                (data_axis, model_axis))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

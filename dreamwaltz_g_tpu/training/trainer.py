@@ -75,6 +75,33 @@ def _find_smplx_npz(cfg: TrainConfig) -> Optional[str]:
     return None
 
 
+def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
+    """Device mesh for DP training, plus TP placement of the frozen
+    guidance when ``parallel.tp > 1`` (parallel/tp.py Megatron sharding).
+
+    Returns ``(mesh, gparams_shardings_or_None, guidance_params)`` — with
+    TP the guidance weights are re-placed onto the (data, model) mesh.
+    """
+    from ..parallel.mesh import make_mesh, make_mesh_2d
+
+    n_dev = len(jax.devices())
+    tp = max(int(getattr(cfg.parallel, "tp", 1) or 1), 1)
+    if tp > 1:
+        from ..parallel.tp import guidance_shardings, shard_guidance_params
+
+        assert n_dev % tp == 0, (
+            f"parallel.tp={tp} must divide the device count {n_dev}")
+        dp = max(min(n_dev // tp, batch_size), 1)
+        assert batch_size % dp == 0, (
+            f"batch_size {batch_size} must divide over dp={dp}")
+        mesh = make_mesh_2d(dp=dp, tp=tp)
+        gshard = guidance_shardings(guidance_params, mesh)
+        return mesh, gshard, shard_guidance_params(guidance_params, mesh)
+    assert batch_size % max(n_dev, 1) == 0 or n_dev == 1, (
+        f"batch_size {batch_size} must divide over {n_dev} devices")
+    return make_mesh(dp=min(n_dev, batch_size)), None, guidance_params
+
+
 class Trainer:
     """(reference: Trainer.__init__, core/trainer.py:303-384)"""
 
@@ -454,20 +481,16 @@ class Trainer:
         self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
             self.nerf, tx, H, H, num_steps=cfg.nerf.num_steps,
             compact_steps=cfg.nerf.compact_steps)
-        if cfg.optim.batch_size > 1:
+        if cfg.optim.batch_size > 1 or cfg.parallel.tp > 1:
             # stage-1 data parallelism: one view per chip (VERDICT r2 #1 —
             # the reference is single-GPU B=1; SDS view-gradient averaging
             # makes the B-view step B reference steps averaged)
-            from ..parallel.mesh import make_mesh
-
-            n_dev = len(jax.devices())
-            assert cfg.optim.batch_size % max(n_dev, 1) == 0 \
-                or n_dev == 1, (
-                f"batch_size {cfg.optim.batch_size} must divide over "
-                f"{n_dev} devices")
-            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+            self.mesh, self._gshard, self.guidance_params = \
+                _train_mesh_and_gshard(cfg, cfg.optim.batch_size,
+                                       self.guidance_params)
         else:
             self.mesh = None
+            self._gshard = None
         self._build_nerf_sds_step(H)
         self.eval_render = nerf_trainer.make_eval_render(
             self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
@@ -490,7 +513,8 @@ class Trainer:
 
             self.sds_step_fn = make_nerf_sds_step_dp(
                 self.nerf, self.guidance, self.tx, self.mesh, H, H,
-                cfg.nerf, **common)
+                cfg.nerf, gparams_shardings=getattr(self, "_gshard", None),
+                **common)
         else:
             self.sds_step_fn = nerf_trainer.make_nerf_sds_step(
                 self.nerf, self.guidance, self.tx, H, H, cfg.nerf, **common)
@@ -692,23 +716,20 @@ class Trainer:
         rk = dict(tile_size=cfg.render.tile_size,
                   capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
         self.mesh = None
-        if cfg.optim.batch_size > 1:
+        if cfg.optim.batch_size > 1 or cfg.parallel.tp > 1:
             # vanilla DP: one view per chip (VERDICT r2 #6 — batch_size
             # restriction lifted)
             from ..parallel.dp import make_vanilla_sds_step_dp
-            from ..parallel.mesh import make_mesh
 
-            n_dev = len(jax.devices())
-            assert cfg.optim.batch_size % max(n_dev, 1) == 0 \
-                or n_dev == 1, (
-                f"batch_size {cfg.optim.batch_size} must divide over "
-                f"{n_dev} devices")
-            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+            self.mesh, self._gshard, self.guidance_params = \
+                _train_mesh_and_gshard(cfg, cfg.optim.batch_size,
+                                       self.guidance_params)
             self.sds_step_fn = make_vanilla_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
                 neg_embeds=self.neg_embeds, pgc=self.pgc,
-                per_view_poses=cfg.data.per_view_poses, **rk)
+                per_view_poses=cfg.data.per_view_poses,
+                gparams_shardings=self._gshard, **rk)
         else:
             self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
@@ -849,24 +870,22 @@ class Trainer:
             self.bg_tx = adan(1e-3, eps=1e-8, weight_decay=2e-5)
             bg_params = self.bg_net.init(self._next_key(), jnp.zeros((1, 3)))
             self.bg_state = (bg_params, self.bg_tx.init(bg_params))
-        if cfg.optim.batch_size > 1:
+        if cfg.optim.batch_size > 1 or cfg.parallel.tp > 1:
             # data-parallel SDS: one view per chip (SURVEY.md §7.10; no
             # reference counterpart — the reference is single-GPU B=1)
             from ..parallel.dp import make_avatar_sds_step_dp
-            from ..parallel.mesh import make_mesh
 
-            n_dev = len(jax.devices())
-            assert cfg.optim.batch_size % max(n_dev, 1) == 0 or n_dev == 1, (
-                f"batch_size {cfg.optim.batch_size} must divide over "
-                f"{n_dev} devices")
-            self.mesh = make_mesh(dp=min(n_dev, cfg.optim.batch_size))
+            self.mesh, self._gshard, self.guidance_params = \
+                _train_mesh_and_gshard(cfg, cfg.optim.batch_size,
+                                       self.guidance_params)
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
                 neg_embeds=self.neg_embeds, pgc=self.pgc,
                 per_view_poses=cfg.data.per_view_poses,
                 bg_net=self.bg_net,
-                bg_tx=getattr(self, "bg_tx", None), **rk)
+                bg_tx=getattr(self, "bg_tx", None),
+                gparams_shardings=self._gshard, **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
                      or (jax.devices()[0].platform == "tpu"
