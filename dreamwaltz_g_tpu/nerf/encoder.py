@@ -288,6 +288,28 @@ def init_encoder_any(cfg, key):
     return init_grid_encoder(cfg, key)
 
 
+def enc_cfg_from_nerf(nerf_cfg):
+    """Encoder config from a ``NeRFConfig`` — the single place the
+    ``nerf.backbone`` knob maps to a backbone config (used by both
+    ``build_nerf`` and the stage-2 avatar builder, so stage 1 and stage 2
+    always agree on the field layout for the nerf2gs handoff)."""
+    if nerf_cfg.backbone == "triplane":
+        return TriplaneConfig(
+            resolution=nerf_cfg.triplane_resolution,
+            feature_dim=nerf_cfg.triplane_dim,
+            compute_dtype=nerf_cfg.grid_dtype,
+        )
+    return GridEncoderConfig(
+        num_levels=nerf_cfg.num_levels,
+        level_dim=nerf_cfg.level_dim,
+        base_resolution=nerf_cfg.base_resolution,
+        desired_resolution=int(nerf_cfg.desired_resolution * nerf_cfg.bound),
+        log2_hashmap_size=nerf_cfg.log2_hashmap_size,
+        gridtype="tiled" if nerf_cfg.backbone == "tiledgrid" else "hash",
+        compute_dtype=nerf_cfg.grid_dtype,
+    )
+
+
 def frequency_encode(x: jnp.ndarray, degree: int = 6, include_input: bool = True) -> jnp.ndarray:
     """Sin/cos positional encoding (reference: core/nerf/freqencoder CUDA ext
     and FreqEncoder_torch, encoding.py:7-42). Trivially fused by XLA."""

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..configs import NeRFConfig
 from .encoder import (
+    enc_cfg_from_nerf,
     GridEncoderConfig,
     GridEncoderParams,
     TriplaneConfig,
@@ -28,15 +29,6 @@ from .encoder import (
     init_triplane,
     triplane_encode,
 )
-
-
-def _encode_any(enc_cfg, enc_params, positions, bound):
-    """Backbone dispatch: hash/tiled grid or factorized triplane."""
-    return encode_any(enc_params, enc_cfg, positions, bound)
-
-
-def _init_encoder_any(enc_cfg, key):
-    return init_encoder_any(enc_cfg, key)
 
 
 @jax.custom_vjp
@@ -152,12 +144,12 @@ class NeRFModel(NamedTuple):
 
     def init(self, key) -> NeRFParams:
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        enc = _init_encoder_any(self.enc_cfg, k1)
+        enc = init_encoder_any(self.enc_cfg, k1)
         probe = jnp.zeros((1, self.enc_cfg.output_dim))
         sig = self.sigma_mlp.init(k2, probe)
         bg = self.bg_mlp.init(k3, jnp.zeros((1, 3))) if self.bg_mlp else None
         alb = self.albedo_mlp.init(k4, probe) if self.albedo_mlp else None
-        enc_s = _init_encoder_any(self.enc_cfg, k5) \
+        enc_s = init_encoder_any(self.enc_cfg, k5) \
             if self.structure == "dual_enc" else None
         ss = jnp.zeros(()) \
             if self.cfg.density_activation == "scaling" else None
@@ -166,7 +158,7 @@ class NeRFModel(NamedTuple):
                           sigma_scale=ss)
 
     def encode(self, params: NeRFParams, positions: jnp.ndarray) -> jnp.ndarray:
-        return _encode_any(self.enc_cfg, params.encoder, positions,
+        return encode_any(params.encoder, self.enc_cfg, positions,
                            self.bound)
 
     def density(self, params: NeRFParams, positions: jnp.ndarray):
@@ -178,7 +170,7 @@ class NeRFModel(NamedTuple):
             out = self.sigma_mlp.apply(params.sigma_mlp, h)
             raw, alb = out[..., 0], out[..., 1:]
         elif self.structure == "dual_enc":
-            h_sig = _encode_any(self.enc_cfg, params.encoder_sigma,
+            h_sig = encode_any(params.encoder_sigma, self.enc_cfg,
                                 positions, self.bound)
             raw = self.sigma_mlp.apply(params.sigma_mlp, h_sig)[..., 0]
             alb = self.albedo_mlp.apply(params.albedo_mlp, h)
@@ -201,22 +193,7 @@ def build_nerf(cfg: NeRFConfig, with_background: bool = True) -> NeRFModel:
     """(reference: build_NeRFNetwork, nerf_model.py:565-574 — structure
     selects shared_mlp / dual_mlp / dual_enc; 'triplane' is a TPU-first
     backbone addition with no reference counterpart, see TriplaneConfig)"""
-    if cfg.backbone == "triplane":
-        enc_cfg = TriplaneConfig(
-            resolution=cfg.triplane_resolution,
-            feature_dim=cfg.triplane_dim,
-            compute_dtype=cfg.grid_dtype,
-        )
-    else:
-        enc_cfg = GridEncoderConfig(
-            num_levels=cfg.num_levels,
-            level_dim=cfg.level_dim,
-            base_resolution=cfg.base_resolution,
-            desired_resolution=int(cfg.desired_resolution * cfg.bound),
-            log2_hashmap_size=cfg.log2_hashmap_size,
-            gridtype="tiled" if cfg.backbone == "tiledgrid" else "hash",
-            compute_dtype=cfg.grid_dtype,
-        )
+    enc_cfg = enc_cfg_from_nerf(cfg)
     C = 4 if cfg.nerf_type == "latent" else 3
     structure = getattr(cfg, "structure", "shared_mlp")
     if structure == "shared_mlp":

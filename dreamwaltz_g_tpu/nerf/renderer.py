@@ -143,6 +143,36 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     return bin_lo + frac * (bin_hi - bin_lo)
 
 
+def compact_samples(ts, live, K):
+    """Keep at most ``K`` occupied samples per ray, in depth order.
+
+    Occupied-first stable sort selects which samples survive; when a ray
+    has more than K occupied candidates an evenly-strided subset keeps
+    full-depth coverage. The kept panel is then re-sorted by depth —
+    required because the occupied set need not be a depth-prefix (a ray
+    crossing two occupied slabs with a gap would otherwise yield a
+    non-monotonic ``ts``, corrupting the ``upsample_steps`` importance
+    pass's bins and the final per-sample deltas).
+
+    Returns ``(ts_sel, live_sel, stride)`` with shapes (R, K), (R, K),
+    (R, 1); ``stride >= 1`` is the dt multiplier that preserves the
+    transmittance integral's support when subsampling.
+    """
+    order = jnp.argsort(~live, axis=-1, stable=True)
+    n_occ = jnp.sum(live, axis=-1)                       # (R,)
+    j = jnp.arange(K)
+    pos = jnp.where(n_occ[:, None] > K,
+                    (j[None] * n_occ[:, None]) // K, j[None])
+    sel = jnp.take_along_axis(order, pos, axis=-1)       # (R, K)
+    ts_sel = jnp.take_along_axis(ts, sel, axis=-1)
+    live_sel = jnp.take_along_axis(live, sel, axis=-1)
+    ro = jnp.argsort(ts_sel, axis=-1)                    # depth re-sort
+    ts_sel = jnp.take_along_axis(ts_sel, ro, axis=-1)
+    live_sel = jnp.take_along_axis(live_sel, ro, axis=-1)
+    stride = jnp.maximum(n_occ.astype(jnp.float32) / K, 1.0)[:, None]
+    return ts_sel, live_sel, stride
+
+
 def render_rays(
     model: NeRFModel,
     params: NeRFParams,
@@ -212,21 +242,8 @@ def render_rays(
         live = live & occupancy_lookup(grid, pts, bound)
 
     if compact_steps and grid is not None and compact_steps < num_steps:
-        # occupied-first stable sort keeps depth order among the kept
-        # samples; when a ray has more than K occupied candidates, keep an
-        # evenly-strided subset (full-depth coverage) and scale each kept
-        # sample's dt by the stride so the transmittance integral keeps its
-        # support — the analog of the CUDA march's adaptive step sizing
-        K = compact_steps
-        order = jnp.argsort(~live, axis=-1, stable=True)
-        n_occ = jnp.sum(live, axis=-1)                   # (R,)
-        j = jnp.arange(K)
-        pos = jnp.where(n_occ[:, None] > K,
-                        (j[None] * n_occ[:, None]) // K, j[None])
-        sel = jnp.take_along_axis(order, pos, axis=-1)   # (R, K)
-        ts = jnp.take_along_axis(ts, sel, axis=-1)
-        live = jnp.take_along_axis(live, sel, axis=-1)
-        dt = dt * jnp.maximum(n_occ.astype(jnp.float32) / K, 1.0)[:, None]
+        ts, live, stride = compact_samples(ts, live, compact_steps)
+        dt = dt * stride
         pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
         pts = jnp.clip(pts, -bound, bound)
 

@@ -28,7 +28,6 @@ from ..ops import rasterize as R
 from ..system.avatar import AvatarModel, animate, update_avatar_stats
 from ..training.gs_trainer import AvatarTrainState, _render_with_dummy
 from ..training.losses import (
-    SigmaGuidancePoints,
     sigma_margin_loss,
     sparsity_loss,
 )

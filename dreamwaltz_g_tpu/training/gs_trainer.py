@@ -402,6 +402,10 @@ def make_avatar_render_frames(model: AvatarModel, image_height: int,
 
         def one(args):
             obs, extr, intr, tf, bg = args
+            if obs.body_pose.shape[0] > 1:
+                # multi-person pose bundle: render person 0, like
+                # make_avatar_render's _person(observed_inputs, 0)
+                obs = jax.tree_util.tree_map(lambda x: x[:1], obs)
             gs = _animate(model, state, obs)
             cov3d = R.covariance3d(gs.quats, gs.scales)
             g2d = R.project_gaussians(

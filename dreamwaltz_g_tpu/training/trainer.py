@@ -86,20 +86,25 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
 
     n_dev = len(jax.devices())
     tp = max(int(getattr(cfg.parallel, "tp", 1) or 1), 1)
+    req_dp = int(getattr(cfg.parallel, "dp", -1) or -1)  # -1 = all devices
     if tp > 1:
         from ..parallel.tp import guidance_shardings, shard_guidance_params
 
         assert n_dev % tp == 0, (
             f"parallel.tp={tp} must divide the device count {n_dev}")
-        dp = max(min(n_dev // tp, batch_size), 1)
+        dp = n_dev // tp if req_dp < 0 else min(req_dp, n_dev // tp)
+        dp = max(min(dp, batch_size), 1)
         assert batch_size % dp == 0, (
             f"batch_size {batch_size} must divide over dp={dp}")
         mesh = make_mesh_2d(dp=dp, tp=tp)
         gshard = guidance_shardings(guidance_params, mesh)
         return mesh, gshard, shard_guidance_params(guidance_params, mesh)
-    assert batch_size % max(n_dev, 1) == 0 or n_dev == 1, (
-        f"batch_size {batch_size} must divide over {n_dev} devices")
-    return make_mesh(dp=min(n_dev, batch_size)), None, guidance_params
+    dp = n_dev if req_dp < 0 else min(req_dp, n_dev)
+    dp = max(min(dp, batch_size), 1)
+    assert batch_size % dp == 0, (
+        f"batch_size {batch_size} must divide over dp={dp} "
+        f"(parallel.dp={req_dp}, {n_dev} devices)")
+    return make_mesh(dp=dp), None, guidance_params
 
 
 class Trainer:
@@ -521,30 +526,17 @@ class Trainer:
 
     def _build_avatar_model(self):
         from ..human.deform import DeformNetwork
-        from ..nerf.encoder import GridEncoderConfig
         from ..nerf.network import SigmaMLP
         from ..system import avatar as A
 
         cfg = self.cfg
-        if cfg.nerf.backbone == "triplane":
-            # stage-2 inherits stage-1's TPU-first factorized field: the
-            # avatar's color/opacity decode (and its backward scatter, the
-            # dominant stage-2 cost on TPU — PERF.md) runs on 12 bilinear
-            # plane rows per point instead of 8 x num_levels hash rows
-            from ..nerf.encoder import TriplaneConfig
+        # stage-2 decodes colors/opacities through the SAME field layout as
+        # stage 1 (single source of truth: encoder.enc_cfg_from_nerf) — with
+        # backbone=triplane the avatar decode runs on 12 bilinear plane rows
+        # per point instead of 8 x num_levels hash rows (PERF.md)
+        from ..nerf.encoder import enc_cfg_from_nerf
 
-            enc_cfg = TriplaneConfig(
-                resolution=cfg.nerf.triplane_resolution,
-                feature_dim=cfg.nerf.triplane_dim,
-                compute_dtype=cfg.nerf.grid_dtype)
-        else:
-            enc_cfg = GridEncoderConfig(
-                num_levels=cfg.nerf.num_levels, level_dim=cfg.nerf.level_dim,
-                base_resolution=cfg.nerf.base_resolution,
-                desired_resolution=int(cfg.nerf.desired_resolution * cfg.nerf.bound),
-                log2_hashmap_size=cfg.nerf.log2_hashmap_size,
-                gridtype="tiled" if cfg.nerf.backbone == "tiledgrid" else "hash",
-                compute_dtype=cfg.nerf.grid_dtype)
+        enc_cfg = enc_cfg_from_nerf(cfg.nerf)
 
         # gs_type dispatch (reference: build_avatar, avatar.py:1643-1712):
         # 'dreamwaltz-g' = hybrid w/ mesh parts + deform net; 'hash' = the
@@ -979,7 +971,11 @@ class Trainer:
                     if isinstance(img, tuple):
                         continue  # depth_raw returns arrays, skip
                     save_image(str(d / f"cond_{cond}_az{int(azim)}.png"), img)
-                    cond_arrays[azim] = np.asarray(img, np.float32) / 255.0
+                    # the SD sanity samples must pair the ControlNet with
+                    # the modality training actually uses —
+                    # controlnet_condition[0] (see _train_batch)
+                    if cond == self.cfg.guide.controlnet_condition[0]:
+                        cond_arrays[azim] = np.asarray(img, np.float32) / 255.0
                 except Exception as e:
                     logger.warning("condition export %s failed: %s", cond, e)
         if self.cfg.log.check_sd:
@@ -1159,7 +1155,9 @@ class Trainer:
                         self.mesh, H, H,
                         lambda_guidance=cfg.guide.lambda_guidance,
                         neg_embeds=self.neg_embeds, pgc=self.pgc,
-                        per_view_poses=cfg.data.per_view_poses, **rk)
+                        per_view_poses=cfg.data.per_view_poses,
+                        gparams_shardings=getattr(self, "_gshard", None),
+                        **rk)
                 else:
                     self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                         self.avatar_model, self.guidance, self.tx, H, H,
@@ -1174,9 +1172,12 @@ class Trainer:
                     neg_embeds=self.neg_embeds, pgc=self.pgc,
                     per_view_poses=cfg.data.per_view_poses,
                     bg_net=self.bg_net,
-                    bg_tx=getattr(self, "bg_tx", None), **rk)
-            elif getattr(self, "bg_state", None) is not None \
-                    or jax.devices()[0].platform == "tpu":
+                    bg_tx=getattr(self, "bg_tx", None),
+                    gparams_shardings=getattr(self, "_gshard", None), **rk)
+            elif not cfg.guide.sds_loss_type.startswith("x0") \
+                    and (getattr(self, "bg_state", None) is not None
+                         or (jax.devices()[0].platform == "tpu"
+                             and not cfg.optim.fused_step)):
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                     self.avatar_model, self.guidance, self.tx, H, H,
                     lambda_guidance=cfg.guide.lambda_guidance,

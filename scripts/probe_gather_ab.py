@@ -1,4 +1,10 @@
-"""A/B: flat-gather (shipped) vs per-level gather grid_encode backward.
+"""A/B: single flat-gather vs per-level/per-plane gathers (shipped).
+
+The flat formulation (one jnp.take over the concatenated level stack) was
+tried in ef32838 and REVERTED in 2d8fe8e after losing this A/B — XLA's
+smaller per-table gathers/scatters win. The losing variant is re-created
+inline here so the decision stays reproducible; E.grid_encode /
+E.triplane_encode ARE the shipped per-level/per-plane implementations.
 
 One process, interleaved measurement — removes session-to-session tunnel
 variance from the comparison. 200k points, ref-size 16L/2^19 tiled grid.
@@ -38,21 +44,28 @@ if __name__ == "__main__":
     x = jax.random.uniform(jax.random.PRNGKey(1), (200_000, 3),
                            minval=-0.9, maxval=0.9)
 
-    def per_level(p, x):
+    def flat(p, x):
+        # the reverted single-gather formulation: all levels' (N, 8) index
+        # blocks offset into one (L*T, F) stack, one jnp.take
+        N = x.shape[0]
+        L, T, F = p.tables.shape
         coords01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
-        feats = []
+        idxs, ws = [], []
         for level in range(cfg.num_levels):
             idx, w = E._level_indices(
                 coords01, cfg.level_scale(level), cfg.level_resolution(level),
                 cfg.level_table_size(level), cfg.gridtype)
-            emb = jnp.take(p.tables[level], idx, axis=0)
-            feats.append(jnp.sum(emb * w[..., None], axis=1))
-        return jnp.concatenate(feats, -1)
+            idxs.append(idx + level * T)
+            ws.append(w)
+        idx = jnp.concatenate(idxs, axis=1)          # (N, 8L)
+        w = jnp.concatenate(ws, axis=1)
+        emb = jnp.take(p.tables.reshape(L * T, F), idx, axis=0)
+        return (emb * w[..., None]).reshape(N, L, -1, F).sum(2).reshape(N, L * F)
 
-    flat_f = jax.jit(lambda p: jnp.sum(E.grid_encode(p, cfg, x) ** 2))
-    pl_f = jax.jit(lambda p: jnp.sum(per_level(p, x) ** 2))
-    flat_g = jax.jit(jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg, x) ** 2)))
-    pl_g = jax.jit(jax.grad(lambda p: jnp.sum(per_level(p, x) ** 2)))
+    flat_f = jax.jit(lambda p: jnp.sum(flat(p, x) ** 2))
+    pl_f = jax.jit(lambda p: jnp.sum(E.grid_encode(p, cfg, x) ** 2))
+    flat_g = jax.jit(jax.grad(lambda p: jnp.sum(flat(p, x) ** 2)))
+    pl_g = jax.jit(jax.grad(lambda p: jnp.sum(E.grid_encode(p, cfg, x) ** 2)))
 
     print(f"grid fwd      flat {timeit(flat_f, params):7.2f} ms   "
           f"per-level {timeit(pl_f, params):7.2f} ms")
@@ -62,27 +75,29 @@ if __name__ == "__main__":
     tcfg = E.TriplaneConfig(resolution=256, feature_dim=32)
     tp = E.init_triplane(tcfg, jax.random.PRNGKey(2))
 
-    def per_plane(p, x):
+    def flat_tri(p, x):
+        # reverted single-gather triplane: 12 rows from one (3*R*R, F) stack
         coords01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
-        R = tcfg.resolution
-        feats = []
+        R, F = tcfg.resolution, tcfg.feature_dim
+        stack = p.planes.reshape(3 * R * R, F)
+        out = 0.0
         for pl, (a, b) in enumerate(((0, 1), (0, 2), (1, 2))):
             uv = coords01[:, (a, b)] * (R - 1)
             i0 = jnp.floor(uv).astype(jnp.int32)
             frac = uv - jnp.floor(uv)
             i1 = jnp.minimum(i0 + 1, R - 1)
-            flat = p.planes[pl].reshape(R * R, tcfg.feature_dim)
-            f00 = jnp.take(flat, i0[:, 0] * R + i0[:, 1], axis=0)
-            f01 = jnp.take(flat, i0[:, 0] * R + i1[:, 1], axis=0)
-            f10 = jnp.take(flat, i1[:, 0] * R + i0[:, 1], axis=0)
-            f11 = jnp.take(flat, i1[:, 0] * R + i1[:, 1], axis=0)
+            base = pl * R * R
+            f00 = jnp.take(stack, base + i0[:, 0] * R + i0[:, 1], axis=0)
+            f01 = jnp.take(stack, base + i0[:, 0] * R + i1[:, 1], axis=0)
+            f10 = jnp.take(stack, base + i1[:, 0] * R + i0[:, 1], axis=0)
+            f11 = jnp.take(stack, base + i1[:, 0] * R + i1[:, 1], axis=0)
             wu, wv = frac[:, :1], frac[:, 1:2]
-            feats.append((1 - wu) * ((1 - wv) * f00 + wv * f01)
-                         + wu * ((1 - wv) * f10 + wv * f11))
-        return sum(feats)
+            out = out + (1 - wu) * ((1 - wv) * f00 + wv * f01) \
+                + wu * ((1 - wv) * f10 + wv * f11)
+        return out
 
-    tflat_g = jax.jit(jax.grad(
+    tflat_g = jax.jit(jax.grad(lambda p: jnp.sum(flat_tri(p, x) ** 2)))
+    tpl_g = jax.jit(jax.grad(
         lambda p: jnp.sum(E.triplane_encode(p, tcfg, x) ** 2)))
-    tpl_g = jax.jit(jax.grad(lambda p: jnp.sum(per_plane(p, x) ** 2)))
     print(f"tri  fwd+bwd  flat {timeit(tflat_g, tp):7.2f} ms   "
           f"per-plane {timeit(tpl_g, tp):7.2f} ms")

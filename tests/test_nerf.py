@@ -337,6 +337,59 @@ def test_compaction_exact_when_under_budget(small_cfg):
     assert float(jnp.abs(g.encoder.tables).sum()) > 0
 
 
+def test_compact_samples_monotonic_across_gap():
+    """A ray crossing two occupied slabs with an unoccupied gap: the
+    compacted panel must come out depth-sorted (renderer.compact_samples)
+    — pre-fix, occupied-first selection left ts non-monotonic, which
+    corrupted the upsample_steps importance bins and produced negative
+    per-sample deltas."""
+    S, K = 16, 8
+    ts = jnp.linspace(0.1, 1.0, S)[None, :]
+    live = np.zeros((1, S), bool)
+    live[0, 0:3] = True          # near slab
+    live[0, 12:15] = True        # far slab, gap between -> non-prefix set
+    ts_sel, live_sel, stride = RD.compact_samples(ts, jnp.asarray(live), K)
+    t = np.asarray(ts_sel[0])
+    assert (np.diff(t) >= 0).all(), t
+    # every occupied sample survives (n_occ=6 <= K) at its original depth
+    occ_ts = np.asarray(ts[0])[live[0]]
+    kept = np.asarray(ts_sel[0])[np.asarray(live_sel[0])]
+    np.testing.assert_allclose(np.sort(kept), np.sort(occ_ts))
+    assert float(stride[0, 0]) == 1.0
+
+
+def test_compaction_with_upsample_stays_sane(small_cfg):
+    """compact_steps combined with upsample_steps (the trainer allows
+    both): weights stay in [0, 1] and the result tracks the dense+upsample
+    render — regression for the non-monotonic-ts corruption."""
+    model = build_nerf(small_cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+    G = small_cfg.grid_size
+    occ = np.zeros((G, G, G), bool)
+    occ[:, :, 4:6] = True
+    occ[:, :, G - 6: G - 4] = True   # two slabs -> gap between
+    grid = RD.OccupancyGrid(density=jnp.zeros((G, G, G)),
+                            occupied=jnp.asarray(occ),
+                            mean_density=jnp.zeros(()))
+    R = 32
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (R, 1)), jnp.float32)
+    d = rng.normal(size=(R, 3)) * 0.08 + np.asarray([0.0, 0.0, 1.0])
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                         jnp.float32)
+    comp = RD.render_rays(model, params, grid, rays_o, rays_d,
+                          num_steps=32, perturb=False, compact_steps=16,
+                          upsample_steps=8)
+    ws = np.asarray(comp.weights_sum)
+    assert np.isfinite(np.asarray(comp.image)).all()
+    assert (ws >= -1e-6).all() and (ws <= 1 + 1e-5).all()
+    dense = RD.render_rays(model, params, grid, rays_o, rays_d,
+                           num_steps=32, perturb=False, upsample_steps=8)
+    np.testing.assert_allclose(ws, np.asarray(dense.weights_sum), atol=0.05)
+    np.testing.assert_allclose(np.asarray(comp.image),
+                               np.asarray(dense.image), atol=0.05)
+
+
 def test_compaction_oversubscribed_still_composites(small_cfg):
     """Rays with more occupied candidates than the budget keep an evenly
     strided subset with rescaled dt: weights_sum stays in [0, 1] and close

@@ -513,3 +513,28 @@ def test_avatar_dp_step_with_trainable_background():
         for a, b in zip(jax.tree_util.tree_leaves(bg2[0]),
                         jax.tree_util.tree_leaves(bg_params)))
     assert moved, "background MLP params did not move under DP"
+
+
+def test_train_mesh_honors_parallel_dp():
+    """--parallel.dp restricts the data axis: batch_size=2 on 8 devices with
+    dp=2 builds a 2-device mesh instead of asserting (regression: the knob
+    was parsed but ignored in the non-TP path)."""
+    from dreamwaltz_g_tpu.configs import parse_args
+    from dreamwaltz_g_tpu.training.trainer import _train_mesh_and_gshard
+
+    cfg = parse_args(["--guide.text", "x", "--optim.batch_size", "2",
+                      "--parallel.dp", "2"])
+    mesh, gshard, _ = _train_mesh_and_gshard(cfg, 2, None)
+    assert mesh.shape["data"] == 2 and gshard is None
+
+    # dp=-1 (default) still clamps to batch_size
+    cfg2 = parse_args(["--guide.text", "x", "--optim.batch_size", "4"])
+    mesh2, _, _ = _train_mesh_and_gshard(cfg2, 4, None)
+    assert mesh2.shape["data"] == min(4, len(jax.devices()))
+
+    # indivisible request still fails loudly
+    cfg3 = parse_args(["--guide.text", "x", "--optim.batch_size", "3",
+                       "--parallel.dp", "2"])
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        _train_mesh_and_gshard(cfg3, 3, None)
