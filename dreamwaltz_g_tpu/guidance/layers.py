@@ -68,6 +68,52 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+# Flash-attention policy for the long self-attention layers.
+#   "auto": use the fused Pallas TPU kernel when running on TPU
+#   "on"/"off": force (tests force "on" under the Mosaic interpreter).
+# At 64² latents the einsum path materializes (B, H, 4096, 4096) f32
+# attention matrices in HBM — ~20 GB of traffic per CFG UNet forward across
+# the five 4096-token layers; the flash kernel keeps the running softmax in
+# VMEM and never writes the matrix. Cross-attention (Nk = 77 text tokens)
+# and short layers stay on the einsum path (they are compute-trivial, and
+# the kernel needs seq % 128 == 0).
+FLASH_ATTENTION = "auto"
+FLASH_MIN_SEQ = 1024
+
+
+def _flash_enabled(n_q: int, n_k: int, head_dim: int) -> bool:
+    if FLASH_ATTENTION == "off":
+        return False
+    if n_q < FLASH_MIN_SEQ or n_q % 128 or n_k != n_q:
+        return False  # short or cross attention: einsum is fine
+    if head_dim > 128 and head_dim % 128:
+        return False  # kernel constraint (SD1.5's 160-dim layers are short)
+    if FLASH_ATTENTION == "on":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def flash_self_attention(q, k, v):
+    """Fused attention over (B, N, H, D) tensors via the Pallas TPU kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+
+    n = q.shape[1]
+    b = min(512, n)
+    sizes = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        sm_scale=1.0 / float(q.shape[-1]) ** 0.5, block_sizes=sizes)
+    return out.transpose(0, 2, 1, 3)
+
+
 class Attention(nn.Module):
     """Multi-head attention; cross-attention when ``context`` is given."""
 
@@ -87,10 +133,14 @@ class Attention(nn.Module):
         q = q.reshape(B, Nq, self.heads, self.head_dim)
         k = k.reshape(B, Nk, self.heads, self.head_dim)
         v = v.reshape(B, Nk, self.heads, self.head_dim)
-        # jax fused attention; big matmuls land on the MXU
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(self.head_dim)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, inner)
+        if _flash_enabled(Nq, Nk, self.head_dim):
+            out = flash_self_attention(q, k, v).reshape(B, Nq, inner)
+        else:
+            # jax fused attention; big matmuls land on the MXU
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(self.head_dim)
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Nq, inner)
         return nn.Dense(inner, name="to_out_0")(out)
 
 
@@ -177,8 +227,12 @@ class AttnBlockVAE(nn.Module):
         q = nn.Dense(C, name="to_q")(h)
         k = nn.Dense(C, name="to_k")(h)
         v = nn.Dense(C, name="to_v")(h)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(C), axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", attn, v)
+        if _flash_enabled(H * W, H * W, C):
+            h = flash_self_attention(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])[:, :, 0]
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(C), axis=-1)
+            h = jnp.einsum("bqk,bkc->bqc", attn, v)
         h = nn.Dense(C, name="to_out_0")(h)
         return x + h.reshape(B, H, W, C)

@@ -88,8 +88,13 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
     tp = max(int(getattr(cfg.parallel, "tp", 1) or 1), 1)
     req_dp = int(getattr(cfg.parallel, "dp", -1) or -1)  # -1 = all devices
     if tp > 1:
+        from ..guidance import layers
         from ..parallel.tp import guidance_shardings, shard_guidance_params
 
+        # GSPMD cannot partition the Pallas flash-attention custom call
+        # across the model axis; fall back to the einsum attention, which
+        # propagates the Megatron head sharding cleanly.
+        layers.FLASH_ATTENTION = "off"
         assert n_dev % tp == 0, (
             f"parallel.tp={tp} must divide the device count {n_dev}")
         dp = n_dev // tp if req_dp < 0 else min(req_dp, n_dev // tp)

@@ -61,7 +61,7 @@ if __name__ == "__main__":
 
     bin_f = jax.jit(lambda g: R.bin_gaussians(
         g.means2d, g.radius, g.depth, g.mask, H, W, TS, CAP, D))
-    tile_lists, tile_counts = jax.block_until_ready(bin_f(g2d))
+    tile_lists, tile_counts, _overflow = jax.block_until_ready(bin_f(g2d))
 
     def pregather(g, tl):
         n = g.colors.shape[0]
