@@ -102,7 +102,10 @@ def flash_self_attention(q, k, v):
         BlockSizes, flash_attention)
 
     n = q.shape[1]
-    b = min(512, n)
+    # largest kernel block dividing the sequence (the kernel requires
+    # seq % block == 0 and block % 128 == 0; _flash_enabled guarantees
+    # n % 128 == 0)
+    b = next(s for s in (512, 256, 128) if n % s == 0)
     sizes = BlockSizes(
         block_q=b, block_k_major=b, block_k=b, block_b=1,
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
