@@ -79,6 +79,7 @@ class ResnetBlock2D(nn.Module):
 # the kernel needs seq % 128 == 0).
 FLASH_ATTENTION = "auto"
 FLASH_MIN_SEQ = 1024
+_FLASH_PROBED_OK: bool | None = None  # lazy real-hardware compile probe
 
 
 def _flash_enabled(n_q: int, n_k: int, head_dim: int) -> bool:
@@ -91,9 +92,32 @@ def _flash_enabled(n_q: int, n_k: int, head_dim: int) -> bool:
     if FLASH_ATTENTION == "on":
         return True
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu" and _flash_probe()
     except Exception:
         return False
+
+
+def _flash_probe() -> bool:
+    """One-time smoke compile of the kernel on the real device.
+
+    A Mosaic compile failure on some new shape/toolchain must degrade to
+    the einsum path, not kill a bench/training run. Runs a representative
+    (2, 1024, 8, 40) bf16 call eagerly (fine even during an outer trace —
+    inputs are concrete) and caches the outcome.
+    """
+    global _FLASH_PROBED_OK
+    if _FLASH_PROBED_OK is None:
+        try:
+            z = jnp.zeros((2, 1024, 8, 40), jnp.bfloat16)
+            jax.block_until_ready(flash_self_attention(z, z, z))
+            _FLASH_PROBED_OK = True
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            import logging
+            logging.getLogger(__name__).warning(
+                "flash-attention kernel unavailable (%s); using einsum "
+                "attention", e)
+            _FLASH_PROBED_OK = False
+    return _FLASH_PROBED_OK
 
 
 def flash_self_attention(q, k, v):
