@@ -378,19 +378,87 @@ def make_avatar_render(model: AvatarModel, image_height: int,
 def make_avatar_render_frames(model: AvatarModel, image_height: int,
                               image_width: int, tile_size: int = 16,
                               capacity: int = 512, chunk: int = 64,
-                              max_tiles_per_gaussian: int = 16):
+                              max_tiles_per_gaussian: int = 16,
+                              mesh=None):
     """Frame-batched animation rendering: ONE dispatch renders F frames
     (``lax.map`` over stacked poses+cameras inside one jit). On the
     remote-TPU runtime each dispatch pays a host round trip comparable to
     the 1024^2 frame itself, so motion-sequence eval/video rendering should
     batch frames (PERF.md "batched frames" lever; no reference counterpart
     — the reference renders one frame per Python iteration,
-    core/trainer.py:1019-1112)."""
+    core/trainer.py:1019-1112).
+
+    With ``mesh`` (a ``Mesh(('data',))``), frames are additionally sharded
+    over the devices via ``shard_map`` — avatar state replicated, each chip
+    running its F/D frame slice — for near-linear multi-chip animation /
+    video serving throughput (F must be a multiple of the mesh size; the
+    trainer pads its last chunk)."""
     from ..system.avatar import animate as _animate
 
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
                   max_tiles_per_gaussian=max_tiles_per_gaussian)
+
+    def _one(state, args):
+        obs, extr, intr, tf, bg = args
+        if obs.body_pose.shape[0] > 1:
+            # multi-person pose bundle: render person 0, like
+            # make_avatar_render's _person(observed_inputs, 0)
+            obs = jax.tree_util.tree_map(lambda x: x[:1], obs)
+        gs = _animate(model, state, obs)
+        cov3d = R.covariance3d(gs.quats, gs.scales)
+        g2d = R.project_gaussians(
+            gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,
+            H, W, tanfov=tf, alive=gs.alive)
+        out = R.rasterize_projected(g2d, H, W, pallas_mode="eval",
+                                    **raster)
+        img = out.image + (1.0 - out.alpha)[..., None] * bg
+        return img, out.alpha, out.depth
+
+    def _frames_body(state, observed_frames, extrinsic, intrinsics,
+                     tanfov, bg):
+        return jax.lax.map(functools.partial(_one, state),
+                           (observed_frames, extrinsic, intrinsics,
+                            tanfov, bg))
+
+    if mesh is not None:
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        D = mesh.shape[DATA_AXIS]
+        kw = dict(mesh=mesh,
+                  in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                            P(DATA_AXIS), P(DATA_AXIS)),
+                  out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
+        # the rasterizer's scan mixes device-unvarying carries with
+        # device-varying gathers — skip the vma/rep check (no collectives
+        # in this body at all: frames are embarrassingly parallel)
+        try:
+            body = shard_map(_frames_body, check_vma=False, **kw)
+        except TypeError:
+            try:
+                body = shard_map(_frames_body, check_rep=False, **kw)
+            except TypeError:
+                body = shard_map(_frames_body, **kw)
+
+        @jax.jit
+        def render_frames_dp(state: AvatarState, observed_frames,
+                             extrinsic, intrinsics, tanfov, background):
+            F = extrinsic.shape[0]
+            assert F % D == 0, (
+                f"frame batch {F} must be a multiple of the mesh size {D}")
+            bg = background
+            if bg.ndim == 3:
+                bg = jnp.broadcast_to(bg, (F,) + bg.shape)
+            return body(state, observed_frames, extrinsic, intrinsics,
+                        tanfov, bg)
+
+        return render_frames_dp
 
     @jax.jit
     def render_frames(state: AvatarState, observed_frames,
@@ -399,29 +467,12 @@ def make_avatar_render_frames(model: AvatarModel, image_height: int,
         (F, 4, 4); intrinsics (F, 3, 3); tanfov (F,); background
         (H, W, 3) shared or (F, H, W, 3). Returns (F, H, W, 3) images +
         (F, H, W) alpha/depth."""
-
-        def one(args):
-            obs, extr, intr, tf, bg = args
-            if obs.body_pose.shape[0] > 1:
-                # multi-person pose bundle: render person 0, like
-                # make_avatar_render's _person(observed_inputs, 0)
-                obs = jax.tree_util.tree_map(lambda x: x[:1], obs)
-            gs = _animate(model, state, obs)
-            cov3d = R.covariance3d(gs.quats, gs.scales)
-            g2d = R.project_gaussians(
-                gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,
-                H, W, tanfov=tf, alive=gs.alive)
-            out = R.rasterize_projected(g2d, H, W, pallas_mode="eval",
-                                        **raster)
-            img = out.image + (1.0 - out.alpha)[..., None] * bg
-            return img, out.alpha, out.depth
-
         F = extrinsic.shape[0]
         bg = background
         if bg.ndim == 3:
             bg = jnp.broadcast_to(bg, (F,) + bg.shape)
-        return jax.lax.map(one, (observed_frames, extrinsic, intrinsics,
-                                 tanfov, bg))
+        return _frames_body(state, observed_frames, extrinsic, intrinsics,
+                            tanfov, bg)
 
     return render_frames
 

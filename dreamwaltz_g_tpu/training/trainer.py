@@ -1676,16 +1676,31 @@ class Trainer:
             frames.append(np.asarray(jnp.clip(img, 0, 1)))
 
         if pending:
+            # frame-DP eval: shard the frame batch over all devices
+            # (shard_map in make_avatar_render_frames) — animation/video
+            # serving scales near-linearly with chips
+            n_dev = len(jax.devices())
+            req_dp = int(getattr(cfg.parallel, "dp", -1) or -1)
+            D = n_dev if req_dp < 0 else min(req_dp, n_dev)
+            eval_mesh = None
+            if D > 1 and len(pending) >= D:
+                from ..parallel.mesh import make_mesh
+                eval_mesh = make_mesh(dp=D)
             cache = getattr(self, "_frame_render_cache", {})
-            if (H, W) not in cache:
-                cache[(H, W)] = gs_trainer.make_avatar_render_frames(
+            ck = (H, W, D if eval_mesh is not None else 1)
+            if ck not in cache:
+                cache[ck] = gs_trainer.make_avatar_render_frames(
                     self.avatar_model, H, W,
                     tile_size=cfg.render.tile_size,
                     capacity=cfg.render.tile_capacity,
-                    chunk=cfg.render.chunk)
+                    chunk=cfg.render.chunk, mesh=eval_mesh)
                 self._frame_render_cache = cache
-            rf = cache[(H, W)]
-            Fc = min(8, len(pending))
+            rf = cache[ck]
+            if eval_mesh is not None:
+                # multiple of D, at most 8 frames per chip per dispatch
+                Fc = min(8 * D, -(-len(pending) // D) * D)
+            else:
+                Fc = min(8, len(pending))
             for s0 in range(0, len(pending), Fc):
                 chunk = pending[s0: s0 + Fc]
                 n = len(chunk)

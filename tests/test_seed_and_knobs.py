@@ -252,3 +252,35 @@ def test_trainer_triplane_avatar_stage2(tmp_path):
     assert tr.train_step == 1
     after = np.asarray(tr.state.avatar.params.encoder.planes)
     assert np.abs(after - before).max() > 0.0
+
+
+def test_evaluate_frame_dp_path(tmp_path):
+    """With multiple devices and >= n_dev pending frames, eval goes through
+    the frame-DP renderer (shard_map over the frame axis) — every frame
+    filled, same shapes (the conftest mesh is 8 virtual CPU devices)."""
+    import jax
+
+    from dreamwaltz_g_tpu.configs import parse_args
+    from dreamwaltz_g_tpu.training.trainer import Trainer
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the multi-device virtual mesh")
+
+    cfg = parse_args([
+        "--stage", "gs", "--log.debug", "true",
+        "--log.exp_root", str(tmp_path), "--log.exp_name", "fdp",
+        "--optim.iters", "1", "--render.n_gaussians", "128",
+        "--data.train_w", "16", "--data.eval_h", "16", "--data.eval_w",
+        "16", "--data.test_h", "16", "--data.test_w", "16",
+        "--data.eval_size", "9", "--data.eval_save_image", "false",
+        "--data.eval_save_video", "false",
+        "--log.snapshot_interval", "0", "--log.evaluate_interval", "0",
+        "--log.save_interval", "0",
+    ])
+    tr = Trainer(cfg)
+    frames = tr.evaluate(size=9, save_dir=tmp_path / "ev")
+    assert len(frames) == 9
+    for f in frames:
+        assert f is not None and f.shape == (16, 16, 3)
+        assert np.isfinite(f).all()
