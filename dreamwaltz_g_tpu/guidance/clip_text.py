@@ -42,6 +42,14 @@ def tiny_text_config() -> CLIPTextConfig:
                           num_heads=2, max_length=16)
 
 
+def clip_h_config() -> CLIPTextConfig:
+    """OpenCLIP ViT-H text tower — SD2.x's text encoder
+    (stabilityai/stable-diffusion-2* text_encoder: 1024-dim, 23 layers —
+    diffusers ships it pre-truncated to the penultimate layer — gelu)."""
+    return CLIPTextConfig(hidden_size=1024, num_layers=23, num_heads=16,
+                          activation="gelu")
+
+
 def clip_bigg_config() -> CLIPTextConfig:
     """OpenCLIP ViT-bigG text tower — SDXL's text_encoder_2
     (laion/CLIP-ViT-bigG-14; gelu, 1280-dim projection)."""

@@ -65,6 +65,11 @@ def _convert_leaf(torch_arr: np.ndarray, target_shape, leaf: str) -> np.ndarray:
             a = a.transpose(2, 3, 1, 0)
         elif a.ndim == 2:    # linear: (out, in) -> (in, out)
             a = a.T
+            if len(target_shape) == 4 and tuple(target_shape[:2]) == (1, 1):
+                # SD2.x/SDXL use_linear_projection: torch nn.Linear
+                # proj_in/proj_out land in our 1x1 conv (identical math —
+                # a 1x1 conv over NHWC IS a per-pixel linear)
+                a = a.reshape(1, 1, *a.shape)
     if a.shape != tuple(target_shape):
         raise ValueError(f"shape mismatch: got {a.shape}, want {target_shape}")
     return a
@@ -246,6 +251,52 @@ def load_params(path, template):
         return serialization.from_bytes(template, f.read())
 
 
+# model-card families (reference: MODEL_CARDS, basic.py:29-43). Each card
+# maps to (unet config name, text tower, latent grid, prediction type);
+# the HumanNorm cards are SD1.5-architecture finetunes. The 768-v cards
+# (sd20/sd21) are v-prediction models — the loader wires
+# prediction_type='v_prediction' so SDS runs in eps space (the reference
+# feeds their raw v outputs into eps-space SDS; see sds.py:_eps).
+MODEL_FAMILIES = {
+    "sd14": dict(arch="sd15", text="clip_l", latent=64, pred="epsilon"),
+    "sd15": dict(arch="sd15", text="clip_l", latent=64, pred="epsilon"),
+    "normal-adapted": dict(arch="sd15", text="clip_l", latent=64,
+                           pred="epsilon"),
+    "depth-adapted": dict(arch="sd15", text="clip_l", latent=64,
+                          pred="epsilon"),
+    "sd20b": dict(arch="sd21", text="clip_h", latent=64, pred="epsilon"),
+    "sd21b": dict(arch="sd21", text="clip_h", latent=64, pred="epsilon"),
+    "sd20": dict(arch="sd21", text="clip_h", latent=96,
+                 pred="v_prediction"),
+    "sd21": dict(arch="sd21", text="clip_h", latent=96,
+                 pred="v_prediction"),
+}
+
+
+def _family(model: str) -> dict:
+    fam = MODEL_FAMILIES.get(model)
+    if fam is None:
+        raise KeyError(f"unknown model card {model!r}; known: "
+                       f"{sorted(MODEL_FAMILIES)} + sdxl10 (XL loader)")
+    return fam
+
+
+def _family_modules(fam: dict):
+    """(unet_module, clip_module, ctx_dim) for a model family."""
+    from .clip_text import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        clip_h_config,
+    )
+    from .unet import UNet2DCondition, sd15_unet_config, sd21_unet_config
+
+    ucfg = sd21_unet_config() if fam["arch"] == "sd21" \
+        else sd15_unet_config()
+    ccfg = clip_h_config() if fam["text"] == "clip_h" else CLIPTextConfig()
+    return UNet2DCondition(ucfg), CLIPTextModel(ccfg), \
+        ucfg.cross_attention_dim
+
+
 def load_converted_guidance(
     weights_dir: str,
     use_controlnet: bool = True,
@@ -255,31 +306,35 @@ def load_converted_guidance(
     controlnet_scale: float = 1.0,
     guidance_rescale: float = 0.0,
     denoise_timesteps: int = 50,
+    model: str = "sd15",
 ):
-    """Build the SD1.5 guidance stack from a converted-weights directory:
+    """Build the SD guidance stack from a converted-weights directory:
     ``unet.msgpack``, ``vae.msgpack``, ``clip.msgpack``, optional
     ``controlnet_{pose,depth,...}.msgpack``, plus the CLIP tokenizer
-    ``vocab.json``/``merges.txt``.
+    ``vocab.json``/``merges.txt``. ``model`` picks the non-XL model card
+    (MODEL_FAMILIES — SD1.x / SD2.x / HumanNorm; reference MODEL_CARDS,
+    basic.py:29-43); the 768-v cards load with v-prediction + 96² latents.
 
     Returns (ScoreDistillation, GuidanceParams, text_embed_fn) where
-    ``text_embed_fn(list[str]) -> (N, 77, 768)`` runs the frozen text
+    ``text_embed_fn(list[str]) -> (N, 77, D)`` runs the frozen text
     encoder (reference: get_text_embeds, stable_diffusion.py:31-50).
     """
     import os.path as osp
 
     import jax
 
-    from .clip_text import CLIPTextConfig, CLIPTextModel, CLIPTokenizer
+    from .clip_text import CLIPTokenizer
     from .controlnet import ControlNet
     from .sds import GuidanceParams, ScoreDistillation
-    from .unet import UNet2DCondition, sd15_unet_config
     from .vae import AutoencoderKL, sd_vae_config
 
-    ucfg = sd15_unet_config()
-    unet = UNet2DCondition(ucfg)
+    fam = _family(model)
+    unet, clip, _ctx_dim = _family_modules(fam)
+    ucfg = unet.cfg
+    latent_size = fam["latent"]
     vae = AutoencoderKL(sd_vae_config())
     key = jax.random.PRNGKey(0)
-    lat = jnp.zeros((1, 64, 64, 4))
+    lat = jnp.zeros((1, latent_size, latent_size, 4))
     ctx = jnp.zeros((1, 77, ucfg.cross_attention_dim))
     unet_p = load_params(
         osp.join(weights_dir, "unet.msgpack"),
@@ -287,6 +342,7 @@ def load_converted_guidance(
     vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
                         vae.init(key, image_size=512))
 
+    cond_px = latent_size * 8
     cn, cn_p = None, None
     if use_controlnet:
         cn = ControlNet(ucfg)
@@ -295,13 +351,11 @@ def load_converted_guidance(
             if osp.isfile(p):
                 cn_p = load_params(
                     p, cn.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
-                               jnp.zeros((1, 512, 512, 3))))
+                               jnp.zeros((1, cond_px, cond_px, 3))))
                 break
         if cn_p is None:
             cn = None
 
-    clip_cfg = CLIPTextConfig()
-    clip = CLIPTextModel(clip_cfg)
     clip_p = load_params(
         osp.join(weights_dir, "clip.msgpack"),
         clip.init(key, jnp.zeros((1, 77), jnp.int32)))
@@ -319,22 +373,23 @@ def load_converted_guidance(
         loss_type=loss_type, weight_type=weight_type,
         guidance_scale=guidance_scale, controlnet_scale=controlnet_scale,
         guidance_rescale=guidance_rescale,
-        denoise_timesteps=denoise_timesteps)
+        denoise_timesteps=denoise_timesteps,
+        latent_size=latent_size, prediction_type=fam["pred"])
     return sd, GuidanceParams(unet=unet_p, vae=vae_p, controlnet=cn_p), \
         text_embed_fn
 
 
 def convert_from_hf_cache(hf_root: str, out_dir: str,
-                          conditions=("pose",)) -> None:
+                          conditions=("pose",), model: str = "sd15") -> None:
     """Offline conversion entry: read diffusers/transformers torch weights
-    (safetensors or .bin) for SD1.5 + ControlNet v1.1 and write the msgpack
-    bundle ``load_converted_guidance`` consumes
-    (reference model cards: basic.py:29-89)."""
+    (safetensors or .bin) for an SD model card + ControlNet and write the
+    msgpack bundle ``load_converted_guidance`` consumes. ``model`` selects
+    the family (MODEL_FAMILIES: SD1.x / SD2.x / HumanNorm finetunes;
+    reference model cards: basic.py:29-89)."""
     import os.path as osp
 
-    from .clip_text import CLIPTextConfig, CLIPTextModel
     from .controlnet import ControlNet
-    from .unet import UNet2DCondition, sd15_unet_config
+
     from .vae import AutoencoderKL, sd_vae_config
 
     def load_sd(path):
@@ -347,22 +402,29 @@ def convert_from_hf_cache(hf_root: str, out_dir: str,
         sd = torch.load(path, map_location="cpu", weights_only=True)
         return {k: v.numpy() for k, v in sd.items()}
 
-    ucfg = sd15_unet_config()
-    unet_p, _ = convert_unet(UNet2DCondition(ucfg),
-                             load_sd(osp.join(hf_root, "unet.safetensors")))
+    fam = _family(model)
+    unet, clip, ctx_dim = _family_modules(fam)
+    ucfg = unet.cfg
+    ls = fam["latent"]
+    unet_p, _ = convert_unet(unet,
+                             load_sd(osp.join(hf_root, "unet.safetensors")),
+                             sample_shape=(1, ls, ls, 4),
+                             context_shape=(1, 77, ctx_dim))
     save_params(osp.join(out_dir, "unet.msgpack"), unet_p)
     vae_p, _ = convert_vae(AutoencoderKL(sd_vae_config()),
                            load_sd(osp.join(hf_root, "vae.safetensors")))
     save_params(osp.join(out_dir, "vae.msgpack"), vae_p)
     clip_p, _ = convert_clip_text(
-        CLIPTextModel(CLIPTextConfig()),
-        load_sd(osp.join(hf_root, "text_encoder.safetensors")))
+        clip, load_sd(osp.join(hf_root, "text_encoder.safetensors")))
     save_params(osp.join(out_dir, "clip.msgpack"), clip_p)
     for cond in conditions:
         path = osp.join(hf_root, f"controlnet_{cond}.safetensors")
         if osp.isfile(path):
-            cn_p, _, _ = convert_controlnet(ControlNet(ucfg),
-                                            load_sd(path))
+            cn_p, _, _ = convert_controlnet(
+                ControlNet(ucfg), load_sd(path),
+                sample_shape=(1, ls, ls, 4),
+                context_shape=(1, 77, ctx_dim),
+                cond_shape=(1, ls * 8, ls * 8, 3))
             save_params(osp.join(out_dir, f"controlnet_{cond}.msgpack"), cn_p)
 
 

@@ -70,6 +70,13 @@ class ScoreDistillation:
     ism_xs_inv_steps: int = 5
     ism_warmup_frac: float = 0.3      # warmup_iter = 1500/5000 * max_iter
     denoise_timesteps: int = 50       # inference grid for z0/x0 modes
+    # 'epsilon' (SD1.x/2.x-base/XL) or 'v_prediction' (SD2.x 768-v
+    # checkpoints). v outputs are converted to eps right at the UNet call
+    # (_eps), so every downstream consumer — SDS families, ISM inversion,
+    # denoise modes, sampling — stays in eps space. (The reference has no
+    # v handling at all: its sd20/sd21 cards feed v outputs into eps-space
+    # SDS, basic.py:443-467.)
+    prediction_type: str = "epsilon"
     latent_size: int = 64
     latent_input: bool = False    # 4-channel renders ARE latents (Latent-NeRF)
     # input_interpolate=False keeps a natively-supported render size instead
@@ -126,10 +133,20 @@ class ScoreDistillation:
             down_res, mid_res = self.controlnet.apply(
                 params.controlnet, latents, t, context, cond_image,
                 self.controlnet_scale)
-            return self.unet.apply(params.unet, latents, t, context,
+            pred = self.unet.apply(params.unet, latents, t, context,
                                    down_residuals=down_res,
                                    mid_residual=mid_res)
-        return self.unet.apply(params.unet, latents, t, context)
+        else:
+            pred = self.unet.apply(params.unet, latents, t, context)
+        if self.prediction_type == "v_prediction":
+            # v = sqrt(ac) eps - sqrt(1-ac) x0  =>
+            # eps = sqrt(ac) v + sqrt(1-ac) x_t  (x_t = the noisy input)
+            ac = self.schedule.alphas_cumprod[t.astype(jnp.int32)]
+            ac = ac.reshape((-1,) + (1,) * (latents.ndim - 1))
+            pred = (jnp.sqrt(ac) * pred.astype(jnp.float32)
+                    + jnp.sqrt(1.0 - ac) * latents.astype(jnp.float32)
+                    ).astype(pred.dtype)
+        return pred
 
     def _cfg_eps(self, params, latents_noisy, t, ctx_text, ctx_uncond,
                  cond_image, guidance_scale):

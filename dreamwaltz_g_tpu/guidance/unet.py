@@ -59,6 +59,20 @@ def sd15_unet_config() -> UNetConfig:
     return UNetConfig()
 
 
+def sd21_unet_config() -> UNetConfig:
+    """SD2.x UNet (stabilityai/stable-diffusion-2[-1][-base]; reference
+    model cards sd20/sd20b/sd21/sd21b, basic.py:34-37): OpenCLIP ViT-H
+    context (1024) and a fixed 64-wide head (5/10/20/20 heads per level).
+    The 768-v checkpoints (sd20/sd21) are v-prediction models — pair with
+    ``ScoreDistillation(prediction_type='v_prediction', latent_size=96)``
+    (the reference feeds their v outputs straight into eps-space SDS,
+    basic.py:443-467 — a silent error this build corrects)."""
+    return UNetConfig(
+        cross_attention_dim=1024,
+        head_dim=64,
+    )
+
+
 def sdxl_unet_config() -> UNetConfig:
     """SDXL-base UNet (stabilityai/stable-diffusion-xl-base-1.0)."""
     return UNetConfig(

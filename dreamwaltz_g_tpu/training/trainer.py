@@ -311,7 +311,8 @@ class Trainer:
                     guidance_scale=cfg.guide.guidance_scale,
                     controlnet_scale=cfg.guide.controlnet_scale,
                     guidance_rescale=cfg.guide.guidance_rescale,
-                    denoise_timesteps=cfg.guide.denoise_timesteps)
+                    denoise_timesteps=cfg.guide.denoise_timesteps,
+                    model=cfg.guide.diffusion)
                 self.text_embeds = text_embed_fn(texts)      # (V, L, D)
                 self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
             # csd/nfsd 3-way CFG needs the negative prompt as its own

@@ -17,14 +17,20 @@ cd "$(dirname "$0")/.."
 
 EXTERNAL="${EXTERNAL:-external}"
 HF_SRC="${HF_SRC:?set HF_SRC to the dir of torch safetensors}"
+MODEL="${MODEL:-sd15}"
 SMPLX_NPZ="${SMPLX_NPZ:-}"
 OUT="$EXTERNAL/guidance_jax"
 mkdir -p "$OUT" "$EXTERNAL/human_templates/smplx"
 
-echo "== 1/4 convert SD1.5 + ControlNet -> $OUT"
+echo "== 1/4 convert $MODEL + ControlNet -> $OUT"
+# MODEL picks the card (convert.py MODEL_FAMILIES): sd14/sd15, sd20/sd20b/
+# sd21/sd21b (SD2.x: OpenCLIP-H text encoder; the 768-v cards load with
+# v-prediction), normal-adapted/depth-adapted (HumanNorm). XL: use
+# convert_sdxl_from_hf_cache instead.
 python - <<EOF
 from dreamwaltz_g_tpu.guidance.convert import convert_from_hf_cache
-convert_from_hf_cache("$HF_SRC", "$OUT", conditions=("pose", "depth"))
+convert_from_hf_cache("$HF_SRC", "$OUT", conditions=("pose", "depth"),
+                      model="$MODEL")
 EOF
 # tokenizer files ride along unconverted
 for f in vocab.json merges.txt; do

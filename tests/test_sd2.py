@@ -1,0 +1,136 @@
+"""SD2.x model-family support: fixed-width heads, OpenCLIP-H text tower,
+v-prediction conversion (reference model cards sd20/sd20b/sd21/sd21b,
+basic.py:34-37 — the reference has NO v-prediction handling; here the 768-v
+cards convert v -> eps at the UNet call so all SDS math stays in eps space).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamwaltz_g_tpu.guidance import sds as S
+from dreamwaltz_g_tpu.guidance.unet import (
+    UNet2DCondition,
+    UNetConfig,
+    sd21_unet_config,
+    tiny_unet_config,
+)
+from dreamwaltz_g_tpu.guidance.vae import AutoencoderKL, tiny_vae_config
+
+
+def test_sd21_config_heads():
+    """SD2.x uses a fixed 64-wide head: 5/10/20/20 heads over the levels
+    (vs SD1.5's constant 8 heads)."""
+    cfg = sd21_unet_config()
+    assert cfg.cross_attention_dim == 1024
+    assert [cfg.block_heads(c) for c in cfg.block_out_channels] == \
+        [5, 10, 20, 20]
+    from dreamwaltz_g_tpu.guidance.unet import sd15_unet_config
+    c15 = sd15_unet_config()
+    assert [c15.block_heads(c) for c in c15.block_out_channels] == [8] * 4
+
+
+def test_sd2_style_tiny_unet_forward():
+    """A scaled-down fixed-head-width config runs: per-level head counts
+    derive from channels/head_dim like the real SD2.x UNet."""
+    cfg = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                     cross_attention_dim=48, head_dim=16,
+                     attn_down=(True, False))
+    assert [cfg.block_heads(c) for c in cfg.block_out_channels] == [2, 4]
+    unet = UNet2DCondition(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, 48))
+    p = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx)
+    out = unet.apply(p, x, jnp.asarray([100.0]), ctx)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_v_prediction_conversion_identity():
+    """prediction_type='v_prediction' must return
+    sqrt(ac)*v + sqrt(1-ac)*x_t where v is the raw module output."""
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jax.random.normal(key, (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, 16, ucfg.cross_attention_dim)) * 0.1
+    p = unet.init(jax.random.PRNGKey(2), lat, jnp.zeros((2,)), ctx)
+    params = S.GuidanceParams(unet=p, vae=None)
+
+    t = jnp.asarray([100, 700], jnp.int32)
+    sd_eps = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8)
+    sd_v = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                               prediction_type="v_prediction")
+    raw = sd_eps._eps(params, lat, t, ctx)
+    got = sd_v._eps(params, lat, t, ctx)
+    ac = sd_v.schedule.alphas_cumprod[t].reshape(2, 1, 1, 1)
+    want = jnp.sqrt(ac) * raw + jnp.sqrt(1.0 - ac) * lat
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_v_prediction_sds_step_runs():
+    """Full SDS call under v-prediction: finite loss/grads, different from
+    the epsilon-mode gradients (the conversion is not a no-op)."""
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    key = jax.random.PRNGKey(0)
+    lat = jnp.zeros((1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, 16, ucfg.cross_attention_dim)) * 0.1
+    up = unet.init(key, lat, jnp.zeros((1,)), ctx)
+    vp = vae.init(jax.random.PRNGKey(2), image_size=16)
+    params = S.GuidanceParams(unet=up, vae=vp)
+    imgs = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 3))
+    t = jnp.asarray([400], jnp.int32)
+
+    outs = {}
+    for pt in ("epsilon", "v_prediction"):
+        sd = S.ScoreDistillation(unet=unet, vae=vae, latent_size=8,
+                                 prediction_type=pt)
+        out = sd(params, imgs, ctx, ctx, t, jax.random.PRNGKey(4))
+        assert np.isfinite(float(out["loss"])), pt
+        assert np.isfinite(np.asarray(out["gradients"])).all(), pt
+        outs[pt] = np.asarray(out["gradients"])
+    assert np.abs(outs["epsilon"] - outs["v_prediction"]).max() > 1e-7
+
+
+def test_model_families_loader_wiring():
+    """MODEL_FAMILIES covers every non-XL reference card and
+    _family_modules produces the matching towers."""
+    from dreamwaltz_g_tpu.guidance.convert import (
+        MODEL_FAMILIES,
+        _family,
+        _family_modules,
+    )
+
+    for card in ("sd14", "sd15", "sd20b", "sd20", "sd21b", "sd21",
+                 "normal-adapted", "depth-adapted"):
+        assert card in MODEL_FAMILIES
+    with pytest.raises(KeyError):
+        _family("sd99")
+
+    unet, clip, ctx = _family_modules(MODEL_FAMILIES["sd21"])
+    assert ctx == 1024
+    assert clip.cfg.hidden_size == 1024 and clip.cfg.num_layers == 23
+    assert unet.cfg.head_dim == 64
+    assert MODEL_FAMILIES["sd21"]["pred"] == "v_prediction"
+    assert MODEL_FAMILIES["sd21"]["latent"] == 96
+    assert MODEL_FAMILIES["sd21b"]["pred"] == "epsilon"
+
+    unet15, clip15, ctx15 = _family_modules(MODEL_FAMILIES["depth-adapted"])
+    assert ctx15 == 768 and clip15.cfg.num_layers == 12
+
+
+def test_convert_leaf_linear_to_1x1_conv():
+    """use_linear_projection weights (torch nn.Linear) land in our 1x1
+    convs — the reshape is exact."""
+    from dreamwaltz_g_tpu.guidance.convert import _convert_leaf
+
+    w = np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32)
+    out = _convert_leaf(w, (1, 1, 4, 6), "kernel")
+    assert out.shape == (1, 1, 4, 6)
+    np.testing.assert_allclose(out[0, 0], w.T)
