@@ -237,6 +237,13 @@ class GuideConfig:
 
     dtype: str = "bf16"          # TPU default: bfloat16 guidance
     diffusion: str = "sd15"
+    # LoRA adapter merged into the frozen UNet at load time (reference
+    # loads adapters into the live pipeline, basic.py:264,280-284; here the
+    # merge is offline — W += scale*(alpha/r)*up@down — so the guidance
+    # pays zero runtime cost). Path to a kohya-ss / diffusers-peft
+    # safetensors file, or a name under <weights_dir>/lora/.
+    lora_name: Optional[str] = None
+    lora_scale: float = 1.0
     use_controlnet: bool = True
     controlnet: str = "sd15"
     controlnet_condition: str = "pose"  # comma-separated: 'pose', 'depth', 'depth_raw', ...

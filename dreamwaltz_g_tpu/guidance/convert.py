@@ -233,6 +233,113 @@ def convert_clip_text(clip_module, torch_sd, strict: bool = True,
 # On-disk format: one msgpack per component under a weights dir
 # ---------------------------------------------------------------------------
 
+def _normalize_lora_sd(lora_sd: Dict[str, np.ndarray]):
+    """LoRA state dict -> {kohya_module_name: (down, up, alpha)}.
+
+    Accepts kohya-ss naming (``lora_unet_<mod>_.lora_down/lora_up.weight``
+    + ``.alpha``) and diffusers-peft naming
+    (``unet.<mod.with.dots>.lora_A/lora_B.weight``). Text-encoder entries
+    (``lora_te*`` / ``text_encoder.*``) and other towers are returned
+    separately-skipped so callers can report them."""
+    mods: Dict[str, dict] = {}
+    skipped = []
+    for k, v in lora_sd.items():
+        name = None
+        slot = None
+        if k.startswith("lora_unet_"):
+            body = k[len("lora_unet_"):]
+            if body.endswith(".lora_down.weight"):
+                name, slot = body[:-len(".lora_down.weight")], "down"
+            elif body.endswith(".lora_up.weight"):
+                name, slot = body[:-len(".lora_up.weight")], "up"
+            elif body.endswith(".alpha"):
+                name, slot = body[:-len(".alpha")], "alpha"
+        elif k.startswith("unet."):
+            body = k[len("unet."):]
+            for suf, sl in ((".lora_A.weight", "down"),
+                            (".lora_B.weight", "up"),
+                            (".lora_A.default.weight", "down"),
+                            (".lora_B.default.weight", "up"),
+                            (".lora.down.weight", "down"),
+                            (".lora.up.weight", "up"),
+                            (".alpha", "alpha")):
+                if body.endswith(suf):
+                    name = body[:-len(suf)].replace(".", "_")
+                    # old diffusers attn-processor naming
+                    name = name.replace("_processor", "")
+                    name = name.replace("to_q_lora", "to_q") \
+                        .replace("to_k_lora", "to_k") \
+                        .replace("to_v_lora", "to_v") \
+                        .replace("to_out_lora", "to_out_0")
+                    slot = sl
+                    break
+        if name is None:
+            skipped.append(k)
+            continue
+        mods.setdefault(name, {})[slot] = np.asarray(v, np.float32)
+    out = {}
+    for name, d in mods.items():
+        if "down" not in d or "up" not in d:
+            skipped.append(name)
+            continue
+        down, up = d["down"], d["up"]
+        # kohya conv LoRAs carry 4D (r, in, kh, kw); only 1x1 is a plain
+        # matmul we can merge into our 1x1 convs
+        if down.ndim == 4:
+            if down.shape[2:] != (1, 1) or up.shape[2:] != (1, 1):
+                skipped.append(name)
+                continue
+            down, up = down[:, :, 0, 0], up[:, :, 0, 0]
+        r = down.shape[0]
+        alpha = float(d.get("alpha", r))
+        out[name] = (down, up, alpha)
+    return out, skipped
+
+
+def merge_lora_into_params(params, lora_sd: Dict[str, np.ndarray],
+                           scale: float = 1.0, prefix: str = ""):
+    """Merge a LoRA adapter into converted Flax params, offline:
+    ``W += scale * (alpha/r) * up @ down``.
+
+    The reference loads adapters into the live diffusers pipeline
+    (``load_lora``, basic.py:264,280-284 + the vendored lora_diffusion
+    package); merging into the frozen base weights instead costs zero at
+    train time — the UNet never updates, so base+delta is exact, and XLA
+    sees one ordinary matmul per layer.
+
+    Returns ``(merged_params, n_merged, unmatched_module_names)``.
+    """
+    mods, skipped = _normalize_lora_sd(lora_sd)
+    flat = _flatten(params)
+    n_merged = 0
+    matched = set()
+    out = {}
+    for path, leaf in flat.items():
+        out[path] = leaf
+        if path[-1] != "kernel":
+            continue
+        name = "_".join(p for p in path[:-1] if p != "params")
+        if name not in mods:
+            continue
+        down, up, alpha = mods[name]
+        r = down.shape[0]
+        delta = (up @ down) * (alpha / r) * scale     # (out, in)
+        w = np.asarray(leaf, np.float32)
+        if w.ndim == 2:                                # dense: (in, out)
+            w = w + delta.T
+        elif w.ndim == 4 and w.shape[:2] == (1, 1):    # 1x1 conv
+            w = w + delta.T.reshape(w.shape)
+        else:
+            skipped.append(name)
+            continue
+        out[path] = jnp.asarray(w, dtype=leaf.dtype if hasattr(
+            leaf, "dtype") else jnp.float32)
+        matched.add(name)
+        n_merged += 1
+    unmatched = sorted(set(mods) - matched)
+    return _unflatten(out), n_merged, unmatched + sorted(set(skipped))
+
+
 def save_params(path, params) -> None:
     """flax-serialized msgpack (unet.msgpack / vae.msgpack / ...)."""
     import os
@@ -307,6 +414,8 @@ def load_converted_guidance(
     guidance_rescale: float = 0.0,
     denoise_timesteps: int = 50,
     model: str = "sd15",
+    lora_name: str = None,
+    lora_scale: float = 1.0,
 ):
     """Build the SD guidance stack from a converted-weights directory:
     ``unet.msgpack``, ``vae.msgpack``, ``clip.msgpack``, optional
@@ -339,6 +448,28 @@ def load_converted_guidance(
     unet_p = load_params(
         osp.join(weights_dir, "unet.msgpack"),
         unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx))
+    if lora_name:
+        # offline LoRA merge (reference: guide.lora_name + load_lora,
+        # basic.py:264,280-284 with CIVITAI_LORA_ROOT)
+        lpath = lora_name if osp.isfile(lora_name) else \
+            osp.join(weights_dir, "lora", lora_name)
+        if lpath.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            lsd = load_file(lpath)
+        else:
+            import torch
+
+            lsd = {k: v.numpy() for k, v in torch.load(
+                lpath, map_location="cpu", weights_only=True).items()}
+        unet_p, n_merged, leftover = merge_lora_into_params(
+            unet_p, lsd, scale=lora_scale)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "merged LoRA %s into the UNet: %d layers (%d entries not "
+            "mergeable, e.g. text-encoder/conv3x3)", lora_name, n_merged,
+            len(leftover))
     vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
                         vae.init(key, image_size=512))
 

@@ -312,7 +312,9 @@ class Trainer:
                     controlnet_scale=cfg.guide.controlnet_scale,
                     guidance_rescale=cfg.guide.guidance_rescale,
                     denoise_timesteps=cfg.guide.denoise_timesteps,
-                    model=cfg.guide.diffusion)
+                    model=cfg.guide.diffusion,
+                    lora_name=cfg.guide.lora_name,
+                    lora_scale=cfg.guide.lora_scale)
                 self.text_embeds = text_embed_fn(texts)      # (V, L, D)
                 self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
             # csd/nfsd 3-way CFG needs the negative prompt as its own

@@ -134,3 +134,64 @@ def test_convert_leaf_linear_to_1x1_conv():
     out = _convert_leaf(w, (1, 1, 4, 6), "kernel")
     assert out.shape == (1, 1, 4, 6)
     np.testing.assert_allclose(out[0, 0], w.T)
+
+
+def test_lora_merge_kohya_and_peft():
+    """Offline LoRA merge: a kohya-ss (and diffusers-peft) adapter merged
+    into the tiny UNet changes exactly the targeted kernels by
+    scale*(alpha/r)*up@down, and the merged forward equals applying the
+    low-rank delta by hand."""
+    from dreamwaltz_g_tpu.guidance.convert import (
+        _flatten,
+        merge_lora_into_params,
+    )
+
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 16, ucfg.cross_attention_dim))
+    p = unet.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx)
+
+    # find a real attn q-projection path in the tiny tree
+    flat = _flatten(p)
+    qpaths = [path for path in flat
+              if path[-1] == "kernel" and "to_q" in path[-2]
+              and "attn1" in path[-3]]
+    assert qpaths
+    path = qpaths[0]
+    name = "_".join(s for s in path[:-1] if s != "params")
+    w = np.asarray(flat[path])
+    din, dout = w.shape
+    rng = np.random.default_rng(1)
+    r, alpha, scale = 2, 4.0, 0.5
+    down = rng.normal(size=(r, din)).astype(np.float32)
+    up = rng.normal(size=(dout, r)).astype(np.float32)
+
+    kohya = {f"lora_unet_{name}.lora_down.weight": down,
+             f"lora_unet_{name}.lora_up.weight": up,
+             f"lora_unet_{name}.alpha": np.asarray(alpha, np.float32),
+             "lora_te_text_model_encoder_layers_0_mlp_fc1.lora_down.weight":
+                 rng.normal(size=(2, 8)).astype(np.float32)}
+    merged, n, leftover = merge_lora_into_params(p, kohya, scale=scale)
+    assert n == 1
+    want = w + ((up @ down) * (alpha / r) * scale).T
+    got = np.asarray(_flatten(merged)[path])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    # peft naming merges identically (alpha defaults to r -> factor 1);
+    # rebuild the dotted diffusers path: module indices become .N.
+    import re
+    dotted = re.sub(r"_(\d+)(_|$)", r".\1.", name).replace("_", ".") \
+        .replace("..", ".").rstrip(".")
+    peft = {f"unet.{dotted}.lora_A.weight": down,
+            f"unet.{dotted}.lora_B.weight": up}
+    merged2, n2, _ = merge_lora_into_params(p, peft, scale=1.0)
+    assert n2 == 1
+    want2 = w + (up @ down).T
+    got2 = np.asarray(_flatten(merged2)[path])
+    np.testing.assert_allclose(got2, want2, rtol=1e-6, atol=1e-7)
+
+    # the merged UNet actually produces different outputs
+    out0 = unet.apply(p, x, jnp.asarray([100.0]), jnp.ones_like(ctx))
+    out1 = unet.apply(merged, x, jnp.asarray([100.0]), jnp.ones_like(ctx))
+    assert np.abs(np.asarray(out0 - out1)).max() > 1e-7
