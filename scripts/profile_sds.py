@@ -137,6 +137,26 @@ if __name__ == "__main__":
     enc_f = jax.jit(lambda gp, im: guidance.encode_images(gp, im))
     print(f"VAE encode fwd:         {timeit(enc_f, gparams, img):7.2f} ms")
 
+    # UNet CFG forward, flash-attention A/B (layers.FLASH_ATTENTION gates
+    # the 4096/1024-token self-attention layers onto the Pallas kernel)
+    from dreamwaltz_g_tpu.guidance import layers as L
+    lat2 = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    t2 = jnp.full((2,), 500, jnp.int32)
+    ctx2 = jnp.concatenate([txt, txt], axis=0)
+    for mode in ("off", "auto"):
+        L.FLASH_ATTENTION = mode
+        uf = jax.jit(lambda gp, l, tt, cc: guidance.unet.apply(
+            gp.unet, l, tt, cc))
+        print(f"UNet CFG fwd (flash={mode:4s}): "
+              f"{timeit(uf, gparams, lat2, t2, ctx2):7.2f} ms")
+    L.FLASH_ATTENTION = "auto"
+    for mode in ("off", "auto"):
+        L.FLASH_ATTENTION = mode
+        ef = jax.jit(lambda gp, im: guidance.encode_images(gp, im))
+        print(f"VAE encode (flash={mode:4s}):   "
+              f"{timeit(ef, gparams, img):7.2f} ms")
+    L.FLASH_ATTENTION = "auto"
+
     # full render fwd (animate+project+raster+composite)
     def full_render(p):
         from dreamwaltz_g_tpu.training.gs_trainer import _render_with_dummy
