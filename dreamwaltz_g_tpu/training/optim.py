@@ -44,12 +44,18 @@ def adan(
     b3: float = 0.99,
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    max_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """Adan (Adaptive Nesterov Momentum) as an optax transform
-    (reference: vendored core/optim/adan.py — used for the MLP background).
+    (reference: vendored core/optim/adan.py — used for the MLP background,
+    core/system/background.py:88 with max_grad_norm=5.0).
 
-    m = EMA_b1(g); v = EMA_b2(g_t - g_{t-1}); n = EMA_b3((g + (1-b2) dg)^2)
-    update = (m + (1-b2) v) / (sqrt(n) + eps), decoupled weight decay.
+    With the reference's retention-factor convention (betas are EMA decay):
+    m = EMA_b1(g); v = EMA_b2(g_t - g_{t-1}); n = EMA_b3((g + b2·dg)^2);
+    update = (m/bc1 + b2·v/bc2) / (sqrt(n/bc3) + eps), proximal decoupled
+    weight decay (no_prox=False: p <- (p + u) / (1 + lr·wd)). Grads are
+    pre-scaled by min(1, max_grad_norm / (‖g‖ + eps)) when
+    ``max_grad_norm > 0`` (reference: adan.py:109-128).
     """
 
     def init_fn(params):
@@ -64,13 +70,18 @@ def adan(
         first = count == 1
         t = jax.tree_util.tree_map
 
+        if max_grad_norm > 0.0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(max_grad_norm / (gnorm + eps), 1.0)
+            grads = t(lambda g: g * scale, grads)
+
         def dg_fn(g, gp):
             return jnp.where(first, jnp.zeros_like(g), g - gp)
 
         dg = t(dg_fn, grads, state["g_prev"])
         m = t(lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
         v = t(lambda v_, d: b2 * v_ + (1 - b2) * d, state["v"], dg)
-        n = t(lambda n_, g, d: b3 * n_ + (1 - b3) * (g + (1 - b2) * d) ** 2,
+        n = t(lambda n_, g, d: b3 * n_ + (1 - b3) * (g + b2 * d) ** 2,
               state["n"], grads, dg)
 
         c1 = 1 - b1 ** count
@@ -80,7 +91,7 @@ def adan(
 
         def upd(m_, v_, n_, p):
             denom = jnp.sqrt(n_ / c3) + eps
-            step = (m_ / c1 + (1 - b2) * v_ / c2) / denom
+            step = (m_ / c1 + b2 * v_ / c2) / denom
             u = -lr * step
             if weight_decay > 0.0 and p is not None:
                 u = (p + u) / (1.0 + lr * weight_decay) - p
@@ -91,6 +102,25 @@ def adan(
         else:
             updates = t(upd, m, v, n, params)
         return updates, {"m": m, "v": v, "n": n, "g_prev": grads, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def global_norm_scale(max_norm: float,
+                      eps: float = 1e-8) -> optax.GradientTransformation:
+    """Scale grads by min(1, max_norm / (‖g‖ + eps)) over the WHOLE tree
+    (reference: Adan.step's clip_global_grad_norm, core/optim/adan.py:109-128
+    — computed across every param group of the optimizer)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(grads, state, params=None):
+        del params
+        gnorm = optax.global_norm(grads)
+        scale = jnp.minimum(max_norm / (gnorm + eps), 1.0)
+        return jax.tree_util.tree_map(lambda g: g * scale, grads), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -190,7 +220,11 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
 
     def opt(lr):
         if use_adan:
-            return adan(lr, eps=1e-8)
+            # reference: nerf_model.py:178 — Adan(eps=1e-8, weight_decay=2e-5,
+            # max_grad_norm=5.0); the norm clip is applied globally across
+            # all param groups (adan.py:109-128), so it is chained BEFORE
+            # the per-group transforms rather than set per group.
+            return adan(lr, eps=1e-8, weight_decay=2e-5)
         return optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
 
     tx = optax.multi_transform(
@@ -201,6 +235,8 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
         },
         scale_by_group(None),
     )
+    if use_adan:
+        tx = optax.chain(global_norm_scale(5.0, eps=1e-8), tx)
     return tx
 
 

@@ -867,7 +867,8 @@ class Trainer:
             from .optim import adan
 
             self.bg_net = BackgroundMLPNet()
-            self.bg_tx = adan(1e-3, eps=1e-8, weight_decay=2e-5)
+            self.bg_tx = adan(1e-3, eps=1e-8, weight_decay=2e-5,
+                              max_grad_norm=5.0)
             bg_params = self.bg_net.init(self._next_key(), jnp.zeros((1, 3)))
             self.bg_state = (bg_params, self.bg_tx.init(bg_params))
         if cfg.optim.batch_size > 1 or cfg.parallel.tp > 1:

@@ -1,0 +1,230 @@
+"""Golden numeric parity vs the reference implementation running on CPU torch.
+
+The reference's torch-only modules (no CUDA, no heavy deps) are loaded
+standalone via importlib straight from /root/reference and executed on CPU;
+our JAX counterparts must reproduce them numerically. This is the strongest
+parity evidence available in this container (full-model comparisons need
+SD/SMPL-X assets that aren't shipped). Skipped wholesale when the reference
+tree is absent.
+
+Covered: Adan optimizer trajectories incl. global grad-norm clipping
+(core/optim/adan.py), the 3DGS expon LR (core/optim/optim_utils.py:5-30),
+trunc_exp fwd/bwd (core/nerf/nerf_utils.py:180-194), sample_pdf inverse-CDF
+sampling (core/nerf/nerf_utils.py:34-70), and SH evaluation degrees 0-4
+(core/gaussian/spherical_harmonics.py).
+"""
+import importlib.util
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+REF = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference tree unavailable")
+
+torch = pytest.importorskip("torch")
+
+
+def _load_ref(name: str, rel: str):
+    """Load a reference module standalone (no package imports)."""
+    path = REF / rel
+    if not path.exists():
+        pytest.skip(f"{rel} missing from reference tree")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ---------------------------------------------------------------------------
+# Adan
+# ---------------------------------------------------------------------------
+
+class TestAdanParity:
+    def _run_pair(self, max_grad_norm: float, weight_decay: float,
+                  steps: int = 12, lr: float = 1e-2):
+        ref_adan = _load_ref("ref_adan", "core/optim/adan.py")
+        from dreamwaltz_g_tpu.training.optim import adan
+
+        rng = np.random.RandomState(0)
+        p0 = rng.randn(5, 3).astype(np.float32)
+        p1 = rng.randn(7).astype(np.float32)
+        grad_seq = [(rng.randn(5, 3).astype(np.float32) * 3.0,
+                     rng.randn(7).astype(np.float32) * 3.0)
+                    for _ in range(steps)]
+
+        # reference trajectory
+        tp = [torch.nn.Parameter(torch.from_numpy(p0.copy())),
+              torch.nn.Parameter(torch.from_numpy(p1.copy()))]
+        opt = ref_adan.Adan(tp, lr=lr, eps=1e-8, weight_decay=weight_decay,
+                            max_grad_norm=max_grad_norm, foreach=False)
+        for g0, g1 in grad_seq:
+            tp[0].grad = torch.from_numpy(g0.copy())
+            tp[1].grad = torch.from_numpy(g1.copy())
+            opt.step()
+        ref_out = [t.detach().numpy() for t in tp]
+
+        # ours
+        tx = adan(lr, eps=1e-8, weight_decay=weight_decay,
+                  max_grad_norm=max_grad_norm)
+        params = {"a": jnp.asarray(p0), "b": jnp.asarray(p1)}
+        state = tx.init(params)
+        for g0, g1 in grad_seq:
+            grads = {"a": jnp.asarray(g0), "b": jnp.asarray(g1)}
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        return ref_out, [np.asarray(params["a"]), np.asarray(params["b"])]
+
+    def test_plain(self):
+        ref, ours = self._run_pair(max_grad_norm=0.0, weight_decay=0.0)
+        for r, o in zip(ref, ours):
+            np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-6)
+
+    def test_reference_hyperparams(self):
+        # the reference's production setting (background.py:88,
+        # nerf_model.py:178): weight_decay=2e-5, max_grad_norm=5.0
+        ref, ours = self._run_pair(max_grad_norm=5.0, weight_decay=2e-5)
+        for r, o in zip(ref, ours):
+            np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-6)
+
+    def test_clip_actually_engages(self):
+        # grads are N(0,3)·22-dim ⇒ ‖g‖ ≈ 14 ≫ 5, so the clipped and
+        # unclipped trajectories must differ (guards against a silently
+        # inert max_grad_norm)
+        _, clipped = self._run_pair(max_grad_norm=5.0, weight_decay=0.0)
+        _, plain = self._run_pair(max_grad_norm=0.0, weight_decay=0.0)
+        assert np.abs(clipped[0] - plain[0]).max() > 1e-4
+
+
+class TestGlobalNormScaleParity:
+    def test_matches_reference_formula(self):
+        from dreamwaltz_g_tpu.training.optim import global_norm_scale
+        tx = global_norm_scale(5.0, eps=1e-8)
+        rng = np.random.RandomState(1)
+        g = {"x": jnp.asarray(rng.randn(64).astype(np.float32) * 4.0)}
+        out, _ = tx.update(g, tx.init(g))
+        norm = float(np.linalg.norm(np.asarray(g["x"])))
+        expected = np.asarray(g["x"]) * min(5.0 / (norm + 1e-8), 1.0)
+        np.testing.assert_allclose(np.asarray(out["x"]), expected, rtol=1e-6)
+
+    def test_small_grads_pass_through(self):
+        from dreamwaltz_g_tpu.training.optim import global_norm_scale
+        tx = global_norm_scale(5.0)
+        g = {"x": jnp.asarray([0.1, -0.2])}
+        out, _ = tx.update(g, tx.init(g))
+        np.testing.assert_allclose(np.asarray(out["x"]),
+                                   np.asarray(g["x"]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# expon LR
+# ---------------------------------------------------------------------------
+
+class TestExponLRParity:
+    @pytest.mark.parametrize("delay_steps,delay_mult", [(0, 1.0), (500, 0.1)])
+    def test_matches(self, delay_steps, delay_mult):
+        ref_mod = _load_ref("ref_optim_utils", "core/optim/optim_utils.py")
+        from dreamwaltz_g_tpu.training.optim import expon_lr
+
+        ref_fn = ref_mod.get_expon_lr_func(
+            lr_init=1.6e-4, lr_final=1.6e-6, lr_delay_steps=delay_steps,
+            lr_delay_mult=delay_mult, max_steps=30000)
+        ours_fn = expon_lr(1.6e-4, 1.6e-6, max_steps=30000,
+                           lr_delay_steps=delay_steps,
+                           lr_delay_mult=delay_mult)
+        for step in [0, 1, 13, 250, 499, 500, 5000, 29999, 30000, 50000]:
+            np.testing.assert_allclose(
+                float(ours_fn(step)), ref_fn(step), rtol=1e-5,
+                err_msg=f"step {step}")
+
+
+# ---------------------------------------------------------------------------
+# trunc_exp
+# ---------------------------------------------------------------------------
+
+class TestTruncExpParity:
+    def test_fwd_and_grad(self):
+        ref_mod = _load_ref("ref_nerf_utils", "core/nerf/nerf_utils.py")
+        from dreamwaltz_g_tpu.nerf.network import trunc_exp
+
+        xs = np.asarray([-20.0, -15.0, -3.0, 0.0, 2.5, 10.0, 14.9, 15.0],
+                        np.float32)
+        tx = torch.tensor(xs, requires_grad=True)
+        ty = ref_mod.trunc_exp(tx)
+        ty.backward(torch.ones_like(ty))
+
+        jy = trunc_exp(jnp.asarray(xs))
+        jg = jax.grad(lambda x: jnp.sum(trunc_exp(x)))(jnp.asarray(xs))
+        np.testing.assert_allclose(np.asarray(jy), ty.detach().numpy(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jg), tx.grad.numpy(), rtol=1e-5)
+
+    def test_grad_clamped_above_15(self):
+        ref_mod = _load_ref("ref_nerf_utils", "core/nerf/nerf_utils.py")
+        from dreamwaltz_g_tpu.nerf.network import trunc_exp
+        x = np.asarray([40.0], np.float32)  # exp(40) overflows f32 grads
+        tx = torch.tensor(x, requires_grad=True)
+        ref_mod.trunc_exp(tx).backward(torch.ones(1))
+        jg = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(jg), tx.grad.numpy(),
+                                   rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# sample_pdf
+# ---------------------------------------------------------------------------
+
+class TestSamplePDFParity:
+    def test_deterministic_path(self):
+        ref_mod = _load_ref("ref_nerf_utils", "core/nerf/nerf_utils.py")
+        from dreamwaltz_g_tpu.nerf.renderer import sample_pdf
+
+        rng = np.random.RandomState(3)
+        R, B, n = 17, 33, 24
+        bins = np.sort(rng.rand(R, B).astype(np.float32) * 4.0, axis=-1)
+        weights = rng.rand(R, B - 1).astype(np.float32)
+
+        ref_out = ref_mod.sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), n,
+            det=True).numpy()
+        ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights),
+                                     n, key=None))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SH evaluation
+# ---------------------------------------------------------------------------
+
+class TestEvalSHParity:
+    @pytest.mark.parametrize("deg", [0, 1, 2, 3, 4])
+    def test_degrees(self, deg):
+        ref_mod = _load_ref("ref_sh", "core/gaussian/spherical_harmonics.py")
+        from dreamwaltz_g_tpu.ops.sh import eval_sh
+
+        rng = np.random.RandomState(deg)
+        N, C = 41, 3
+        sh = rng.randn(N, C, (deg + 1) ** 2).astype(np.float32)
+        dirs = rng.randn(N, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        ref_out = ref_mod.eval_sh(
+            deg, torch.from_numpy(sh), torch.from_numpy(dirs)).numpy()
+        ours = np.asarray(eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs)))
+        np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)
+
+    def test_rgb_sh_roundtrip(self):
+        ref_mod = _load_ref("ref_sh", "core/gaussian/spherical_harmonics.py")
+        from dreamwaltz_g_tpu.ops.sh import rgb_to_sh, sh_to_rgb
+        rgb = np.linspace(0, 1, 12, dtype=np.float32).reshape(4, 3)
+        np.testing.assert_allclose(
+            np.asarray(rgb_to_sh(jnp.asarray(rgb))),
+            ref_mod.RGB2SH(torch.from_numpy(rgb)).numpy(), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sh_to_rgb(rgb_to_sh(jnp.asarray(rgb)))), rgb,
+            rtol=1e-5)
