@@ -150,7 +150,10 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
         # separable conv via 2 depthwise passes (HWC)
         x = jnp.moveaxis(x, -1, 0)  # (C, H, W)
         pad = window_size // 2
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        # zero padding for exact parity with the reference's
+        # F.conv2d(padding=window_size//2) (gaussian_loss.py:40-48);
+        # golden-tested in tests/test_reference_parity.py
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
         x1 = jax.vmap(lambda c: jax.vmap(
             lambda row: jnp.convolve(row, k, mode="valid"))(c))(xp)
         x1 = jnp.swapaxes(x1, 1, 2)

@@ -30,15 +30,56 @@ pytestmark = pytest.mark.skipif(not REF.exists(),
 torch = pytest.importorskip("torch")
 
 
-def _load_ref(name: str, rel: str):
-    """Load a reference module standalone (no package imports)."""
+def _load_ref(name: str, rel: str, stubs: dict | None = None):
+    """Load a reference module standalone (no package imports).
+
+    ``stubs`` maps module names to attribute dicts injected into
+    sys.modules for the duration of the load — placeholders for heavy
+    deps (diffusers/pytorch3d/igl/loguru/configs) that the pure-math
+    classes under test never actually call.
+    """
+    import sys
+    import types
+
     path = REF / rel
     if not path.exists():
         pytest.skip(f"{rel} missing from reference tree")
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    saved = {}
+    try:
+        for mod_name, attrs in (stubs or {}).items():
+            saved[mod_name] = sys.modules.get(mod_name)
+            stub = types.ModuleType(mod_name)
+            for k, v in attrs.items():
+                setattr(stub, k, v)
+            sys.modules[mod_name] = stub
+            # register parent packages so "from pkg.sub import x" resolves
+            if "." in mod_name:
+                parent = mod_name.rsplit(".", 1)[0]
+                if parent not in sys.modules:
+                    saved.setdefault(parent, None)
+                    sys.modules[parent] = types.ModuleType(parent)
+                setattr(sys.modules[parent], mod_name.rsplit(".", 1)[1],
+                        stub)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for mod_name, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(mod_name, None)
+            else:
+                sys.modules[mod_name] = prev
+
+
+class _NullLogger:
+    def __getattr__(self, _):
+        return lambda *a, **k: None
+
+
+_LOGURU_STUB = {"logger": _NullLogger()}
+_DIFFUSERS_STUB = {"SchedulerMixin": object, "DDPMScheduler": object,
+                   "DDIMScheduler": object}
 
 
 # ---------------------------------------------------------------------------
@@ -228,3 +269,173 @@ class TestEvalSHParity:
         np.testing.assert_allclose(
             np.asarray(sh_to_rgb(rgb_to_sh(jnp.asarray(rgb)))), rgb,
             rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DreamTime time priors (time_prior.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_time_prior():
+    return _load_ref(
+        "ref_time_prior", "core/guidance/time_prior.py",
+        stubs={"loguru": _LOGURU_STUB, "diffusers": _DIFFUSERS_STUB,
+               "configs": {"GuideConfig": object}})
+
+
+class _SchedStub:
+    """Minimal DDPMScheduler stand-in: the reference priors only read
+    .alphas_cumprod and .betas."""
+
+    def __init__(self, schedule):
+        self.alphas_cumprod = torch.from_numpy(
+            np.asarray(schedule.alphas_cumprod))
+        self.betas = torch.from_numpy(np.asarray(schedule.betas))
+
+
+class TestScalarScheduleCParity:
+    def test_forms(self):
+        ref = _load_ref_time_prior()
+        from dreamwaltz_g_tpu.guidance.time_prior import C
+        cases = [
+            (3.5, 100, None),
+            ((0, 1.0, 0.1, 800), 250, None),
+            ((1.0, 0.1, 800), 250, None),          # 3-tuple → start_step=0
+            ((0.2, 5.0, 1.0, 0.8), 300, 1000),     # fractional steps
+        ]
+        for value, step, max_iter in cases:
+            assert C(value, step, max_iter) == pytest.approx(
+                ref.C(value, step, max_iter)), (value, step)
+
+
+class TestPriorFunctionParity:
+    @pytest.mark.parametrize("prior", [
+        "uniform", "normal", "ddpm", "p2",
+        "dreamtime", "dreamtime-uniform", "dreamtime-p2",
+    ])
+    def test_iteration_to_timestep_curves(self, prior):
+        ref = _load_ref_time_prior()
+        from dreamwaltz_g_tpu.guidance.time_prior import (PriorFunction,
+                                                          make_schedule)
+        schedule = make_schedule()
+        t_min, t_max = 20, 980
+        args = ("800", "300", "500", "100") if "normal" in prior \
+            or "dreamtime" in prior else ()
+        ref_fn = ref.PriorFunction(prior, args, t_min, t_max,
+                                   scheduler=_SchedStub(schedule))
+        ours_fn = PriorFunction(prior, args, t_min, t_max, schedule)
+        max_iter = 5000
+        for step in range(0, max_iter + 1, 97):
+            assert ours_fn(step, max_iter) == ref_fn(step, max_iter), \
+                f"{prior} diverges at step {step}"
+
+
+class TestAnnealingCurveParity:
+    @pytest.mark.parametrize("spec", [
+        "linear,900,100", "hifa,800,50", "linear,900,100,2.0",
+    ])
+    def test_deterministic_annealing(self, spec):
+        ref = _load_ref_time_prior()
+        from dreamwaltz_g_tpu.guidance.time_prior import (WindowedAnnealing,
+                                                          make_schedule)
+        import types as _t
+        cfg = _t.SimpleNamespace(time_annealing=spec,
+                                 time_annealing_window="impluse")
+        ref_fn = ref.WindowedAnnealing(cfg, t_min=20, t_max=980,
+                                       scheduler=None)
+        ours_fn = WindowedAnnealing(spec, "impluse", 20, 980,
+                                    make_schedule())
+        for step in range(0, 5001, 211):
+            assert ours_fn(step, 5000) == ref_fn(step, 5000), \
+                f"{spec} diverges at step {step}"
+
+
+# ---------------------------------------------------------------------------
+# SSIM / image reconstruction loss (gaussian_loss.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_gaussian_loss():
+    return _load_ref(
+        "ref_gaussian_loss", "core/gaussian/gaussian_loss.py",
+        stubs={"pytorch3d.ops": {"knn_points": None}})
+
+
+class TestSSIMParity:
+    def test_ssim_matches(self):
+        ref = _load_ref_gaussian_loss()
+        from dreamwaltz_g_tpu.training.losses import ssim
+        rng = np.random.RandomState(7)
+        a = rng.rand(48, 40, 3).astype(np.float32)
+        b = np.clip(a + rng.randn(48, 40, 3).astype(np.float32) * 0.1, 0, 1)
+        ref_val = float(ref.ssim(
+            torch.from_numpy(a.transpose(2, 0, 1))[None],
+            torch.from_numpy(b.transpose(2, 0, 1))[None]))
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert ours == pytest.approx(ref_val, abs=2e-5)
+
+    def test_identical_images(self):
+        from dreamwaltz_g_tpu.training.losses import ssim
+        a = jnp.asarray(np.random.RandomState(0).rand(32, 32, 3),
+                        jnp.float32)
+        assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-4)
+
+    def test_l1_dssim_mix(self):
+        ref = _load_ref_gaussian_loss()
+        from dreamwaltz_g_tpu.training.losses import (
+            image_reconstruction_loss)
+        rng = np.random.RandomState(9)
+        a = rng.rand(32, 32, 3).astype(np.float32)
+        b = rng.rand(32, 32, 3).astype(np.float32)
+        ta = torch.from_numpy(a.transpose(2, 0, 1))[None]
+        tb = torch.from_numpy(b.transpose(2, 0, 1))[None]
+        # reference: ImageReconstructionLoss = (1-λ)·L1 + λ·(1-ssim), λ=0.2
+        ref_val = 0.8 * float(ref.l1_loss(ta, tb)) \
+            + 0.2 * (1.0 - float(ref.ssim(ta, tb)))
+        ours = float(image_reconstruction_loss(jnp.asarray(a),
+                                               jnp.asarray(b)))
+        assert ours == pytest.approx(ref_val, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# NeRF sparsity / orientation losses (nerf_loss.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_nerf_loss():
+    return _load_ref(
+        "ref_nerf_loss", "core/nerf/nerf_loss.py",
+        stubs={"igl": {"read_obj": None,
+                       "fast_winding_number_for_meshes": None,
+                       "point_mesh_squared_distance": None},
+               "configs": {"NeRFConfig": object}})
+
+
+class TestSparsityLossParity:
+    def test_weighted_sum_and_schedule(self):
+        ref = _load_ref_nerf_loss()
+        from dreamwaltz_g_tpu.training.losses import sparsity_loss
+        import types as _t
+
+        cfg = _t.SimpleNamespace(lambda_opacity=0.5, lambda_entropy=1e-3,
+                                 lambda_emptiness=1e-4,
+                                 sparsity_multiplier=20.0,
+                                 sparsity_step=0.5)
+        rng = np.random.RandomState(11)
+        ws = rng.rand(257).astype(np.float32) * 0.98 + 0.01
+        ref_loss = ref.SparsityLoss(cfg)
+        for step, max_iter in [(100, 1000), (499, 1000), (500, 1000),
+                               (900, 1000)]:
+            ref_val = float(ref_loss(torch.from_numpy(ws), step, max_iter))
+            ours = float(sparsity_loss(jnp.asarray(ws), cfg, step, max_iter))
+            assert ours == pytest.approx(ref_val, rel=1e-4), (step, max_iter)
+
+    def test_orientation(self):
+        ref = _load_ref_nerf_loss()
+        from dreamwaltz_g_tpu.training.losses import orientation_loss
+        rng = np.random.RandomState(13)
+        w = rng.rand(64).astype(np.float32)
+        n = rng.randn(64, 3).astype(np.float32)
+        d = rng.randn(64, 3).astype(np.float32)
+        ref_val = float(ref.orientation_loss(
+            torch.from_numpy(w), torch.from_numpy(n), torch.from_numpy(d)))
+        ours = float(orientation_loss(jnp.asarray(w), jnp.asarray(n),
+                                      jnp.asarray(d)))
+        assert ours == pytest.approx(ref_val, rel=1e-5)
