@@ -33,8 +33,10 @@ _BODY_COLORS = [
     (0, 0, 255), (85, 0, 255), (170, 0, 255), (255, 0, 255),
     (255, 0, 170), (255, 0, 85),
 ]
-# left-right keypoint swap (1-based ids as in _BODY_LIMBS comments)
-_FLIP_ORDER = [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 14, 15, 17, 16]
+# left-right keypoint swap: shoulders/arms, hips/legs, eyes, AND ears all
+# swap sides (reference: draw_bodypose flip_LR, open_pose.py:93-101 —
+# note eyes at [15],[14] and ears at [17],[16] are both exchanged)
+_FLIP_ORDER = [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16]
 
 _HAND_EDGES = [
     (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
@@ -81,10 +83,18 @@ def draw_body(canvas: np.ndarray, kps: np.ndarray, radius: int = 4,
 
 def draw_hand(canvas: np.ndarray, kps: Optional[np.ndarray], radius: int = 4,
               thickness: int = 2) -> np.ndarray:
-    """21 hand keypoints: HSV-wheel sticks + red joint dots."""
+    """21 hand keypoints: red joint dots first, HSV-wheel sticks drawn over
+    them (reference order: draw_handpose, open_pose.py:175-220 — circles
+    then edges, so lines cover the dots at every joint)."""
     if kps is None:
         return canvas
     H, W = canvas.shape[:2]
+    for p in kps:
+        if not _ok(p):
+            continue
+        x, y = int(p[0] * W), int(p[1] * H)
+        if x > _EPS and y > _EPS:
+            cv2.circle(canvas, (x, y), radius, (0, 0, 255), thickness=-1)
     for ie, (i, j) in enumerate(_HAND_EDGES):
         p1, p2 = kps[i], kps[j]
         if not (_ok(p1) and _ok(p2)):
@@ -93,15 +103,11 @@ def draw_hand(canvas: np.ndarray, kps: Optional[np.ndarray], radius: int = 4,
         x2, y2 = int(p2[0] * W), int(p2[1] * H)
         if min(x1, y1, x2, y2) <= _EPS:
             continue
+        # float color exactly as the reference passes it to cv2
+        # (matplotlib hsv_to_rgb * 255, open_pose.py:211)
         rgb = colorsys.hsv_to_rgb(ie / len(_HAND_EDGES), 1.0, 1.0)
-        color = tuple(int(c * 255) for c in rgb)
+        color = tuple(c * 255.0 for c in rgb)
         cv2.line(canvas, (x1, y1), (x2, y2), color, thickness=thickness)
-    for p in kps:
-        if not _ok(p):
-            continue
-        x, y = int(p[0] * W), int(p[1] * H)
-        if x > _EPS and y > _EPS:
-            cv2.circle(canvas, (x, y), radius, (0, 0, 255), thickness=-1)
     return canvas
 
 

@@ -439,3 +439,62 @@ class TestSparsityLossParity:
         ours = float(orientation_loss(jnp.asarray(w), jnp.asarray(n),
                                       jnp.asarray(d)))
         assert ours == pytest.approx(ref_val, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# OpenPose skeleton-map drawing (open_pose.py) — the pose ControlNet's input
+# ---------------------------------------------------------------------------
+
+def _make_pose_arrays(seed: int = 0, drop: int = 3):
+    """One person's 128-keypoint layout: body 18 | lhand 21 | rhand 21 |
+    face 68, normalized xy in (0.1, 0.9), ``drop`` random body points
+    absent."""
+    rng = np.random.RandomState(seed)
+    kp = rng.rand(128, 2).astype(np.float32) * 0.8 + 0.1
+    absent = rng.choice(18, size=drop, replace=False)
+    kp[absent] = np.nan
+    return kp, absent
+
+
+def _to_ref_pose(ref, kp: np.ndarray):
+    def key(p):
+        if not np.all(np.isfinite(p)):
+            return None
+        return ref.Keypoint(float(p[0]), float(p[1]))
+
+    body = [key(p) for p in kp[:18]]
+    lhand = [key(p) for p in kp[18:39]]
+    rhand = [key(p) for p in kp[39:60]]
+    face = [key(p) for p in kp[60:128]]
+    return ref.PoseResult(
+        body=ref.BodyResult(keypoints=body, total_score=1.0, total_parts=18),
+        left_hand=lhand, right_hand=rhand, face=face)
+
+
+class TestOpenPoseDrawParity:
+    @pytest.mark.parametrize("hw,flip", [
+        ((512, 512), False), ((512, 512), True), ((768, 640), False),
+    ])
+    def test_canvas_matches(self, hw, flip):
+        ref = _load_ref("ref_open_pose", "core/human/open_pose.py")
+        from dreamwaltz_g_tpu.human.openpose import draw_openpose_map
+
+        H, W = hw
+        kp, _ = _make_pose_arrays()
+        ref_img = ref.adaptive_draw_poses(
+            [_to_ref_pose(ref, kp)], H, W, draw_body=True, draw_hand=True,
+            draw_face=True, flip_LR=flip)
+        ours = draw_openpose_map([kp], H, W, draw_body_kp=True,
+                                 draw_hand_kp=True, draw_face_kp=True,
+                                 flip_lr=flip)
+        assert ours.shape == ref_img.shape
+        # identical drawing primitives -> identical canvases
+        diff = np.abs(ours.astype(np.int32) - ref_img.astype(np.int32))
+        assert diff.max() == 0, (
+            f"{int((diff > 0).sum())} px differ, max {diff.max()}")
+
+    def test_flip_swaps_eyes_and_ears(self):
+        from dreamwaltz_g_tpu.human.openpose import _FLIP_ORDER
+        # eyes (0-based 14,15) and ears (16,17) exchange sides
+        assert _FLIP_ORDER[14] == 15 and _FLIP_ORDER[15] == 14
+        assert _FLIP_ORDER[16] == 17 and _FLIP_ORDER[17] == 16
