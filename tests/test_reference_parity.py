@@ -498,3 +498,99 @@ class TestOpenPoseDrawParity:
         # eyes (0-based 14,15) and ears (16,17) exchange sides
         assert _FLIP_ORDER[14] == 15 and _FLIP_ORDER[15] == 14
         assert _FLIP_ORDER[16] == 17 and _FLIP_ORDER[17] == 16
+
+
+# ---------------------------------------------------------------------------
+# SMPL-X -> OpenPose keypoint tables (smpl_utils.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_smpl_utils():
+    return _load_ref(
+        "ref_smpl_utils", "core/human/smpl_utils.py",
+        stubs={"human_body_prior.models.vposer_model": {"VPoser": object},
+               "configs.paths": {"HUMAN_TEMPLATES": "/tmp"}})
+
+
+class TestKeypointTableParity:
+    def test_coco18_mapping(self):
+        ref = _load_ref_smpl_utils()
+        from dreamwaltz_g_tpu.human.keypoints import (
+            SMPLX_TO_OPENPOSE_COCO18)
+        ref_map = ref.smpl_to_openpose(
+            model_type="smplx", openpose_format="coco18", use_hands=True,
+            use_face=True, use_face_contour=True)
+        np.testing.assert_array_equal(SMPLX_TO_OPENPOSE_COCO18, ref_map)
+
+    def test_keypoint_names_length(self):
+        ref = _load_ref_smpl_utils()
+        from dreamwaltz_g_tpu.human.keypoints import NUM_OPENPOSE_KEYPOINTS
+        assert len(ref.OPENPOSE_KEYPOINT_NAMES) >= 18
+        assert NUM_OPENPOSE_KEYPOINTS == 128
+
+
+# ---------------------------------------------------------------------------
+# Camera math (data/camera/utils.py) — conventions are load-bearing for
+# checkpoint/render parity (SURVEY §7.1)
+# ---------------------------------------------------------------------------
+
+def _load_ref_camera_utils():
+    smpl_utils = _load_ref_smpl_utils()
+    return _load_ref(
+        "ref_camera_utils", "data/camera/utils.py",
+        stubs={
+            "loguru": _LOGURU_STUB,
+            "pytorch3d.renderer.cameras": {
+                "look_at_view_transform": None,
+                "_get_sfm_calibration_matrix": None},
+            "configs": {"DataConfig": object},
+            "core.human.smpl_utils": {
+                "OPENPOSE_KEYPOINT_NAMES":
+                    smpl_utils.OPENPOSE_KEYPOINT_NAMES},
+        })
+
+
+class TestCameraMathParity:
+    def test_intrinsics(self):
+        ref = _load_ref_camera_utils()
+        from dreamwaltz_g_tpu.data.camera import to_intrinsics
+        tan = np.asarray([0.3, 0.5204, 1.0], np.float32)
+        for H, W in [(512, 512), (768, 640)]:
+            ref_K = ref.to_intrinsics(torch.from_numpy(tan), H, W).numpy()
+            ours = np.asarray(to_intrinsics(jnp.asarray(tan), H, W))
+            np.testing.assert_allclose(ours, ref_K, rtol=1e-6,
+                                       err_msg=f"{H}x{W}")
+
+    @pytest.mark.parametrize("z_range", [(-1, 1), (0, 1)])
+    def test_projection(self, z_range):
+        ref = _load_ref_camera_utils()
+        from dreamwaltz_g_tpu.data.camera import to_projection
+        tan = np.asarray([0.36, 0.57], np.float32)
+        ref_P = ref.to_projection(torch.from_numpy(tan), z_near=0.01,
+                                  z_far=100.0, aspect_wh=1.25,
+                                  z_range=z_range).numpy()
+        ours = np.asarray(to_projection(jnp.asarray(tan), 0.01, 100.0,
+                                        aspect_wh=1.25, z_range=z_range))
+        np.testing.assert_allclose(ours, ref_P, rtol=1e-5, atol=1e-7)
+
+    @pytest.mark.parametrize("flip", [False, True])
+    def test_screen_matrix(self, flip):
+        ref = _load_ref_camera_utils()
+        from dreamwaltz_g_tpu.data.camera import to_screen
+        mvp = torch.zeros(2, 4, 4)
+        ref_S = ref.to_screen(mvp, 512, 384, with_xyflip=flip).numpy()
+        ours = np.asarray(to_screen(2, 512, 384, with_xyflip=flip))
+        np.testing.assert_allclose(ours, ref_S, rtol=1e-6)
+
+    def test_ndc_depth_roundtrip(self):
+        ref = _load_ref_camera_utils()
+        from dreamwaltz_g_tpu.data.camera import (depth_to_ndc_depth,
+                                                  ndc_depth_to_depth)
+        d = np.linspace(0.5, 80.0, 13).astype(np.float32)
+        ref_ndc = ref.depth_to_ndc_depth(torch.from_numpy(d), 0.01,
+                                         100.0).numpy()
+        ours_ndc = np.asarray(depth_to_ndc_depth(jnp.asarray(d), 0.01,
+                                                 100.0))
+        np.testing.assert_allclose(ours_ndc, ref_ndc, rtol=1e-4)
+        back = np.asarray(ndc_depth_to_depth(jnp.asarray(ours_ndc), 0.01,
+                                             100.0))
+        np.testing.assert_allclose(back, d, rtol=1e-3)
