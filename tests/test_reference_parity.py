@@ -329,6 +329,20 @@ class TestPriorFunctionParity:
                 f"{prior} diverges at step {step}"
 
 
+class TestTimePrioritizedLRParity:
+    def test_weights_match(self):
+        ref = _load_ref_time_prior()
+        from dreamwaltz_g_tpu.guidance.time_prior import (TimePrioritizedLR,
+                                                          make_schedule)
+        schedule = make_schedule()
+        ref_pf = ref.PriorFunction("ddpm", None, t_min=0, t_max=999,
+                                   scheduler=_SchedStub(schedule))
+        ref_w = (ref_pf.weights / torch.max(ref_pf.weights)).numpy()
+        ours = TimePrioritizedLR(make_schedule())
+        for t in [0, 1, 13, 250, 500, 750, 998, 999]:
+            assert ours(t) == pytest.approx(float(ref_w[t]), rel=1e-4), t
+
+
 class TestAnnealingCurveParity:
     @pytest.mark.parametrize("spec", [
         "linear,900,100", "hifa,800,50", "linear,900,100,2.0",
@@ -547,6 +561,105 @@ def _load_ref_camera_utils():
                 "OPENPOSE_KEYPOINT_NAMES":
                     smpl_utils.OPENPOSE_KEYPOINT_NAMES},
         })
+
+
+# ---------------------------------------------------------------------------
+# Deformation network (deform_model.py + rigid_utils.py)
+# ---------------------------------------------------------------------------
+
+def _load_ref_deform():
+    """deform_model.py does ``from .rigid_utils import exp_se3`` — give it a
+    real parent package pointing at the reference directory."""
+    import sys
+    import types
+
+    pkg = types.ModuleType("ref_deformation")
+    pkg.__path__ = [str(REF / "core" / "deformation")]
+    optim_utils = _load_ref("ref_optim_utils", "core/optim/optim_utils.py")
+    stubs = {
+        "configs": {"TrainConfig": object},
+        "core.optim.optim_utils": {
+            "get_expon_lr_func": optim_utils.get_expon_lr_func},
+    }
+    saved = sys.modules.get("ref_deformation")
+    sys.modules["ref_deformation"] = pkg
+    try:
+        import importlib
+        mod = _load_ref("ref_deformation.deform_model",
+                        "core/deformation/deform_model.py", stubs=stubs)
+        rigid = importlib.import_module("ref_deformation.rigid_utils")
+        return mod, rigid
+    finally:
+        if saved is None:
+            sys.modules.pop("ref_deformation", None)
+        else:
+            sys.modules["ref_deformation"] = saved
+
+
+def _torch_deform_to_flax(tnet, depth: int, is_6dof: bool = False):
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    def wb(name):
+        return {"kernel": jnp.asarray(sd[f"{name}.weight"].T),
+                "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+    out = {f"dense_{i}": wb(f"layers.{i}") for i in range(depth)}
+    if is_6dof:
+        out["branch_w"] = wb("branch_w")
+        out["branch_v"] = wb("branch_v")
+    else:
+        out["head_offset"] = wb("gaussian_warp")
+    out["head_quat"] = wb("gaussian_rotation")
+    out["head_scale"] = wb("gaussian_scaling")
+    return {"params": out}
+
+
+class TestDeformNetworkParity:
+    @pytest.mark.parametrize("residual,is_6dof", [
+        (False, False), (True, False), (False, True),
+    ])
+    def test_forward_matches_with_converted_weights(self, residual,
+                                                    is_6dof):
+        ref_mod, _ = _load_ref_deform()
+        from dreamwaltz_g_tpu.human.deform import DeformNetwork
+
+        torch.manual_seed(0)
+        tnet = ref_mod.DeformNetwork(xyz_input_ch=None, D=4, W=64,
+                                     multires=10, residual=residual,
+                                     is_6dof=is_6dof)
+        tnet.eval()
+
+        rng = np.random.RandomState(5)
+        x = rng.randn(37, 3).astype(np.float32) * 0.5
+        pose = rng.randn(1, 63).astype(np.float32) * 0.3
+        with torch.no_grad():
+            t_off, t_scale, t_quat = tnet(torch.from_numpy(x),
+                                          torch.from_numpy(pose))
+
+        net = DeformNetwork(depth=4, width=64, xyz_input_ch=None,
+                            freq_degree=10, residual=residual,
+                            is_6dof=is_6dof)
+        params = _torch_deform_to_flax(tnet, 4, is_6dof)
+        j_off, j_scale, j_quat = net.apply(params, jnp.asarray(x),
+                                           jnp.asarray(pose))
+        np.testing.assert_allclose(np.asarray(j_off), t_off.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(j_scale), t_scale.numpy(),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j_quat), t_quat.numpy(),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_exp_se3_matches(self):
+        _, rigid = _load_ref_deform()
+        from dreamwaltz_g_tpu.human.deform import exp_se3
+        rng = np.random.RandomState(17)
+        S = rng.randn(29, 6).astype(np.float32)
+        S[:, :3] /= np.linalg.norm(S[:, :3], axis=-1, keepdims=True)
+        theta = rng.rand(29, 1).astype(np.float32) * np.pi
+        ref_T = rigid.exp_se3(torch.from_numpy(S),
+                              torch.from_numpy(theta)).numpy()
+        ours = np.asarray(exp_se3(jnp.asarray(S), jnp.asarray(theta)))
+        np.testing.assert_allclose(ours, ref_T, rtol=1e-4, atol=1e-5)
 
 
 class TestCameraMathParity:
