@@ -110,6 +110,34 @@ class NeRFConfig:
     sparsity_step: float = 1.0
     lambda_shape: float = 5e-6
 
+    # --- reference CLI-surface compatibility (configs/__init__.py:19-78) ---
+    # CUDA variable-step marching knobs: replaced on TPU by the static-shape
+    # num_steps/compact_steps above (warned when set off-default)
+    cuda_ray: bool = True
+    max_steps: int = 1024
+    dt_gamma: float = 0.0
+    # dead in the reference (the consuming code is commented out,
+    # nerf_renderer.py:445-462)
+    bg_suppress: bool = False
+    bg_suppress_dist: float = 0.5
+    # honored: stop-gradient on weights_sum when compositing the background
+    # (reference: nerf_renderer.py:467)
+    detach_bg_weights_sum: bool = False
+    # DMTet finetune path (reference: nerf_renderer.py:475-646): the library
+    # modules exist here (nerf/dmtet.py, nerf/isosurface.py, mesh losses) but
+    # the trainer wiring is not shipped — the reference's shipped scripts
+    # never enable it either; warned when set
+    dmtet: bool = False
+    dmtet_reso_scale: float = 8.0
+    lock_geo: bool = False
+    tet_grid_size: int = 128
+    lambda_normal: float = 0.0
+    lambda_2d_normal_smooth: float = 0.0
+    lambda_3d_normal_smooth: float = 0.0   # dead in the reference
+    lambda_mesh_normal: float = 0.5
+    lambda_mesh_laplacian: float = 0.5
+    start_shading_iter: Optional[int] = None  # dead in the reference
+
 
 @dataclass
 class RenderConfig:
@@ -213,6 +241,44 @@ class RenderConfig:
     use_constant_opacities: Optional[float] = None
     use_fixed_n_gaussians: Optional[int] = None
 
+    # --- reference CLI-surface compatibility (configs/__init__.py:105-217) ---
+    # learnable SMPL-X template components in the LBS module (reference:
+    # LinearBlendSkinning nn.Parameters, inverse_lbs.py; avatar.py:1664-1676).
+    # The functional GLBS here keeps the template frozen (extra hand/face
+    # betas cover the shipped use, learn_hand/face_betas); warned when set
+    deform_learn_v_template: bool = False
+    deform_learn_shapedirs: bool = False
+    deform_learn_posedirs: bool = False
+    deform_learn_expr_dirs: bool = False
+    deform_learn_lbs_weights: bool = False
+    deform_learn_J_regressor: bool = False
+    # optional shape/pose offset terms in the unconstrained-gaussian LBS
+    # composition (reference: avatar.py:1412-1435) — warned when set
+    use_joint_shape_offsets: bool = False
+    use_vertex_shape_offsets: bool = False
+    use_vertex_pose_offsets: bool = False
+    # honored: PLY-initialized frozen 3DGS background scene merged into
+    # every render (reference: scene.py:123-132, 233-235; DC-only colors).
+    # Single-device + eval paths; warned under DP/TP training
+    use_gs_background: Optional[str] = None
+    # honored: bbox interiors removed from the NeRF point-cloud export
+    # (reference: trainer.py:550-553); string like "[((x0,y0,z0),(x1,y1,z1))]"
+    nerf_exclusion_bboxes: Optional[str] = None
+    # dead in the reference (defined, never read)
+    use_nerf_scales: bool = False
+    use_nerf_quaternions: bool = False
+    use_deform_scales_and_quaternions: bool = False
+    # only read by the reference's dead HashAvatarWithMesh path
+    use_nerf_mesh_opacities: bool = False
+    # learnable mesh vertex coords for mesh-binding gaussians (reference:
+    # avatar.py:930-952; distinct from learn_mesh_bary_coords) — warned
+    learn_mesh_vertex_coords: bool = False
+    # honored: scene-level per-avatar placement applied to the merged
+    # gaussians before rasterization (reference: scene.py:65-93);
+    # string-eval'd scalar/tuple, e.g. "0.5" or "(0.5,0.5,0.5)"
+    avatar_scale: Optional[str] = None
+    avatar_transl: Optional[str] = None
+
     # TPU rasterizer knobs (new)
     tile_size: int = 32           # pixel tile edge for the Pallas/MXU blender
     tile_capacity: int = 1024     # max gaussians blended per tile (depth-sorted)
@@ -244,6 +310,28 @@ class GuideConfig:
     # safetensors file, or a name under <weights_dir>/lora/.
     lora_name: Optional[str] = None
     lora_scale: float = 1.0
+    # Textual-Inversion concept merged into the CLIP text tower at load
+    # time (reference downloads sd-concepts-library/<name> learned embeds,
+    # basic.py:285-310; here an offline path to learned_embeds.bin or a
+    # name under <weights_dir>/concepts/)
+    concept_name: Optional[str] = None
+    # --- reference CLI-surface compatibility (configs/__init__.py:233-277)
+    # dead in the reference (defined, never read)
+    negative_text_in_SBP: str = (
+        "oversaturated, smooth, pixelated, cartoon, foggy, hazy, blurry, "
+        "bad structure, noisy, malformed")
+    # honored: decode + dump gradient/denoised latents at snapshot steps
+    # (reference: trainer.py:956, basic.py:785-921)
+    grad_viz: bool = False
+    # precision intent knobs: TPU guidance always computes in `dtype`
+    # (bf16 by default — the MXU-native equivalent of the reference's fp16);
+    # parsed so reference command lines work, warned only when they would
+    # LOWER precision expectations (fp16 requested but f32 configured)
+    diffusion_fp16: bool = False
+    controlnet_fp16: bool = False
+    # honored (stage-1): multiply RGB pixel-grad clip/norm by the render's
+    # weights_sum mask (reference: trainer.py:959-962, pgc.py:15-30)
+    grad_rgb_clip_mask_guidance: bool = False
     use_controlnet: bool = True
     controlnet: str = "sd15"
     controlnet_condition: str = "pose"  # comma-separated: 'pose', 'depth', 'depth_raw', ...
@@ -312,6 +400,8 @@ class DataConfig:
     batched_view: bool = False
     uniform_sphere_rate: float = 0.0
     jitter_pose: bool = False
+    # dead in the reference (defined, never read) — CLI compat only
+    objaverse_id: str = "ff30e709302d47a683b5b0e98148b5a7"
     vertical_jitter: Optional[Tuple[float, float]] = None
     use_human_vertical_jitter: bool = True
     camera_offset: Optional[Tuple[float, float, float]] = None
@@ -410,6 +500,14 @@ class PromptConfig:
     ignore_body_self_occlusion: bool = True
     openpose_left_right_flip: bool = False
 
+    # --- reference CLI-surface compatibility (configs/__init__.py:431-448)
+    # all dead in the reference (nerf_depth_step/num_object never read;
+    # adaptive_hand_dist_thres's consumer is commented out,
+    # smpl_condition.py:152)
+    nerf_depth_step: float = 0.2
+    num_object: int = 0
+    adaptive_hand_dist_thres: Optional[float] = None
+
 
 @dataclass
 class OptimConfig:
@@ -458,6 +556,11 @@ class LogConfig:
     # (reference: export_samples, core/trainer.py:386-443)
     check_sd: bool = False
     check_sd_steps: int = 50  # DDIM grid for the check_sd samples
+    # dead in the reference (defined, never read) — CLI compat only
+    # (reference: configs/__init__.py:489-495)
+    nvstrain_only: bool = False
+    anytrain_only: bool = False
+    skip_rgb: bool = False
     # force a JAX platform ('cpu'/'tpu'); the environment may pin platforms
     # programmatically, so env vars alone cannot select CPU smoke runs
     platform: Optional[str] = None

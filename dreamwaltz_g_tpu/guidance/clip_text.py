@@ -192,6 +192,19 @@ class CLIPTokenizer:
             re.IGNORECASE)
         self.bos = self.encoder["<|startoftext|>"]
         self.eos = self.encoder["<|endoftext|>"]
+        # Textual-Inversion placeholder tokens (matched verbatim, pre-BPE)
+        self.added: dict = {}
+
+    def add_token(self, token: str) -> int:
+        """Register a placeholder token (reference: tokenizer.add_tokens in
+        load_concept, basic.py:303-310). Returns its new id — the row index
+        to append to the text tower's embedding table."""
+        token = token.strip().lower()
+        if token in self.added or token in self.encoder:
+            raise ValueError(f"token {token!r} already in the tokenizer")
+        idx = len(self.encoder) + len(self.added)
+        self.added[token] = idx
+        return idx
 
     def _bpe(self, token: str) -> str:
         if token in self.cache:
@@ -220,6 +233,19 @@ class CLIPTokenizer:
     def encode(self, text: str) -> List[int]:
         text = html.unescape(html.unescape(text))
         text = re.sub(r"\s+", " ", text).strip().lower()
+        if self.added:
+            # split on placeholder tokens first — they bypass BPE entirely
+            pat = "(" + "|".join(re.escape(t) for t in self.added) + ")"
+            ids = []
+            for seg in re.split(pat, text):
+                if seg in self.added:
+                    ids.append(self.added[seg])
+                elif seg:
+                    ids.extend(self._encode_bpe(seg))
+            return ids
+        return self._encode_bpe(text)
+
+    def _encode_bpe(self, text: str) -> List[int]:
         ids = []
         for tok in re.findall(self.pat, text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))

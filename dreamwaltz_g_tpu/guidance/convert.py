@@ -404,6 +404,57 @@ def _family_modules(fam: dict):
         ucfg.cross_attention_dim
 
 
+def load_concept_embedding(path: str):
+    """Load a Textual-Inversion concept file -> (token, (D,) np array)
+    (reference: load_concept, basic.py:285-316 — downloads
+    sd-concepts-library/<name>/learned_embeds.bin; offline file here).
+    Accepts torch ``learned_embeds.bin`` ({token: (D,) tensor}), a
+    safetensors file, or an .npz with one named array."""
+    import numpy as np
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        d = dict(load_file(path))
+    elif path.endswith(".npz"):
+        z = np.load(path)
+        d = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        d = {k: v.detach().cpu().numpy() for k, v in torch.load(
+            path, map_location="cpu", weights_only=True).items()}
+    token = next(iter(d))
+    emb = np.asarray(d[token], np.float32)
+    if emb.ndim == 2:
+        if emb.shape[0] != 1:
+            raise ValueError(
+                f"multi-vector concepts ({emb.shape[0]} vectors) are not "
+                "supported — the reference's sd-concepts are single-vector")
+        emb = emb[0]
+    return token, emb
+
+
+def merge_concept(clip_p, tokenizer, path: str):
+    """Register the concept token and append its embedding row to the text
+    tower's token table (reference: load_concept, basic.py:303-316)."""
+    token, emb = load_concept_embedding(path)
+    tok_id = tokenizer.add_token(token)
+    table = clip_p["params"]["token_embedding"]["embedding"]
+    if tok_id != table.shape[0]:
+        raise ValueError(
+            f"concept token id {tok_id} != table size {table.shape[0]}")
+    if emb.shape[0] != table.shape[1]:
+        raise ValueError(
+            f"concept dim {emb.shape[0]} != text width {table.shape[1]}")
+    new = jnp.concatenate(
+        [table, jnp.asarray(emb, table.dtype)[None]], axis=0)
+    out = dict(clip_p)
+    out["params"] = dict(clip_p["params"])
+    out["params"]["token_embedding"] = {"embedding": new}
+    return out, token
+
+
 def load_converted_guidance(
     weights_dir: str,
     use_controlnet: bool = True,
@@ -416,6 +467,7 @@ def load_converted_guidance(
     model: str = "sd15",
     lora_name: str = None,
     lora_scale: float = 1.0,
+    concept_name: str = None,
 ):
     """Build the SD guidance stack from a converted-weights directory:
     ``unet.msgpack``, ``vae.msgpack``, ``clip.msgpack``, optional
@@ -492,6 +544,19 @@ def load_converted_guidance(
         clip.init(key, jnp.zeros((1, 77), jnp.int32)))
     tokenizer = CLIPTokenizer(osp.join(weights_dir, "vocab.json"),
                               osp.join(weights_dir, "merges.txt"))
+    if concept_name:
+        # offline Textual-Inversion merge (reference: guide.concept_name +
+        # load_concept, basic.py:266,285-316)
+        cpath = concept_name
+        if not osp.isfile(cpath):
+            cpath = osp.join(weights_dir, "concepts", concept_name,
+                             "learned_embeds.bin")
+        clip_p, token = merge_concept(clip_p, tokenizer, cpath)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "merged Textual-Inversion concept %s (token %r) into the text "
+            "tower", concept_name, token)
 
     encode = jax.jit(lambda ids: clip.apply(clip_p, ids))
 

@@ -508,9 +508,40 @@ def make_pgc(clip_value: float = 0.1, mode: str = "clip"):
 
 
 def make_rgb_grad_hook(grad_clip: bool, grad_norm: bool,
-                       grad_clip_scale: float = 3.0):
+                       grad_clip_scale: float = 3.0,
+                       with_mask: bool = False):
     """RMS-std clip then global L2 normalize of the rendered-image gradient
-    (reference: build_grad_hook_func, pgc.py:13-41)."""
+    (reference: build_grad_hook_func, pgc.py:13-41).
+
+    ``with_mask``: the hook takes a second (H, W, 1) mask argument (the
+    render's weights_sum) — grads are masked before the std statistic, the
+    reference's ``--guide.grad_rgb_clip_mask_guidance`` path
+    (trainer.py:959-962, pgc.py:19-24). The returned callable carries
+    ``wants_mask=True`` so step builders know to pass it.
+    """
+    if with_mask:
+        @jax.custom_vjp
+        def hook_m(x, mask):
+            return x
+
+        def fwd_m(x, mask):
+            return x, mask
+
+        def bwd_m(mask, g):
+            out = g
+            if grad_clip:
+                gz = jnp.nan_to_num(out * mask)
+                nz = jnp.maximum(jnp.sum(jnp.abs(gz) > 0), 1)
+                std = jnp.sqrt(jnp.sum(gz * gz) / nz) * grad_clip_scale
+                out = jnp.nan_to_num(jnp.clip(gz, -std, std))
+            if grad_norm:
+                n = jnp.sqrt(jnp.sum(out * out))
+                out = out / jnp.maximum(n, 1e-8)
+            return (out, jnp.zeros_like(mask))
+
+        hook_m.defvjp(fwd_m, bwd_m)
+        hook_m.wants_mask = True
+        return hook_m
 
     @jax.custom_vjp
     def hook(x):
@@ -544,9 +575,12 @@ def build_pixel_grad_hook(guide_cfg):
         return make_pgc_suppress(guide_cfg.pgc_clip_rgb,
                                  guide_cfg.pgc_suppress_type)
     if guide_cfg.grad_rgb_clip or guide_cfg.grad_rgb_norm:
-        return make_rgb_grad_hook(guide_cfg.grad_rgb_clip,
-                                  guide_cfg.grad_rgb_norm,
-                                  guide_cfg.grad_rgb_clip_scale)
+        return make_rgb_grad_hook(
+            guide_cfg.grad_rgb_clip,
+            guide_cfg.grad_rgb_norm,
+            guide_cfg.grad_rgb_clip_scale,
+            with_mask=getattr(guide_cfg, "grad_rgb_clip_mask_guidance",
+                              False))
     return None
 
 

@@ -93,3 +93,25 @@ def export_point_cloud(
 
     return BasicPointCloud(points=pts.astype(np.float32),
                            colors=cols.astype(np.float32))
+
+
+def remove_points_inside_bboxes(pc: BasicPointCloud,
+                                bboxes) -> BasicPointCloud:
+    """Drop points falling inside any axis-aligned bbox; each bbox is an
+    iterable of corner points whose min/max span the box
+    (reference: remove_points_inside_bboxes, to_point_cloud.py:95-114 —
+    the --render.nerf_exclusion_bboxes consumer, trainer.py:550-553)."""
+    pts = np.asarray(pc.points)
+    if isinstance(bboxes[0][0], (int, float)):
+        bboxes = [bboxes]
+    keep = np.ones(pts.shape[0], bool)
+    for bbox in bboxes:
+        corners = np.asarray(bbox, np.float32)
+        mn, mx = corners.min(axis=0), corners.max(axis=0)
+        keep &= ~np.all((pts >= mn) & (pts <= mx), axis=-1)
+
+    def sel(a):
+        return None if a is None else np.asarray(a)[keep]
+
+    return BasicPointCloud(points=pts[keep], colors=sel(pc.colors),
+                           normals=sel(pc.normals))

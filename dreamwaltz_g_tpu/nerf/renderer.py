@@ -346,6 +346,13 @@ def shade(albedo, normals, shading: str, light_dir, ambient_ratio: float):
     return albedo
 
 
-def composite_background(image, weights_sum, bg_color):
-    """out = image + (1 - weights_sum) * bg (reference: nerf_renderer.py:404-472)."""
+def composite_background(image, weights_sum, bg_color,
+                         detach_weights_sum: bool = False):
+    """out = image + (1 - weights_sum) * bg (reference: nerf_renderer.py:404-472).
+
+    ``detach_weights_sum`` stops gradients flowing into the opacity through
+    the background term (reference: --nerf.detach_bg_weights_sum,
+    nerf_renderer.py:467)."""
+    if detach_weights_sum:
+        weights_sum = jax.lax.stop_gradient(weights_sum)
     return image + (1.0 - weights_sum)[..., None] * bg_color

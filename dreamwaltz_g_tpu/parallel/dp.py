@@ -54,6 +54,7 @@ def make_avatar_sds_step_dp(
     bg_net=None,
     bg_tx=None,
     gparams_shardings=None,
+    placement=None,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
@@ -100,7 +101,8 @@ def make_avatar_sds_step_dp(
                 bg = bg_net.apply(bgp, rays_d[0]).reshape(H, W, 3)
             image, out = _render_with_dummy(
                 model, state, params, obs, dummy,
-                extr, intr, tf, bg, H, W, raster, pgc=pgc)
+                extr, intr, tf, bg, H, W, raster, pgc=pgc,
+                placement=placement)
             use_cond = guidance.controlnet is not None \
                 and gparams.controlnet is not None
             sds = guidance(
@@ -226,6 +228,7 @@ def make_nerf_sds_step_dp(
     compact = getattr(nerf_cfg, "compact_steps", 0)
     min_near = getattr(nerf_cfg, "min_near", 0.05)
     upsample = getattr(nerf_cfg, "upsample_steps", 0)
+    detach_bg = getattr(nerf_cfg, "detach_bg_weights_sum", False)
 
     def step(state: NeRFTrainState, grid, gparams: GuidanceParams,
              cam_c2w, cam_intr, bg_color, text_embeds, uncond_embeds, t,
@@ -240,9 +243,12 @@ def make_nerf_sds_step_dp(
                 model, params, grid, c2w, intr, H, W, k_render, num_steps,
                 bg, bg_mode=bg_mode, ray_chunk=ray_chunk,
                 min_near=min_near, upsample_steps=upsample,
-                compact_steps=compact)
+                compact_steps=compact, detach_bg_ws=detach_bg)
             if pgc is not None and img.shape[-1] == 3:
-                img = pgc(img)
+                if getattr(pgc, "wants_mask", False):
+                    img = pgc(img, jax.lax.stop_gradient(wsum)[..., None])
+                else:
+                    img = pgc(img)
             use_cond = guidance.controlnet is not None \
                 and gparams.controlnet is not None
             sds = guidance(gparams, img[None], txt[None], unc[None],
@@ -333,6 +339,7 @@ def make_vanilla_sds_step_dp(
     neg_embeds=None,
     pgc=None,
     gparams_shardings=None,
+    placement=None,
 ):
     """Data-parallel SDS step for gs_type='vanilla' (VERDICT r2 #6: lift
     the batch_size==1 restriction). Mirrors ``make_avatar_sds_step_dp``:
@@ -362,6 +369,9 @@ def make_vanilla_sds_step_dp(
             st = vstate._replace(
                 gaussians=vstate.gaussians._replace(params=params))
             gs = animate_vanilla(model, st, obs)
+            if placement is not None:
+                from ..system.avatar import place_gaussians
+                gs = place_gaussians(gs, *placement)
             cov3d = R.covariance3d(gs.quats, gs.scales)
             g2d = R.project_gaussians(
                 gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,

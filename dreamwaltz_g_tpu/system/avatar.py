@@ -554,6 +554,24 @@ def merge_gaussians(*gs: GaussiansOut) -> GaussiansOut:
     ])
 
 
+def place_gaussians(gs: GaussiansOut, scale=None, transl=None,
+                    index: int = 0) -> GaussiansOut:
+    """Scene-level per-avatar placement applied after animate
+    (reference: Scene.avatar_forward, scene.py:81-93 —
+    --render.avatar_scale/--render.avatar_transl). ``scale`` is a scalar or
+    a per-avatar (A,) array; ``transl`` is (3,) or per-avatar (A, 3);
+    ``index`` selects the avatar's entry for the per-avatar forms."""
+    if scale is not None:
+        s = jnp.asarray(scale, jnp.float32)
+        s = s[index] if s.ndim == 1 else s
+        gs = gs._replace(positions=gs.positions * s, scales=gs.scales * s)
+    if transl is not None:
+        t = jnp.asarray(transl, jnp.float32)
+        t = t[index] if t.ndim == 2 else t
+        gs = gs._replace(positions=gs.positions + t[None])
+    return gs
+
+
 # ---------------------------------------------------------------------------
 # Densification on the unconstrained set
 # ---------------------------------------------------------------------------

@@ -84,3 +84,32 @@ class VideoBackground:
         assert f.shape[0] == cam.image_height and f.shape[1] == cam.image_width, (
             "video background resolution mismatch")
         return f
+
+
+def load_gaussian_background(path: str):
+    """PLY-initialized 3DGS background scene merged into every render
+    (reference: --render.use_gs_background, scene.py:123-132, 233-235:
+    GaussianModel.load_ply_and_initialize + DC-only SH colors precomputed
+    before the avatar merge). Returns a frozen ``GaussiansOut``.
+
+    The reference evaluates SH with sh_levels=1 (scene.py:127: degree 0 —
+    direction-independent), so colors are a constant precompute here.
+    """
+    from ..ops.sh import C0
+    from ..system.avatar import GaussiansOut
+    from ..utils.point_cloud import load_gaussian_ply
+
+    d = load_gaussian_ply(path)
+    n = d["positions"].shape[0]
+    colors = jnp.clip(jnp.asarray(d["sh_dc"]) * C0 + 0.5, 0.0, 1.0)
+    return GaussiansOut(
+        positions=jnp.asarray(d["positions"]),
+        colors=colors,
+        opacities=jax.nn.sigmoid(jnp.asarray(d["opacity_logit"])),
+        scales=jnp.exp(jnp.asarray(d["log_scales"])),
+        quats=jnp.asarray(d["quats"])
+        / jnp.maximum(jnp.linalg.norm(jnp.asarray(d["quats"]), axis=-1,
+                                      keepdims=True), 1e-8),
+        alive=jnp.ones((n,), bool),
+        densify_mask=jnp.zeros((n,), bool),
+    )

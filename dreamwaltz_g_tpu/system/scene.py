@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from ..data.camera import CameraBatch
 from ..human.smplx_model import SMPLXParams
 from ..ops import rasterize as R
-from .avatar import AvatarModel, AvatarState, GaussiansOut, animate, merge_gaussians
+from .avatar import (AvatarModel, AvatarState, GaussiansOut, animate,
+                     merge_gaussians, place_gaussians)
 
 
 class SceneRender(NamedTuple):
@@ -62,6 +63,10 @@ class Scene(NamedTuple):
 
     model: AvatarModel
     extra_models: tuple = ()
+    # scene-level per-avatar placement: scalar/(A,) scale, (3,)/(A,3) transl
+    # (reference: --render.avatar_scale/avatar_transl, scene.py:65-93)
+    avatar_scale: Optional[jnp.ndarray] = None
+    avatar_transl: Optional[jnp.ndarray] = None
 
     def forward(
         self,
@@ -73,11 +78,16 @@ class Scene(NamedTuple):
         view_index: int = 0,
         **raster_kwargs,
     ) -> SceneRender:
-        gs = animate(self.model, state, observed_inputs)
+        def place(gs, i):
+            return place_gaussians(gs, self.avatar_scale,
+                                   self.avatar_transl, index=i)
+
+        gs = place(animate(self.model, state, observed_inputs), 0)
         if extra_states:
             extra = [
-                animate(m, s, observed_inputs)
-                for m, s in zip(self.extra_models, extra_states)
+                place(animate(m, s, observed_inputs), i + 1)
+                for i, (m, s) in enumerate(
+                    zip(self.extra_models, extra_states))
             ]
             gs = merge_gaussians(gs, *extra)
         return render_gaussians(gs, cam, background, view_index, **raster_kwargs)

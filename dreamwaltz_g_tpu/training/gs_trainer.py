@@ -51,12 +51,27 @@ def init_avatar_train_state(state: AvatarState,
 
 def _render_with_dummy(model: AvatarModel, state: AvatarState, params,
                        observed_inputs, dummy, extrinsic, intrinsics, tanfov,
-                       background, H, W, raster, pgc=None):
+                       background, H, W, raster, pgc=None, placement=None,
+                       static_gaussians=None):
     """Animate + project (+dummy on means2d) + rasterize + composite.
 
     ``pgc``: optional custom_vjp image hook — RGB pixel-gradient clipping
-    (reference: register_hook on inputs, basic.py:795-817)."""
+    (reference: register_hook on inputs, basic.py:795-817).
+    ``placement``: optional (avatar_scale, avatar_transl) scene placement
+    (reference: scene.py:81-93).
+    ``static_gaussians``: frozen GaussiansOut appended before rasterization
+    — the PLY gaussian background (reference: --render.use_gs_background,
+    scene.py:123-132); appended AFTER the avatar so densification stats
+    keep slicing [:C]."""
     gs = animate(model, state._replace(params=params), observed_inputs)
+    if placement is not None:
+        from ..system.avatar import place_gaussians
+        gs = place_gaussians(gs, *placement)
+    if static_gaussians is not None:
+        gs = merge_gaussians(gs, static_gaussians)
+        dummy = jnp.concatenate(
+            [dummy, jnp.zeros((static_gaussians.positions.shape[0], 2),
+                              dummy.dtype)])
     cov3d = R.covariance3d(gs.quats, gs.scales)
     g2d = R.project_gaussians(
         gs.positions, cov3d, gs.opacities, gs.colors, extrinsic, intrinsics,
@@ -82,6 +97,8 @@ def make_avatar_sds_step(
     lambda_guidance: float = 1.0,
     neg_embeds=None,
     pgc=None,
+    placement=None,
+    static_gaussians=None,
 ):
     """One avatar SDS step. Returns (state', metrics).
 
@@ -107,7 +124,8 @@ def make_avatar_sds_step(
             image, out = _render_with_dummy(
                 model, state, params, observed_inputs, dummy,
                 extrinsic, intrinsics, tanfov, background, H, W, raster,
-                pgc=pgc)
+                pgc=pgc, placement=placement,
+                static_gaussians=static_gaussians)
             sds = guidance(gparams, image[None], text_embeds, uncond_embeds,
                            t, key, cond_image=cond_image,
                            neg_embeds=neg_embeds,
@@ -216,6 +234,8 @@ def make_vanilla_sds_step(
     lambda_guidance: float = 1.0,
     neg_embeds=None,
     pgc=None,
+    placement=None,
+    static_gaussians=None,
 ):
     """One SDS step on the vanilla LBS avatar: its GaussianParams (means,
     SH features, opacity, scales, quats) are the learnables; LBS weights
@@ -239,11 +259,21 @@ def make_vanilla_sds_step(
             st = vstate._replace(
                 gaussians=vstate.gaussians._replace(params=params))
             gs = animate_vanilla(model, st, observed_inputs, campos=campos)
+            if placement is not None:
+                from ..system.avatar import place_gaussians
+                gs = place_gaussians(gs, *placement)
+            dm = dummy
+            if static_gaussians is not None:
+                gs = merge_gaussians(gs, static_gaussians)
+                dm = jnp.concatenate(
+                    [dummy, jnp.zeros(
+                        (static_gaussians.positions.shape[0], 2),
+                        dummy.dtype)])
             cov3d = R.covariance3d(gs.quats, gs.scales)
             g2d = R.project_gaussians(
                 gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
                 intrinsics, H, W, tanfov=tanfov, alive=gs.alive)
-            g2d = g2d._replace(means2d=g2d.means2d + dummy)
+            g2d = g2d._replace(means2d=g2d.means2d + dm)
             out = R.rasterize_projected(g2d, H, W, **raster)
             image = out.image + (1.0 - out.alpha)[..., None] * background
             if pgc is not None and image.shape[-1] == 3:
@@ -293,7 +323,8 @@ def densify_vanilla(tstate: VanillaTrainState, cfg: DensifyConfig,
 def make_vanilla_render(model, image_height: int, image_width: int,
                         tile_size: int = 16, capacity: int = 512,
                         chunk: int = 64, max_tiles_per_gaussian: int = 16,
-                        extra_models: tuple = ()):
+                        extra_models: tuple = (), placement=None,
+                        static_gaussians=None):
     """Jit'd eval render for gs_type='vanilla' — same call signature as
     ``make_avatar_render`` so the Trainer's eval path is type-agnostic."""
     from ..system.vanilla import animate_vanilla
@@ -306,6 +337,11 @@ def make_vanilla_render(model, image_height: int, image_width: int,
     def render(vstate, observed_inputs, extrinsic, intrinsics, tanfov,
                background, extra_states: tuple = ()):
         gs = animate_vanilla(model, vstate, observed_inputs)
+        if placement is not None:
+            from ..system.avatar import place_gaussians
+            gs = place_gaussians(gs, *placement)
+        if static_gaussians is not None:
+            gs = merge_gaussians(gs, static_gaussians)
         cov3d = R.covariance3d(gs.quats, gs.scales)
         g2d = R.project_gaussians(
             gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
@@ -333,15 +369,18 @@ def make_avatar_render(model: AvatarModel, image_height: int,
                        image_width: int, tile_size: int = 16,
                        capacity: int = 512, chunk: int = 64,
                        max_tiles_per_gaussian: int = 16,
-                       extra_models: tuple = ()):
+                       extra_models: tuple = (), placement=None,
+                       static_gaussians=None):
     """Jit'd eval/inference render (reference: evaluate + Scene.forward).
 
     ``extra_models`` enables scene composition: additional avatars loaded
     from second checkpoints render together (reference: ckpt_extra +
     load_extra_avatar_from_state_dict, scene.py:213-222); pass their states
     as the ``extra_states`` tuple. Multi-person poses: observed_inputs with
-    batch dim B>1 assigns person i to avatar i (scene.py:104-121)."""
-    from ..system.avatar import merge_gaussians
+    batch dim B>1 assigns person i to avatar i (scene.py:104-121).
+    ``placement``: optional (avatar_scale, avatar_transl), per-avatar
+    indexed (reference: scene.py:81-93)."""
+    from ..system.avatar import merge_gaussians, place_gaussians
 
     H, W = image_height, image_width
     raster = dict(tile_size=tile_size, capacity=capacity, chunk=chunk,
@@ -350,20 +389,28 @@ def make_avatar_render(model: AvatarModel, image_height: int,
     def _person(observed_inputs, i):
         return jax.tree_util.tree_map(lambda x: x[i: i + 1], observed_inputs)
 
+    def _place(gs, i):
+        return gs if placement is None else place_gaussians(
+            gs, *placement, index=i)
+
     @jax.jit
     def render(state: AvatarState, observed_inputs,
                extrinsic, intrinsics, tanfov, background,
                extra_states: tuple = ()):
         B = observed_inputs.body_pose.shape[0]
-        gs = animate(model, state,
-                     _person(observed_inputs, 0) if B > 1 else observed_inputs)
+        gs = _place(animate(
+            model, state,
+            _person(observed_inputs, 0) if B > 1 else observed_inputs), 0)
         if extra_states:
             parts = [
-                animate(m, s, _person(observed_inputs, min(i + 1, B - 1))
-                        if B > 1 else observed_inputs)
+                _place(animate(
+                    m, s, _person(observed_inputs, min(i + 1, B - 1))
+                    if B > 1 else observed_inputs), i + 1)
                 for i, (m, s) in enumerate(zip(extra_models, extra_states))
             ]
             gs = merge_gaussians(gs, *parts)
+        if static_gaussians is not None:
+            gs = merge_gaussians(gs, static_gaussians)
         cov3d = R.covariance3d(gs.quats, gs.scales)
         g2d = R.project_gaussians(
             gs.positions, cov3d, gs.opacities, gs.colors, extrinsic,
@@ -379,7 +426,7 @@ def make_avatar_render_frames(model: AvatarModel, image_height: int,
                               image_width: int, tile_size: int = 16,
                               capacity: int = 512, chunk: int = 64,
                               max_tiles_per_gaussian: int = 16,
-                              mesh=None):
+                              mesh=None, placement=None):
     """Frame-batched animation rendering: ONE dispatch renders F frames
     (``lax.map`` over stacked poses+cameras inside one jit). On the
     remote-TPU runtime each dispatch pays a host round trip comparable to
@@ -406,6 +453,9 @@ def make_avatar_render_frames(model: AvatarModel, image_height: int,
             # make_avatar_render's _person(observed_inputs, 0)
             obs = jax.tree_util.tree_map(lambda x: x[:1], obs)
         gs = _animate(model, state, obs)
+        if placement is not None:
+            from ..system.avatar import place_gaussians
+            gs = place_gaussians(gs, *placement)
         cov3d = R.covariance3d(gs.quats, gs.scales)
         g2d = R.project_gaussians(
             gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,
@@ -492,6 +542,8 @@ def make_avatar_sds_step_split(
     bg_tx: Optional[optax.GradientTransformation] = None,
     neg_embeds=None,
     pgc=None,
+    placement=None,
+    static_gaussians=None,
 ):
     """Avatar SDS step as THREE small jitted programs instead of one giant
     graph: (A) render -> VAE-encode forward, (B) frozen UNet eps ->
@@ -520,7 +572,8 @@ def make_avatar_sds_step_split(
         image, out = _render_with_dummy(
             model, state, params, observed_inputs, dummy,
             extrinsic, intrinsics, tanfov, background, H, W, raster,
-            pgc=pgc)
+            pgc=pgc, placement=placement,
+            static_gaussians=static_gaussians)
         return image, out
 
     def _bg_image(bg_params, c2w, intrinsics):

@@ -45,7 +45,7 @@ def init_train_state(model: NeRFModel, tx: optax.GradientTransformation,
 def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
                   num_steps, bg_color, shading="albedo", bg_mode="color",
                   upsample_steps=0, ray_chunk=0, min_near=0.05,
-                  compact_steps=0):
+                  compact_steps=0, detach_bg_ws=False):
     """Render a full (H, W, C) image by marching all pixels in one batch.
 
     ``bg_mode='nerf'`` composites the learned ray-direction background MLP
@@ -93,7 +93,11 @@ def _render_image(model, params, grid, cam_c2w, cam_intr, H, W, key,
         bg = model.background(params, rays_d[0])
     else:
         bg = bg_color
-    img = out.image + (1.0 - out.weights_sum)[:, None] * bg
+    wsum = out.weights_sum
+    if detach_bg_ws:
+        # --nerf.detach_bg_weights_sum (reference: nerf_renderer.py:467)
+        wsum = jax.lax.stop_gradient(wsum)
+    img = out.image + (1.0 - wsum)[:, None] * bg
     return (img.reshape(H, W, -1), out.depth.reshape(H, W),
             out.weights_sum.reshape(H, W))
 
@@ -182,9 +186,17 @@ def make_nerf_sds_step(
                 bg_mode=bg_mode, ray_chunk=ray_chunk,
                 min_near=getattr(nerf_cfg, "min_near", 0.05),
                 upsample_steps=getattr(nerf_cfg, "upsample_steps", 0),
-                compact_steps=getattr(nerf_cfg, "compact_steps", 0))
+                compact_steps=getattr(nerf_cfg, "compact_steps", 0),
+                detach_bg_ws=getattr(nerf_cfg, "detach_bg_weights_sum",
+                                     False))
             if pgc is not None and img.shape[-1] == 3:
-                img = pgc(img)
+                if getattr(pgc, "wants_mask", False):
+                    # --guide.grad_rgb_clip_mask_guidance: the render's
+                    # weights_sum masks the pixel-grad statistics
+                    # (reference: trainer.py:959-962)
+                    img = pgc(img, jax.lax.stop_gradient(wsum)[..., None])
+                else:
+                    img = pgc(img)
             sds = guidance(gparams, img[None], text_embeds, uncond_embeds,
                            t, k_sds, cond_image=cond_image,
                            neg_embeds=neg_embeds,

@@ -196,11 +196,69 @@ class Trainer:
             (r.lbs_weight_smooth_N != 5000,
              "render.lbs_weight_smooth_N (smoothing runs over all points)"),
         ]
+        n, p, lg = self.cfg.nerf, self.cfg.prompt, self.cfg.log
+        checks += [
+            # CUDA variable-step marching knobs — replaced by static-shape
+            # marching (nerf.num_steps/compact_steps); see configs comment
+            (not n.cuda_ray, "nerf.cuda_ray=false (the TPU marcher IS the "
+             "non-CUDA path; tune nerf.num_steps instead)"),
+            (n.max_steps != 1024, "nerf.max_steps (use nerf.num_steps/"
+             "compact_steps — static-shape TPU marching)"),
+            (n.dt_gamma != 0.0, "nerf.dt_gamma (fixed-step TPU marching)"),
+            (n.bg_suppress, "nerf.bg_suppress (dead in the reference: "
+             "consumer commented out, nerf_renderer.py:445-462)"),
+            # DMTet finetune: modules exist (nerf/dmtet.py, isosurface.py,
+            # mesh losses) but trainer wiring is not shipped — the
+            # reference's shipped scripts never enable it either
+            (n.dmtet, "nerf.dmtet (DMTet library present; trainer wiring "
+             "not shipped — reference scripts never enable it)"),
+            (n.lambda_normal > 0, "nerf.lambda_normal (DMTet-path loss)"),
+            (n.lambda_2d_normal_smooth > 0,
+             "nerf.lambda_2d_normal_smooth (DMTet-path loss)"),
+            (n.lambda_3d_normal_smooth > 0,
+             "nerf.lambda_3d_normal_smooth (dead in the reference)"),
+            (n.start_shading_iter is not None,
+             "nerf.start_shading_iter (dead in the reference)"),
+            # learnable SMPL-X template components (functional GLBS keeps
+            # the template frozen; learn_hand/face_betas cover shipped use)
+            (r.deform_learn_v_template or r.deform_learn_shapedirs
+             or r.deform_learn_posedirs or r.deform_learn_expr_dirs
+             or r.deform_learn_lbs_weights or r.deform_learn_J_regressor,
+             "render.deform_learn_* (frozen SMPL-X template here; "
+             "learn_hand/face_betas cover the shipped use)"),
+            (r.use_joint_shape_offsets or r.use_vertex_shape_offsets
+             or r.use_vertex_pose_offsets,
+             "render.use_*_offsets (optional LBS composition terms, "
+             "off-default in the reference)"),
+            (r.use_nerf_scales or r.use_nerf_quaternions
+             or r.use_deform_scales_and_quaternions,
+             "render.use_nerf_scales/use_nerf_quaternions/"
+             "use_deform_scales_and_quaternions (dead in the reference)"),
+            (r.use_nerf_mesh_opacities, "render.use_nerf_mesh_opacities "
+             "(only read by the reference's dead HashAvatarWithMesh)"),
+            (r.learn_mesh_vertex_coords, "render.learn_mesh_vertex_coords "
+             "(mesh-binding positions derive from posed SMPL-X vertices "
+             "here; barycentric coords are the learnable)"),
+            (p.nerf_depth_step != 0.2,
+             "prompt.nerf_depth_step (dead in the reference)"),
+            (p.num_object != 0, "prompt.num_object (dead in the reference)"),
+            (p.adaptive_hand_dist_thres is not None,
+             "prompt.adaptive_hand_dist_thres (dead in the reference: "
+             "consumer commented out, smpl_condition.py:152)"),
+            (lg.nvstrain_only or lg.anytrain_only or lg.skip_rgb,
+             "log.nvstrain_only/anytrain_only/skip_rgb (dead in the "
+             "reference)"),
+        ]
         for cond, name in checks:
             if cond:
                 logger.warning("config knob %s is parsed for reference-CLI "
                                "compatibility but has no effect in this "
                                "build", name)
+        if g.grad_rgb_clip_mask_guidance and self.cfg.stage != "nerf":
+            # the reference asserts for non-nerf stages (trainer.py:959-962)
+            raise ValueError(
+                "guide.grad_rgb_clip_mask_guidance is a stage-1 (nerf) "
+                "feature — the mask is the NeRF render's weights_sum")
         if r.deform_type == "lbs":
             # pure-LBS deform: disable the non-rigid residuals
             # (reference: build_gaussian_avatar deform_type dispatch,
@@ -212,6 +270,38 @@ class Trainer:
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    def _placement(self):
+        """Scene-level avatar placement from --render.avatar_scale /
+        avatar_transl (reference: Scene.__init__ eval()'d tensors,
+        scene.py:65-66; ast.literal_eval here)."""
+        import ast
+
+        r = self.cfg.render
+        if r.avatar_scale is None and r.avatar_transl is None:
+            return None
+        sc = None if r.avatar_scale is None else np.asarray(
+            ast.literal_eval(str(r.avatar_scale)), np.float32)
+        tr = None if r.avatar_transl is None else np.asarray(
+            ast.literal_eval(str(r.avatar_transl)), np.float32)
+        return (sc, tr)
+
+    def _static_bg_gaussians(self):
+        """PLY-initialized 3DGS background merged into every render
+        (reference: --render.use_gs_background, scene.py:233-235)."""
+        if not self.cfg.render.use_gs_background:
+            return None
+        if getattr(self, "_gs_bg_cache", None) is None:
+            from ..system.background import load_gaussian_background
+
+            self._gs_bg_cache = load_gaussian_background(
+                self.cfg.render.use_gs_background)
+            if self.cfg.optim.batch_size > 1 or self.cfg.parallel.tp > 1:
+                logger.warning(
+                    "render.use_gs_background is not plumbed through the "
+                    "DP/TP train steps — it applies to eval/test renders "
+                    "and single-device training only")
+        return self._gs_bg_cache
 
     # ------------------------------------------------------------------
     # builders
@@ -314,7 +404,8 @@ class Trainer:
                     denoise_timesteps=cfg.guide.denoise_timesteps,
                     model=cfg.guide.diffusion,
                     lora_name=cfg.guide.lora_name,
-                    lora_scale=cfg.guide.lora_scale)
+                    lora_scale=cfg.guide.lora_scale,
+                    concept_name=cfg.guide.concept_name)
                 self.text_embeds = text_embed_fn(texts)      # (V, L, D)
                 self.uncond_embeds = text_embed_fn([uncond])  # (1, L, D)
             # csd/nfsd 3-way CFG needs the negative prompt as its own
@@ -674,6 +765,12 @@ class Trainer:
                                     resolution=cfg.render.nerf_resolution,
                                     density_thresh=cfg.nerf.density_thresh,
                                     max_points=cfg.render.n_gaussians)
+            if cfg.render.nerf_exclusion_bboxes is not None:
+                import ast
+
+                from ..nerf.export import remove_points_inside_bboxes
+                pc = remove_points_inside_bboxes(
+                    pc, ast.literal_eval(cfg.render.nerf_exclusion_bboxes))
             cloud = jnp.asarray(pc.points)
             colors = jnp.asarray(pc.colors) if pc.colors is not None else None
             seed_scales = None
@@ -729,17 +826,24 @@ class Trainer:
                 lambda_guidance=cfg.guide.lambda_guidance,
                 neg_embeds=self.neg_embeds, pgc=self.pgc,
                 per_view_poses=cfg.data.per_view_poses,
-                gparams_shardings=self._gshard, **rk)
+                gparams_shardings=self._gshard,
+                placement=self._placement(), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
+                placement=self._placement(),
+                static_gaussians=self._static_bg_gaussians(), **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_vanilla_render(
-            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w, **rk)
+            self.avatar_model, cfg.data.eval_h, cfg.data.eval_w,
+            placement=self._placement(),
+            static_gaussians=self._static_bg_gaussians(), **rk)
         self.test_render = gs_trainer.make_vanilla_render(
-            self.avatar_model, cfg.data.test_h, cfg.data.test_w, **rk)
+            self.avatar_model, cfg.data.test_h, cfg.data.test_w,
+            placement=self._placement(),
+            static_gaussians=self._static_bg_gaussians(), **rk)
         self.densify_cfg = DensifyConfig(
             grad_threshold=cfg.render.densify_grad_threshold,
             spatial_scale=spatial,
@@ -786,6 +890,16 @@ class Trainer:
                                     resolution=cfg.render.nerf_resolution,
                                     density_thresh=cfg.nerf.density_thresh,
                                     max_points=cfg.render.n_gaussians)
+            if cfg.render.nerf_exclusion_bboxes is not None:
+                import ast
+
+                from ..nerf.export import remove_points_inside_bboxes
+                n0 = pc.points.shape[0]
+                pc = remove_points_inside_bboxes(
+                    pc, ast.literal_eval(cfg.render.nerf_exclusion_bboxes))
+                logger.info("removed %d points inside exclusion bboxes "
+                            "(reference: trainer.py:550-553)",
+                            n0 - pc.points.shape[0])
             cloud = jnp.asarray(pc.points)
             logger.info("NeRF point cloud: %d points", cloud.shape[0])
             self._nerf_guidance = (nerf, nerf_params)  # frozen, for nerf2gs
@@ -886,7 +1000,8 @@ class Trainer:
                 per_view_poses=cfg.data.per_view_poses,
                 bg_net=self.bg_net,
                 bg_tx=getattr(self, "bg_tx", None),
-                gparams_shardings=self._gshard, **rk)
+                gparams_shardings=self._gshard,
+                placement=self._placement(), **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
                      or (jax.devices()[0].platform == "tpu"
@@ -903,12 +1018,16 @@ class Trainer:
                 lambda_guidance=cfg.guide.lambda_guidance,
                 neg_embeds=self.neg_embeds, pgc=self.pgc,
                 bg_net=self.bg_net,
-                bg_tx=getattr(self, "bg_tx", None), **rk)
+                bg_tx=getattr(self, "bg_tx", None),
+                placement=self._placement(),
+                static_gaussians=self._static_bg_gaussians(), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
                 lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
+                placement=self._placement(),
+                static_gaussians=self._static_bg_gaussians(), **rk)
         # scene composition: a second avatar from another run's checkpoint
         # (reference: ckpt_extra, trainer.py:273-278 + scene.py:213-222)
         self.extra_states = ()
@@ -938,10 +1057,14 @@ class Trainer:
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_avatar_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w,
-            extra_models=self.extra_models, **rk)
+            extra_models=self.extra_models,
+            placement=self._placement(),
+            static_gaussians=self._static_bg_gaussians(), **rk)
         self.test_render = gs_trainer.make_avatar_render(
             self.avatar_model, cfg.data.test_h, cfg.data.test_w,
-            extra_models=self.extra_models, **rk)
+            extra_models=self.extra_models,
+            placement=self._placement(),
+            static_gaussians=self._static_bg_gaussians(), **rk)
         self.densify_cfg = DensifyConfig(
             grad_threshold=cfg.render.densify_grad_threshold,
             spatial_scale=spatial,
@@ -1340,8 +1463,36 @@ class Trainer:
             if batch.get("cond_image") is not None:
                 save_image(str(d / f"{self.train_step:06d}_cond.png"),
                            np.asarray(batch["cond_image"][0]))
+            if self.cfg.guide.grad_viz:
+                self._snapshot_grad_viz(d, batch, img)
         except Exception as e:  # snapshots must never kill training
             logger.warning("snapshot failed: %s", e)
+
+    def _snapshot_grad_viz(self, d, batch, img) -> None:
+        """Decode + dump the latent SDS gradient at snapshot steps
+        (reference: --guide.grad_viz, trainer.py:956 + the _Visualizer
+        VAE-decode of gradients/denoised latents, trainer.py:34-169):
+        the per-pixel gradient magnitude and the VAE decode of the
+        gradient-descended latents (the direction SDS pulls toward)."""
+        g = self.guidance
+        if img.shape[-1] != 3:
+            return  # latent-NeRF snapshots have no RGB grad to decode
+        latents = g.encode_images(self.guidance_params, img[None])
+        grad = g.latent_gradients(
+            self.guidance_params, latents, batch["text"][:1],
+            batch["uncond"][:1], batch["t"][:1], self._next_key(),
+            cond_image=batch.get("cond_image"),
+            neg_embeds=self.neg_embeds,
+            guidance_scale=batch.get("guidance_scale"),
+            progress=batch.get("progress"))
+        mag = jnp.linalg.norm(grad[0], axis=-1)
+        mag = mag / jnp.maximum(jnp.max(mag), 1e-8)
+        save_image(str(d / f"{self.train_step:06d}_gradmag.png"),
+                   np.asarray(mag))
+        target = g.vae.decode(self.guidance_params.vae,
+                              (latents - grad).astype(jnp.float32))
+        save_image(str(d / f"{self.train_step:06d}_gradtarget.png"),
+                   np.asarray(jnp.clip(target[0], 0, 1)))
 
     def _train_one(self, batch) -> Dict[str, float]:
         cfg = self.cfg
