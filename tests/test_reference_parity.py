@@ -363,6 +363,83 @@ class TestAnnealingCurveParity:
                 f"{spec} diverges at step {step}"
 
 
+class TestDDIMStepParity:
+    """The ISM inversion's ddim_step vs the reference's vendored
+    implementation (core/guidance/ism/guidance/sd_step.py:63-205 — a method
+    monkey-patched onto a diffusers scheduler; stubbed `self` here)."""
+
+    def _ref_ddim(self):
+        import types
+
+        class _BaseOutput:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        stubs = {
+            "transformers": {"CLIPTextModel": object,
+                             "CLIPTokenizer": object, "logging": type(
+                                 "L", (), {"set_verbosity_error":
+                                           staticmethod(lambda: None)})},
+            "diffusers": {"StableDiffusionPipeline": object,
+                          "DiffusionPipeline": object,
+                          "DDPMScheduler": object, "DDIMScheduler": object,
+                          "EulerDiscreteScheduler": object,
+                          "EulerAncestralDiscreteScheduler": object,
+                          "DPMSolverMultistepScheduler": object,
+                          "DDIMInverseScheduler": object,
+                          "UNet2DConditionModel": object,
+                          "ControlNetModel": object},
+            "diffusers.utils": {"BaseOutput": _BaseOutput,
+                                "deprecate": lambda *a, **k: None},
+            "diffusers.utils.torch_utils": {
+                "randn_tensor": lambda shape, **k: torch.randn(shape)},
+            "torchvision.transforms": {"Compose": object},
+        }
+        mod = _load_ref("ref_sd_step", "core/guidance/ism/guidance/sd_step.py",
+                        stubs=stubs)
+
+        def make_sched(ac):
+            s = types.SimpleNamespace()
+            s.alphas_cumprod = torch.from_numpy(np.asarray(ac))
+            s.final_alpha_cumprod = s.alphas_cumprod[0]
+            s.num_inference_steps = 50
+            s.config = types.SimpleNamespace(
+                prediction_type="epsilon", thresholding=False,
+                clip_sample=False, clip_sample_range=1.0,
+                num_train_timesteps=1000)
+
+            def _get_variance(timestep, prev_timestep):
+                a_t = s.alphas_cumprod[timestep]
+                a_p = s.alphas_cumprod[prev_timestep] if prev_timestep >= 0 \
+                    else s.final_alpha_cumprod
+                return ((1 - a_p) / (1 - a_t)) * (1 - a_t / a_p)
+
+            s._get_variance = _get_variance
+            return s
+
+        return mod, make_sched
+
+    @pytest.mark.parametrize("t,t_next", [(500, 480), (21, 1), (980, 900),
+                                          (100, 300)])
+    def test_deterministic_transition(self, t, t_next):
+        mod, make_sched = self._ref_ddim()
+        from dreamwaltz_g_tpu.guidance.time_prior import make_schedule
+        schedule = make_schedule()
+        sched = make_sched(np.asarray(schedule.alphas_cumprod))
+
+        rng = np.random.RandomState(t)
+        x = rng.randn(1, 4, 8, 8).astype(np.float32)
+        eps = rng.randn(1, 4, 8, 8).astype(np.float32)
+        ref_out = mod.ddim_step(
+            sched, torch.from_numpy(eps), t, torch.from_numpy(x),
+            delta_timestep=t - t_next, eta=0.0, return_dict=False)[0]
+        ours = np.asarray(schedule.ddim_step(
+            jnp.asarray(x), jnp.asarray(eps), jnp.asarray(t),
+            jnp.asarray(t_next)))
+        np.testing.assert_allclose(ours, ref_out.numpy(), rtol=2e-4,
+                                   atol=2e-5)
+
+
 # ---------------------------------------------------------------------------
 # SSIM / image reconstruction loss (gaussian_loss.py)
 # ---------------------------------------------------------------------------
