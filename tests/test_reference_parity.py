@@ -363,6 +363,56 @@ class TestAnnealingCurveParity:
                 f"{spec} diverges at step {step}"
 
 
+class TestWindowDistributionParity:
+    """The random sampling windows can't be compared draw-for-draw (different
+    RNGs), so compare supports and means over many draws — catches
+    inclusive/exclusive bound and direction bugs."""
+
+    @pytest.mark.parametrize("window", [
+        "square,lower", "square,upper", "square,middle", "square,middle,100",
+        "normal,middle", "normal,lower",
+    ])
+    def test_square_and_normal_windows(self, window):
+        ref = _load_ref_time_prior()
+        from dreamwaltz_g_tpu.guidance.time_prior import (WindowedAnnealing,
+                                                          make_schedule)
+        import types as _t
+
+        cfg = _t.SimpleNamespace(time_annealing="linear,900,100",
+                                 time_annealing_window=window)
+        t_min, t_max = 20, 980
+        ref_fn = ref.WindowedAnnealing(cfg, t_min=t_min, t_max=t_max,
+                                       scheduler=None)
+        ours_fn = WindowedAnnealing("linear,900,100", window, t_min, t_max,
+                                    make_schedule(),
+                                    rng=np.random.default_rng(0))
+        np.random.seed(0)
+        step, max_iter, n = 2500, 5000, 4000
+        ref_draws = np.asarray([ref_fn(step, max_iter) for _ in range(n)])
+        our_draws = np.asarray([ours_fn(step, max_iter) for _ in range(n)])
+        assert our_draws.min() >= t_min and our_draws.max() <= t_max
+        if window.startswith("square"):
+            # uniform windows: supports must agree (catches inclusive/
+            # exclusive bound bugs)
+            assert abs(int(ref_draws.min()) - int(our_draws.min())) <= 3, \
+                (ref_draws.min(), our_draws.min())
+            assert abs(int(ref_draws.max()) - int(our_draws.max())) <= 3, \
+                (ref_draws.max(), our_draws.max())
+        else:
+            # gaussian windows: extreme order statistics are RNG-noisy;
+            # compare the 1/99 percentiles and the std instead
+            for q in (1, 99):
+                assert abs(np.percentile(ref_draws, q)
+                           - np.percentile(our_draws, q)) <= 20, \
+                    (q, np.percentile(ref_draws, q),
+                     np.percentile(our_draws, q))
+            assert abs(ref_draws.std() - our_draws.std()) \
+                <= 0.15 * max(ref_draws.std(), 1.0)
+        # means agree within a few timesteps of each other
+        assert abs(ref_draws.mean() - our_draws.mean()) \
+            < 0.05 * (t_max - t_min), (ref_draws.mean(), our_draws.mean())
+
+
 class TestDDIMStepParity:
     """The ISM inversion's ddim_step vs the reference's vendored
     implementation (core/guidance/ism/guidance/sd_step.py:63-205 — a method
