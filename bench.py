@@ -20,6 +20,32 @@ import time
 import numpy as np
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast instead of hanging forever when the remote-TPU tunnel is
+    down: jax.devices() blocks indefinitely on a dead axon backend, so probe
+    it in a daemon thread with a deadline."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in out:
+        import sys
+
+        print(f"bench: no JAX devices after {timeout_s:.0f}s — the TPU "
+              "tunnel appears down; refusing to print a stale/fake metric",
+              file=sys.stderr)
+        raise SystemExit(2)
+    return out["devices"]
+
+
 def main():
     import os
 
@@ -32,6 +58,7 @@ def main():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _probe_devices()
     import jax.numpy as jnp
 
     from dreamwaltz_g_tpu import tests_support as ts

@@ -26,6 +26,9 @@ def main():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import _probe_devices
+
+    _probe_devices()
     import jax.numpy as jnp
 
     from dreamwaltz_g_tpu.data.camera import make_camera_batch
