@@ -220,6 +220,14 @@ class WindowedAnnealing:
             elif d == "upper":
                 mean = (tmax + t) / 2 if adaptive else t + ws / 2
                 sigma = (tmax - t) / 6
+            elif d == "tail":
+                # (reference: time_prior.py normal-tail — below tmin+ws the
+                # draw spreads over the tail window, above it t is kept)
+                assert ws is not None, "normal,tail needs a window size"
+                if t >= ws:
+                    return t
+                hi = tmin + ws
+                mean, sigma = (tmin + hi) / 2, (hi - tmin) / 6
             else:
                 raise ValueError(d)
             if not adaptive:

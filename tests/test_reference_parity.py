@@ -370,7 +370,7 @@ class TestWindowDistributionParity:
 
     @pytest.mark.parametrize("window", [
         "square,lower", "square,upper", "square,middle", "square,middle,100",
-        "normal,middle", "normal,lower",
+        "normal,middle", "normal,lower", "square,tail,600", "normal,tail,600",
     ])
     def test_square_and_normal_windows(self, window):
         ref = _load_ref_time_prior()
