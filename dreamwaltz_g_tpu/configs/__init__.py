@@ -324,9 +324,8 @@ class GuideConfig:
     # (reference: trainer.py:956, basic.py:785-921)
     grad_viz: bool = False
     # precision intent knobs: TPU guidance always computes in `dtype`
-    # (bf16 by default — the MXU-native equivalent of the reference's fp16);
-    # parsed so reference command lines work, warned only when they would
-    # LOWER precision expectations (fp16 requested but f32 configured)
+    # (bf16 by default — the MXU-native equivalent of the reference's
+    # fp16); parsed so reference command lines work, warned when set
     diffusion_fp16: bool = False
     controlnet_fp16: bool = False
     # honored (stage-1): multiply RGB pixel-grad clip/norm by the render's

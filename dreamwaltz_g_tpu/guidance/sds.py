@@ -531,8 +531,14 @@ def make_rgb_grad_hook(grad_clip: bool, grad_norm: bool,
             out = g
             if grad_clip:
                 gz = jnp.nan_to_num(out * mask)
-                nz = jnp.maximum(jnp.sum(jnp.abs(gz) > 0), 1)
-                std = jnp.sqrt(jnp.sum(gz * gz) / nz) * grad_clip_scale
+                # the std statistic runs over mask>0.5 pixels ONLY
+                # (reference: grad_for_std = grad[mask > 0.5], pgc.py:20-25)
+                # — a soft weights_sum mask must not deflate the threshold
+                # with its tiny-but-nonzero background entries
+                sel = jnp.broadcast_to(mask > 0.5, gz.shape)
+                sq = jnp.where(sel, gz * gz, 0.0)
+                nz = jnp.maximum(jnp.sum(sel & (gz != 0)), 1)
+                std = jnp.sqrt(jnp.sum(sq) / nz) * grad_clip_scale
                 out = jnp.nan_to_num(jnp.clip(gz, -std, std))
             if grad_norm:
                 n = jnp.sqrt(jnp.sum(out * out))

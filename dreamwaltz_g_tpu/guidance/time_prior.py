@@ -221,13 +221,17 @@ class WindowedAnnealing:
                 mean = (tmax + t) / 2 if adaptive else t + ws / 2
                 sigma = (tmax - t) / 6
             elif d == "tail":
-                # (reference: time_prior.py normal-tail — below tmin+ws the
-                # draw spreads over the tail window, above it t is kept)
+                # (reference: time_prior.py:183-195 normal-tail — below the
+                # window the draw spreads over [tmin, tmin+ws]; at/above it
+                # the mean is t itself, and the unconditional non-adaptive
+                # sigma=ws/6 override below still applies, so the draw is
+                # Normal(t, ws/6), NOT deterministic)
                 assert ws is not None, "normal,tail needs a window size"
                 if t >= ws:
-                    return t
-                hi = tmin + ws
-                mean, sigma = (tmin + hi) / 2, (hi - tmin) / 6
+                    mean, sigma = t, 0.0
+                else:
+                    hi = tmin + ws
+                    mean, sigma = (tmin + hi) / 2, (hi - tmin) / 6
             else:
                 raise ValueError(d)
             if not adaptive:

@@ -55,6 +55,7 @@ def make_avatar_sds_step_dp(
     bg_tx=None,
     gparams_shardings=None,
     placement=None,
+    static_gaussians=None,
 ):
     """Batched avatar SDS step: one view per mesh slot.
 
@@ -102,7 +103,7 @@ def make_avatar_sds_step_dp(
             image, out = _render_with_dummy(
                 model, state, params, obs, dummy,
                 extr, intr, tf, bg, H, W, raster, pgc=pgc,
-                placement=placement)
+                placement=placement, static_gaussians=static_gaussians)
             use_cond = guidance.controlnet is not None \
                 and gparams.controlnet is not None
             sds = guidance(
@@ -340,6 +341,7 @@ def make_vanilla_sds_step_dp(
     pgc=None,
     gparams_shardings=None,
     placement=None,
+    static_gaussians=None,
 ):
     """Data-parallel SDS step for gs_type='vanilla' (VERDICT r2 #6: lift
     the batch_size==1 restriction). Mirrors ``make_avatar_sds_step_dp``:
@@ -372,11 +374,19 @@ def make_vanilla_sds_step_dp(
             if placement is not None:
                 from ..system.avatar import place_gaussians
                 gs = place_gaussians(gs, *placement)
+            dm = dummy
+            if static_gaussians is not None:
+                from ..system.avatar import merge_gaussians
+                gs = merge_gaussians(gs, static_gaussians)
+                dm = jnp.concatenate(
+                    [dummy, jnp.zeros(
+                        (static_gaussians.positions.shape[0], 2),
+                        dummy.dtype)])
             cov3d = R.covariance3d(gs.quats, gs.scales)
             g2d = R.project_gaussians(
                 gs.positions, cov3d, gs.opacities, gs.colors, extr, intr,
                 H, W, tanfov=tf, alive=gs.alive)
-            g2d = g2d._replace(means2d=g2d.means2d + dummy)
+            g2d = g2d._replace(means2d=g2d.means2d + dm)
             out = R.rasterize_projected(g2d, H, W, **raster)
             image = out.image + (1.0 - out.alpha)[..., None] * bg
             if pgc is not None and image.shape[-1] == 3:

@@ -198,6 +198,15 @@ class Trainer:
         ]
         n, p, lg = self.cfg.nerf, self.cfg.prompt, self.cfg.log
         checks += [
+            (g.concept_name is not None and g.diffusion.startswith("sdxl"),
+             "guide.concept_name with SDXL (sd-concepts are 768-dim SD1.x "
+             "embeddings — dimensionally incompatible with the bigG tower; "
+             "the reference would inject them into tower 1 only)"),
+            # precision-intent flags: TPU guidance always computes in
+            # guide.dtype (bf16 default, the MXU-native fp16 analog)
+            (g.diffusion_fp16 or g.controlnet_fp16,
+             "guide.diffusion_fp16/controlnet_fp16 (precision comes from "
+             "guide.dtype here: bf16 default, f32 available)"),
             # CUDA variable-step marching knobs — replaced by static-shape
             # marching (nerf.num_steps/compact_steps); see configs comment
             (not n.cuda_ray, "nerf.cuda_ray=false (the TPU marcher IS the "
@@ -286,6 +295,17 @@ class Trainer:
             ast.literal_eval(str(r.avatar_transl)), np.float32)
         return (sc, tr)
 
+    def _common_step_kwargs(self):
+        """Builder kwargs shared by EVERY stage-2 SDS step constructor,
+        assembled in exactly one place so the initial build and
+        _rebuild_train_step (progressive-resolution switches) can never
+        drift apart."""
+        return dict(
+            lambda_guidance=self.cfg.guide.lambda_guidance,
+            neg_embeds=self.neg_embeds, pgc=self.pgc,
+            placement=self._placement(),
+            static_gaussians=self._static_bg_gaussians())
+
     def _static_bg_gaussians(self):
         """PLY-initialized 3DGS background merged into every render
         (reference: --render.use_gs_background, scene.py:233-235)."""
@@ -296,11 +316,6 @@ class Trainer:
 
             self._gs_bg_cache = load_gaussian_background(
                 self.cfg.render.use_gs_background)
-            if self.cfg.optim.batch_size > 1 or self.cfg.parallel.tp > 1:
-                logger.warning(
-                    "render.use_gs_background is not plumbed through the "
-                    "DP/TP train steps — it applies to eval/test renders "
-                    "and single-device training only")
         return self._gs_bg_cache
 
     # ------------------------------------------------------------------
@@ -823,18 +838,13 @@ class Trainer:
                                        self.guidance_params)
             self.sds_step_fn = make_vanilla_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc,
                 per_view_poses=cfg.data.per_view_poses,
                 gparams_shardings=self._gshard,
-                placement=self._placement(), **rk)
+                **self._common_step_kwargs(), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc,
-                placement=self._placement(),
-                static_gaussians=self._static_bg_gaussians(), **rk)
+                **self._common_step_kwargs(), **rk)
         self.nerf2gs_step_fn = None
         self.eval_render = gs_trainer.make_vanilla_render(
             self.avatar_model, cfg.data.eval_h, cfg.data.eval_w,
@@ -995,13 +1005,11 @@ class Trainer:
                                        self.guidance_params)
             self.sds_step_fn = make_avatar_sds_step_dp(
                 self.avatar_model, self.guidance, tx, self.mesh, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc,
                 per_view_poses=cfg.data.per_view_poses,
                 bg_net=self.bg_net,
                 bg_tx=getattr(self, "bg_tx", None),
                 gparams_shardings=self._gshard,
-                placement=self._placement(), **rk)
+                **self._common_step_kwargs(), **rk)
         elif not cfg.guide.sds_loss_type.startswith("x0") \
                 and (self.bg_state is not None
                      or (jax.devices()[0].platform == "tpu"
@@ -1015,19 +1023,13 @@ class Trainer:
             # monolithic step only.
             self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                 self.avatar_model, self.guidance, tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc,
                 bg_net=self.bg_net,
                 bg_tx=getattr(self, "bg_tx", None),
-                placement=self._placement(),
-                static_gaussians=self._static_bg_gaussians(), **rk)
+                **self._common_step_kwargs(), **rk)
         else:
             self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                 self.avatar_model, self.guidance, tx, H, H,
-                lambda_guidance=cfg.guide.lambda_guidance,
-                neg_embeds=self.neg_embeds, pgc=self.pgc,
-                placement=self._placement(),
-                static_gaussians=self._static_bg_gaussians(), **rk)
+                **self._common_step_kwargs(), **rk)
         # scene composition: a second avatar from another run's checkpoint
         # (reference: ckpt_extra, trainer.py:273-278 + scene.py:213-222)
         self.extra_states = ()
@@ -1285,42 +1287,36 @@ class Trainer:
                     self.sds_step_fn = make_vanilla_sds_step_dp(
                         self.avatar_model, self.guidance, self.tx,
                         self.mesh, H, H,
-                        lambda_guidance=cfg.guide.lambda_guidance,
-                        neg_embeds=self.neg_embeds, pgc=self.pgc,
                         per_view_poses=cfg.data.per_view_poses,
                         gparams_shardings=getattr(self, "_gshard", None),
-                        **rk)
+                        **self._common_step_kwargs(), **rk)
                 else:
                     self.sds_step_fn = gs_trainer.make_vanilla_sds_step(
                         self.avatar_model, self.guidance, self.tx, H, H,
-                        lambda_guidance=cfg.guide.lambda_guidance,
-                        neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+                        **self._common_step_kwargs(), **rk)
             elif self.mesh is not None:
                 from ..parallel.dp import make_avatar_sds_step_dp
 
                 self.sds_step_fn = make_avatar_sds_step_dp(
                     self.avatar_model, self.guidance, self.tx, self.mesh,
-                    H, H, lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, pgc=self.pgc,
-                    per_view_poses=cfg.data.per_view_poses,
+                    H, H, per_view_poses=cfg.data.per_view_poses,
                     bg_net=self.bg_net,
                     bg_tx=getattr(self, "bg_tx", None),
-                    gparams_shardings=getattr(self, "_gshard", None), **rk)
+                    gparams_shardings=getattr(self, "_gshard", None),
+                    **self._common_step_kwargs(), **rk)
             elif not cfg.guide.sds_loss_type.startswith("x0") \
                     and (getattr(self, "bg_state", None) is not None
                          or (jax.devices()[0].platform == "tpu"
                              and not cfg.optim.fused_step)):
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step_split(
                     self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, pgc=self.pgc,
                     bg_net=self.bg_net,
-                    bg_tx=getattr(self, "bg_tx", None), **rk)
+                    bg_tx=getattr(self, "bg_tx", None),
+                    **self._common_step_kwargs(), **rk)
             else:
                 self.sds_step_fn = gs_trainer.make_avatar_sds_step(
                     self.avatar_model, self.guidance, self.tx, H, H,
-                    lambda_guidance=cfg.guide.lambda_guidance,
-                    neg_embeds=self.neg_embeds, pgc=self.pgc, **rk)
+                    **self._common_step_kwargs(), **rk)
 
     def _bg_color(self) -> jnp.ndarray:
         if self.cfg.stage == "nerf":

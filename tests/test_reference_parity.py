@@ -371,6 +371,9 @@ class TestWindowDistributionParity:
     @pytest.mark.parametrize("window", [
         "square,lower", "square,upper", "square,middle", "square,middle,100",
         "normal,middle", "normal,lower", "square,tail,600", "normal,tail,600",
+        # t(=500) >= ws: the reference STILL draws Normal(t, ws/6) here (its
+        # non-adaptive sigma override), not deterministic t
+        "normal,tail,300",
     ])
     def test_square_and_normal_windows(self, window):
         ref = _load_ref_time_prior()
@@ -411,6 +414,62 @@ class TestWindowDistributionParity:
         # means agree within a few timesteps of each other
         assert abs(ref_draws.mean() - our_draws.mean()) \
             < 0.05 * (t_max - t_min), (ref_draws.mean(), our_draws.mean())
+
+
+class TestMaskedGradHookParity:
+    """The RGB pixel-gradient clip hook vs the reference's backward hook
+    (core/guidance/pgc.py:13-41), incl. the masked-statistics variant
+    (--guide.grad_rgb_clip_mask_guidance)."""
+
+    def _ref_pgc(self):
+        return _load_ref("ref_pgc", "core/guidance/pgc.py",
+                         stubs={"configs": {"TrainConfig": object}})
+
+    @pytest.mark.parametrize("soft_mask", [False, True])
+    def test_masked_clip(self, soft_mask):
+        ref = self._ref_pgc()
+        from dreamwaltz_g_tpu.guidance.sds import make_rgb_grad_hook
+
+        rng = np.random.RandomState(23)
+        g = rng.randn(1, 3, 16, 16).astype(np.float32) * 2.0
+        mask = np.zeros((1, 1, 16, 16), np.float32)
+        mask[:, :, :8] = 1.0
+        if soft_mask:
+            # weights_sum-like: near-1 on the avatar, tiny on background
+            mask = mask * 0.93 + 0.02
+
+        ref_hook = ref.build_grad_hook_func(
+            grad_clip=True, grad_norm=False, grad_clip_scale=3.0,
+            scaler=None, mask=torch.from_numpy(mask))
+        ref_out = ref_hook(torch.from_numpy(g.copy())).numpy()
+
+        hook = make_rgb_grad_hook(True, False, grad_clip_scale=3.0,
+                                  with_mask=True)
+        x = jnp.zeros((16, 16, 3))
+        m = jnp.asarray(mask[0, 0])[..., None]          # (H, W, 1)
+        gj = jnp.asarray(g[0].transpose(1, 2, 0))       # (H, W, 3)
+        ours = jax.grad(lambda v: jnp.sum(hook(v, m) * gj))(x)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out[0].transpose(1, 2, 0),
+            rtol=1e-4, atol=1e-6)
+
+    def test_unmasked_clip_and_norm(self):
+        ref = self._ref_pgc()
+        from dreamwaltz_g_tpu.guidance.sds import make_rgb_grad_hook
+
+        rng = np.random.RandomState(29)
+        g = rng.randn(1, 3, 12, 12).astype(np.float32)
+        ref_hook = ref.build_grad_hook_func(
+            grad_clip=True, grad_norm=True, grad_clip_scale=3.0,
+            scaler=None, mask=None)
+        ref_out = ref_hook(torch.from_numpy(g.copy())).numpy()
+        hook = make_rgb_grad_hook(True, True, grad_clip_scale=3.0)
+        x = jnp.zeros((12, 12, 3))
+        gj = jnp.asarray(g[0].transpose(1, 2, 0))
+        ours = jax.grad(lambda v: jnp.sum(hook(v) * gj))(x)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out[0].transpose(1, 2, 0),
+            rtol=1e-4, atol=1e-6)
 
 
 class TestDDIMStepParity:

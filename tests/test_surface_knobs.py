@@ -269,6 +269,48 @@ class TestGaussianBackground:
         assert tr.train_step == 1
 
 
+class TestRebuildKeepsSceneKwargs:
+    def test_progressive_rebuild_passes_placement(self, tmp_path,
+                                                  monkeypatch):
+        """_rebuild_train_step (progressive-resolution switches) must carry
+        the same placement/static_gaussians the initial builders got —
+        regression for the scene silently changing at the 64->128 switch."""
+        from dreamwaltz_g_tpu.configs import parse_args
+        from dreamwaltz_g_tpu.training import gs_trainer
+        from dreamwaltz_g_tpu.training.trainer import Trainer
+
+        captured = []
+        orig = gs_trainer.make_vanilla_sds_step
+
+        def spy(*a, **k):
+            captured.append(k)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(gs_trainer, "make_vanilla_sds_step", spy)
+        cfg = parse_args([
+            "--stage", "gs", "--render.gs_type", "vanilla",
+            "--log.debug", "true", "--log.exp_root", str(tmp_path),
+            "--log.exp_name", "rebuild", "--optim.iters", "2",
+            "--render.n_gaussians", "64",
+            "--render.avatar_transl", "(0.0, 0.3, 0.0)",
+            "--data.train_w", "16", "--data.eval_h", "16",
+            "--data.eval_w", "16", "--data.test_h", "16",
+            "--data.test_w", "16",
+            "--log.snapshot_interval", "0", "--log.evaluate_interval", "0",
+            "--log.save_interval", "0",
+        ])
+        tr = Trainer(cfg)
+        tr._rebuild_train_step()
+        assert len(captured) >= 2  # initial build + rebuild
+        for k in captured:
+            assert k.get("placement") is not None, \
+                "builder called without the configured placement"
+            assert "static_gaussians" in k
+        # both calls agree
+        np.testing.assert_array_equal(captured[0]["placement"][1],
+                                      captured[-1]["placement"][1])
+
+
 class TestGradViz:
     def test_nerf_snapshot_writes_grad_images(self, tmp_path):
         """--guide.grad_viz dumps the decoded latent-gradient images at
