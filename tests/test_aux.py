@@ -328,3 +328,36 @@ class TestOverlay:
         import os
         assert os.path.isfile(p)
         assert os.path.isfile(str(tmp_path / "overlay_frames" / "000000.png"))
+
+
+class TestEvalRPrecisionScript:
+    def test_tiny_towers_end_to_end(self, tmp_path):
+        """scripts/eval_r_precision.py — the paper's batch retrieval
+        protocol (reference ships the tool unwired, utils/r_precision.py)."""
+        import subprocess
+        import sys
+
+        import numpy as np
+        from PIL import Image
+
+        renders = tmp_path / "renders"
+        renders.mkdir()
+        prompts = ["a wizard", "a knight", "a dancer"]
+        (tmp_path / "prompts.txt").write_text("\n".join(prompts))
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            Image.fromarray(
+                (rng.rand(48, 48, 3) * 255).astype("uint8")).save(
+                renders / f"{i:03d}.png")
+        r = subprocess.run(
+            [sys.executable, "scripts/eval_r_precision.py",
+             "--renders", str(renders),
+             "--prompts", str(tmp_path / "prompts.txt"),
+             "--tiny", "--platform", "cpu"],
+            capture_output=True, text=True, timeout=500,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-500:]
+        import json
+
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["n"] == 3 and 0.0 <= out["top1"] <= 1.0
