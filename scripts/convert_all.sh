@@ -38,7 +38,11 @@ for f in vocab.json merges.txt; do
 done
 # optional: CLIP vision tower for R-Precision eval
 # (clip_vision.safetensors + clip_retrieval_text.safetensors from
-#  openai/clip-vit-base-patch32) -> convert_clip_vision / convert_clip_text
+#  openai/clip-vit-base-patch32) -> convert_clip_vision / convert_clip_text;
+# batch protocol over a rendered set: scripts/eval_r_precision.py
+# optional adapters: LoRA safetensors under $OUT/lora/<name> (used via
+# --guide.lora_name) and Textual-Inversion learned_embeds.bin under
+# $OUT/concepts/<name>/ (used via --guide.concept_name)
 
 echo "== 2/4 SMPL-X template"
 if [ -n "$SMPLX_NPZ" ]; then
