@@ -192,6 +192,10 @@ class CLIPTokenizer:
             re.IGNORECASE)
         self.bos = self.encoder["<|startoftext|>"]
         self.eos = self.encoder["<|endoftext|>"]
+        # padding id AFTER the terminating EOS: SD1.x tokenizers pad with
+        # EOS, SD2.x (OpenCLIP-H text tower) pads with "!" (id 0) — the
+        # loader sets this per model family (convert.py MODEL_FAMILIES)
+        self.pad_id = self.eos
         # Textual-Inversion placeholder tokens (matched verbatim, pre-BPE)
         self.added: dict = {}
 
@@ -255,7 +259,7 @@ class CLIPTokenizer:
     def __call__(self, texts) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), self.max_length), self.eos, np.int32)
+        out = np.full((len(texts), self.max_length), self.pad_id, np.int32)
         for i, t in enumerate(texts):
             ids = [self.bos] + self.encode(t)[: self.max_length - 2] + [self.eos]
             out[i, : len(ids)] = ids

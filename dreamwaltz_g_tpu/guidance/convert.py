@@ -278,6 +278,7 @@ def _normalize_lora_sd(lora_sd: Dict[str, np.ndarray]):
             continue
         mods.setdefault(name, {})[slot] = np.asarray(v, np.float32)
     out = {}
+    n_alpha_defaulted = 0
     for name, d in mods.items():
         if "down" not in d or "up" not in d:
             skipped.append(name)
@@ -291,9 +292,36 @@ def _normalize_lora_sd(lora_sd: Dict[str, np.ndarray]):
                 continue
             down, up = down[:, :, 0, 0], up[:, :, 0, 0]
         r = down.shape[0]
+        if "alpha" not in d:
+            n_alpha_defaulted += 1
         alpha = float(d.get("alpha", r))
         out[name] = (down, up, alpha)
+    if n_alpha_defaulted:
+        # peft/diffusers safetensors carry no .alpha entries — lora_alpha
+        # lives in adapter_config.json, which a flat state dict can't see.
+        # alpha=r (factor 1.0) is the common default, but an adapter
+        # trained with lora_alpha != r merges at the wrong strength;
+        # compensate with --guide.lora_scale.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LoRA: %d modules carry no alpha entry — defaulting alpha=r "
+            "(factor 1.0). If the adapter's config says lora_alpha != r, "
+            "set --guide.lora_scale = lora_alpha/r.", n_alpha_defaulted)
     return out, skipped
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a flat torch/safetensors state dict into numpy (shared by the
+    HF conversion entries and the LoRA loader)."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
 
 
 def merge_lora_into_params(params, lora_sd: Dict[str, np.ndarray],
@@ -336,8 +364,8 @@ def merge_lora_into_params(params, lora_sd: Dict[str, np.ndarray],
             leaf, "dtype") else jnp.float32)
         matched.add(name)
         n_merged += 1
-    unmatched = sorted(set(mods) - matched)
-    return _unflatten(out), n_merged, unmatched + sorted(set(skipped))
+    leftover = sorted((set(mods) - matched) | set(skipped))
+    return _unflatten(out), n_merged, leftover
 
 
 def save_params(path, params) -> None:
@@ -505,15 +533,7 @@ def load_converted_guidance(
         # basic.py:264,280-284 with CIVITAI_LORA_ROOT)
         lpath = lora_name if osp.isfile(lora_name) else \
             osp.join(weights_dir, "lora", lora_name)
-        if lpath.endswith(".safetensors"):
-            from safetensors.numpy import load_file
-
-            lsd = load_file(lpath)
-        else:
-            import torch
-
-            lsd = {k: v.numpy() for k, v in torch.load(
-                lpath, map_location="cpu", weights_only=True).items()}
+        lsd = load_torch_state_dict(lpath)
         unet_p, n_merged, leftover = merge_lora_into_params(
             unet_p, lsd, scale=lora_scale)
         import logging
@@ -544,6 +564,11 @@ def load_converted_guidance(
         clip.init(key, jnp.zeros((1, 77), jnp.int32)))
     tokenizer = CLIPTokenizer(osp.join(weights_dir, "vocab.json"),
                               osp.join(weights_dir, "merges.txt"))
+    if fam["text"] == "clip_h":
+        # SD2.x pads with "!" (id 0), not EOS — the stabilityai tokenizer
+        # configs set pad_token="!"; EOS-padding would feed the causal
+        # OpenCLIP-H tower off-distribution context at every pad position
+        tokenizer.pad_id = 0
     if concept_name:
         # offline Textual-Inversion merge (reference: guide.concept_name +
         # load_concept, basic.py:266,285-316)
@@ -588,15 +613,7 @@ def convert_from_hf_cache(hf_root: str, out_dir: str,
 
     from .vae import AutoencoderKL, sd_vae_config
 
-    def load_sd(path):
-        if path.endswith(".safetensors"):
-            from safetensors.numpy import load_file
-
-            return load_file(path)
-        import torch
-
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+    load_sd = load_torch_state_dict
 
     fam = _family(model)
     unet, clip, ctx_dim = _family_modules(fam)
@@ -639,15 +656,7 @@ def convert_sdxl_from_hf_cache(hf_root: str, out_dir: str) -> None:
     from .unet import UNet2DCondition, sdxl_unet_config
     from .vae import AutoencoderKL, sd_vae_config
 
-    def load_sd(path):
-        if path.endswith(".safetensors"):
-            from safetensors.numpy import load_file
-
-            return load_file(path)
-        import torch
-
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        return {k: v.numpy() for k, v in sd.items()}
+    load_sd = load_torch_state_dict
 
     def find(*names):
         for n in names:
@@ -699,6 +708,8 @@ def load_converted_guidance_xl(
     use_controlnet: bool = False,
     controlnet_scale: float = 1.0,
     guess_mode: bool = False,
+    lora_name: str = None,
+    lora_scale: float = 1.0,
 ):
     """Build the SDXL guidance stack from a converted-weights directory:
     ``unet_xl.msgpack``, ``vae.msgpack``, ``clip.msgpack`` (CLIP-L) +
@@ -735,6 +746,19 @@ def load_converted_guidance_xl(
         unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
                   pooled_embeds=jnp.zeros((1, ucfg.addition_pooled_dim)),
                   add_time_ids=jnp.zeros((1, 6))))
+    if lora_name:
+        # same offline merge as the SD1.x/2.x loader (merge_lora_into_params
+        # is loader-agnostic — it matches by flax param path)
+        lpath = lora_name if osp.isfile(lora_name) else \
+            osp.join(weights_dir, "lora", lora_name)
+        lsd = load_torch_state_dict(lpath)
+        unet_p, n_merged, leftover = merge_lora_into_params(
+            unet_p, lsd, scale=lora_scale)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "merged LoRA %s into the SDXL UNet: %d layers (%d entries not "
+            "mergeable)", lora_name, n_merged, len(leftover))
     vae_p = load_params(osp.join(weights_dir, "vae.msgpack"),
                         vae.init(key, image_size=1024))
     cn, cn_p = None, None

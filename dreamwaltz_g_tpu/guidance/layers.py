@@ -97,19 +97,39 @@ def _flash_enabled(n_q: int, n_k: int, head_dim: int) -> bool:
         return False
 
 
+# the shape classes flash actually runs at in this framework; Mosaic
+# failures are SHAPE-dependent, so the probe must cover each class — a
+# single-shape probe could pass and a different layer's compile still
+# kill the run
+_FLASH_PROBE_SHAPES = (
+    (2, 4096, 8, 40),    # UNet top self-attention @64² latents (CFG pair)
+    (2, 1024, 8, 80),    # UNet level-2 self-attention
+)
+_FLASH_PROBE_GRAD_SHAPE = (1, 4096, 1, 512)  # VAE mid-block attention:
+# SDS gradients flow through vae.encode, so its dq/dkv BACKWARD kernels
+# compile too — probe with jax.grad, not just the forward
+
+
 def _flash_probe() -> bool:
-    """One-time smoke compile of the kernel on the real device.
+    """One-time smoke compile of the kernel on the real device, over the
+    representative shape set incl. the differentiated VAE-attention shape.
 
     A Mosaic compile failure on some new shape/toolchain must degrade to
-    the einsum path, not kill a bench/training run. Runs a representative
-    (2, 1024, 8, 40) bf16 call eagerly (fine even during an outer trace —
-    inputs are concrete) and caches the outcome.
+    the einsum path, not kill a bench/training run. Runs eagerly (fine
+    even during an outer trace — inputs are concrete) and caches the
+    outcome; the persistent compile cache makes repeat probes cheap.
     """
     global _FLASH_PROBED_OK
     if _FLASH_PROBED_OK is None:
         try:
-            z = jnp.zeros((2, 1024, 8, 40), jnp.bfloat16)
-            jax.block_until_ready(flash_self_attention(z, z, z))
+            for shape in _FLASH_PROBE_SHAPES:
+                z = jnp.zeros(shape, jnp.bfloat16)
+                jax.block_until_ready(flash_self_attention(z, z, z))
+            zg = jnp.zeros(_FLASH_PROBE_GRAD_SHAPE, jnp.bfloat16)
+            g = jax.grad(lambda q, k, v: jnp.sum(
+                flash_self_attention(q, k, v).astype(jnp.float32)),
+                argnums=(0, 1, 2))(zg, zg, zg)
+            jax.block_until_ready(g)
             _FLASH_PROBED_OK = True
         except Exception as e:  # pragma: no cover - hardware-dependent
             import logging

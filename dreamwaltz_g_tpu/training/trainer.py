@@ -109,6 +109,16 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
     assert batch_size % dp == 0, (
         f"batch_size {batch_size} must divide over dp={dp} "
         f"(parallel.dp={req_dp}, {n_dev} devices)")
+    if dp > 1:
+        # Same constraint as the TP branch above: the DP train steps are
+        # jax.jit with in_shardings over a >1-device mesh, and GSPMD has
+        # no partitioning rule for the Pallas flash-attention custom call
+        # — it would either refuse to lower or replicate the op
+        # (all-gathering q/k/v), silently un-DP-ing exactly the layers
+        # flash accelerates. The einsum path partitions cleanly.
+        from ..guidance import layers
+
+        layers.FLASH_ATTENTION = "off"
     return make_mesh(dp=dp), None, guidance_params
 
 
@@ -398,7 +408,9 @@ class Trainer:
                     guidance_rescale=cfg.guide.guidance_rescale,
                     denoise_timesteps=cfg.guide.denoise_timesteps,
                     use_controlnet=cfg.guide.use_controlnet,
-                    controlnet_scale=cfg.guide.controlnet_scale)
+                    controlnet_scale=cfg.guide.controlnet_scale,
+                    lora_name=cfg.guide.lora_name,
+                    lora_scale=cfg.guide.lora_scale)
                 self.text_embeds, pooled_t = text_embed_fn(texts)
                 self.uncond_embeds, pooled_u = text_embed_fn([uncond])
                 # view variants share the base prompt's pooled embedding

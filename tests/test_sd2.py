@@ -195,3 +195,46 @@ def test_lora_merge_kohya_and_peft():
     out0 = unet.apply(p, x, jnp.asarray([100.0]), jnp.ones_like(ctx))
     out1 = unet.apply(merged, x, jnp.asarray([100.0]), jnp.ones_like(ctx))
     assert np.abs(np.asarray(out0 - out1)).max() > 1e-7
+
+
+def test_sd2_pad_token_is_bang(tmp_path):
+    """SD2.x tokenizers pad with '!' (id 0), SD1.x with EOS — EOS-padding
+    the causal OpenCLIP-H tower feeds it off-distribution context at every
+    pad position (reference: the stabilityai tokenizer configs)."""
+    import json
+
+    import numpy as np
+
+    from dreamwaltz_g_tpu.guidance.clip_text import (CLIPTokenizer,
+                                                     _bytes_to_unicode)
+
+    chars = list(_bytes_to_unicode().values())
+    vocab = {c: i for i, c in enumerate(chars)}
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"),
+                        str(tmp_path / "merges.txt"))
+
+    # SD1.x default: pad == EOS
+    ids = tok("hi")
+    assert ids[0, -1] == tok.eos
+
+    # SD2.x: the loader flips pad_id to 0 for clip_h families
+    tok.pad_id = 0
+    ids = tok("hi")
+    assert ids[0, -1] == 0
+    # the terminating EOS survives right after the content tokens
+    content_len = 1 + len(tok.encode("hi")) + 1
+    assert ids[0, content_len - 1] == tok.eos
+    assert (ids[0, content_len:] == 0).all()
+
+    import inspect
+
+    from dreamwaltz_g_tpu.guidance import convert
+
+    src = inspect.getsource(convert.load_converted_guidance)
+    assert "pad_id = 0" in src and "clip_h" in src
