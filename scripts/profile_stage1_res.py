@@ -77,10 +77,19 @@ def main():
         jax.block_until_ready(nm["loss"])
         return (time.time() - t0) / n_iters
 
-    for name, ncfg, H, n in [
+    import sys as _sys
+    rows = [
         ("triplane 256^2", NeRFConfig(backbone="triplane"), 256, 8),
         ("hash+compact bf16 256^2", NeRFConfig(grid_dtype="bf16"), 256, 3),
-    ]:
+    ]
+    if "--512" in _sys.argv:
+        # the two-stage wall-clock table's last extrapolated cell
+        # (PERF.md: hash @512² was scaled from the 256² render share)
+        rows = [
+            ("triplane 512^2", NeRFConfig(backbone="triplane"), 512, 5),
+            ("hash+compact bf16 512^2", NeRFConfig(grid_dtype="bf16"), 512, 2),
+        ]
+    for name, ncfg, H, n in rows:
         dt = bench_stage1(ncfg, H, n_iters=n)
         print(f"{name:28s} {dt:8.3f} s/it   {1.0/dt:6.3f} it/s", flush=True)
 
