@@ -2,17 +2,22 @@
 (the first metric in BASELINE.json: "SDS iters/sec/chip").
 
 Measures one avatar SDS step end-to-end — animate (GLBS + NeRF-field decode)
--> project -> bin -> Pallas blend fwd -> VAE encode -> SD1.5-sized UNet
-CFG forward -> blend bwd (Pallas) -> optimizer — with random weights at the
-real architecture sizes (512² render, 200k gaussians, 64² latents, full-size
-256²x32 triplane avatar field). The step is the FUSED single-program builder
-(optim.fused_step default); the avatar field is the triplane backbone — the
-TPU flagship config (PERF.md: a reference-size 16L/2^19 hash field costs
-~1.8 s/step in backward scatter-adds on TPU; the factorized field is the
-documented TPU-first design, carried from stage 1 via the nerf2gs handoff).
+-> project -> bin -> Pallas blend fwd -> VAE encode -> SD1.5-sized
+**ControlNet + UNet** CFG forward -> blend bwd (Pallas) -> optimizer — with
+random weights at the real architecture sizes (512² render, 200k gaussians,
+64² latents, full-size 256²x32 triplane avatar field, real SD1.5-ControlNet
+encoder + a drawn 512² OpenPose condition canvas). The ControlNet matches
+the reference's stage-2 step, which runs ControlNet+UNet twice per CFG pair
+(reference: core/trainer.py:445-476, core/guidance/controlnet.py:83-114).
+The step is the FUSED single-program builder (optim.fused_step default);
+the avatar field is the triplane backbone — the TPU flagship config
+(PERF.md: a reference-size 16L/2^19 hash field costs ~1.8 s/step in
+backward scatter-adds on TPU; the factorized field is the documented
+TPU-first design, carried from stage 1 via the nerf2gs handoff).
 
 Reference budget: 15k stage-2 iters in "several hours" total on one L40S
-(BASELINE.md) — roughly 2-3 SDS it/s. Prints one JSON line.
+(BASELINE.md) — roughly 2-3 SDS it/s (an ESTIMATE: the repo publishes no
+it/s table; the JSON flags this). Prints one JSON line.
 """
 import json
 import time
@@ -80,21 +85,44 @@ def main():
                                  enc_cfg=TriplaneConfig(resolution=256,
                                                         feature_dim=32))
 
-    # real-size frozen guidance, random weights, bf16
+    # real-size frozen guidance, random weights, bf16 — incl. the pose
+    # ControlNet the reference runs inside every stage-2 step
+    from dreamwaltz_g_tpu.guidance.controlnet import ControlNet
+
     ucfg = sd15_unet_config()
     unet = UNet2DCondition(ucfg)
     vae = AutoencoderKL(sd_vae_config())
+    cnet = ControlNet(ucfg)
     key = jax.random.PRNGKey(0)
     lat = jnp.zeros((1, 64, 64, 4))
     ctx = jnp.zeros((1, 77, 768))
     unet_p = unet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx)
     vae_p = vae.init(key, image_size=512)
+    cnet_p = cnet.init(key, lat, jnp.zeros((1,), jnp.int32), ctx,
+                       jnp.zeros((1, 512, 512, 3)))
     cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-    gparams = GuidanceParams(unet=cast(unet_p), vae=cast(vae_p))
-    guidance = ScoreDistillation(unet=unet, vae=vae, latent_size=64,
-                                 guidance_scale=50.0)
+    gparams = GuidanceParams(unet=cast(unet_p), vae=cast(vae_p),
+                             controlnet=cast(cnet_p))
+    guidance = ScoreDistillation(unet=unet, vae=vae, controlnet=cnet,
+                                 latent_size=64, guidance_scale=50.0)
+
+    # a real 512² OpenPose condition canvas (the stage-2 condition modality,
+    # reference: core/human/smpl_condition.py pose path) drawn from a simple
+    # frontal stick figure — content doesn't affect timing, but the tensor
+    # takes the full ControlNet cond-embedding path
+    from dreamwaltz_g_tpu.human.openpose import draw_openpose_map
+
+    body = np.full((128, 2), np.nan, np.float32)
+    body[:18] = np.array(
+        [[.50, .12], [.50, .25], [.42, .25], [.38, .38], [.36, .50],
+         [.58, .25], [.62, .38], [.64, .50], [.45, .52], [.44, .72],
+         [.44, .90], [.55, .52], [.56, .72], [.56, .90], [.48, .10],
+         [.52, .10], [.45, .11], [.55, .11]], np.float32)
+    canvas = draw_openpose_map([body], 512, 512, draw_hand_kp=False)
+    cond = jnp.asarray(canvas, jnp.float32)[None] / 255.0
+    cond = cond.astype(jnp.bfloat16)
 
     tx = build_avatar_optimizer(RenderConfig(), max_steps=5000)
     tstate = init_avatar_train_state(setup.state, tx)
@@ -113,7 +141,8 @@ def main():
     for w in range(3):
         k, kk = jax.random.split(k)
         tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
-                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, kk)
+                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt, t, kk,
+                         cond_image=cond)
     jax.block_until_ready(m["loss"])
 
     iters = 10
@@ -122,7 +151,7 @@ def main():
         k, kk = jax.random.split(k)
         tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
                          cam.intrinsics[0], cam.tanfov[0], bg, txt, txt,
-                         t, kk)
+                         t, kk, cond_image=cond)
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
 
@@ -151,7 +180,7 @@ def main():
             nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
                                ncam.intrinsics[0],
                                jnp.asarray([0.5, 0.5, 0.5]),
-                               txt, txt, t, kk)
+                               txt, txt, t, kk, cond_image=cond)
         jax.block_until_ready(nm["loss"])
         t0 = time.time()
         for i in range(n_iters):
@@ -159,7 +188,7 @@ def main():
             nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
                                ncam.intrinsics[0],
                                jnp.asarray([0.5, 0.5, 0.5]),
-                               txt, txt, t, kk)
+                               txt, txt, t, kk, cond_image=cond)
         jax.block_until_ready(nm["loss"])
         return (time.time() - t0) / n_iters
 
@@ -173,11 +202,16 @@ def main():
     print(json.dumps({
         "metric": "sds_train_steps_per_sec",
         "value": round(1.0 / dt, 2),
-        "unit": "SDS it/s (512^2, 200k gaussians, SD1.5-size UNet, 1 chip)",
+        "unit": "SDS it/s (512^2, 200k gaussians, SD1.5-size "
+                "ControlNet+UNet CFG, 1 chip)",
         "vs_baseline": round((1.0 / dt) / 2.5, 3),
+        "baseline_note": "reference 2.5 it/s is ESTIMATED from "
+                         "'several hours'/30k iters on one L40S "
+                         "(no published it/s table)",
         "nerf_sds_steps_per_sec": round(1.0 / ndt, 2),
         "nerf_sds_unit": "stage-1 NeRF SDS it/s (128^2, 96-candidate "
-                         "compacted march, hash grid bf16)",
+                         "compacted march, hash grid 2^19 bf16, "
+                         "ControlNet+UNet CFG)",
         "nerf_sds_triplane_steps_per_sec": round(1.0 / tdt, 2),
     }))
 

@@ -59,7 +59,9 @@ class NeRFConfig:
     num_levels: int = 16
     level_dim: int = 2
     base_resolution: int = 16
-    log2_hashmap_size: int = 16  # TPU addition: table size knob (reference hardcodes 2**19)
+    # TPU addition: table-size knob; the default matches the reference's
+    # hardcoded capacity (core/nerf/gridencoder/grid.py:100 log2_hashmap_size=19)
+    log2_hashmap_size: int = 19
     density_activation: str = "exp"  # {'exp', 'softplus'}
 
     # ray marching (TPU: fixed-step masked marching; the reference's

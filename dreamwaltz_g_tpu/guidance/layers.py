@@ -81,6 +81,16 @@ FLASH_ATTENTION = "auto"
 FLASH_MIN_SEQ = 1024
 _FLASH_PROBED_OK: bool | None = None  # lazy real-hardware compile probe
 
+# Mesh-aware dispatch for DP/TP training: GSPMD has no partitioning rule for
+# the Pallas flash custom call, so a jit over a >1-device mesh would either
+# refuse to lower it or replicate it (all-gathering q/k/v). Instead the
+# trainer publishes its mesh here and the kernel call is wrapped in
+# shard_map — batch rows split over the data axis, heads over the model
+# axis. Attention is independent over batch and heads, so the wrapped
+# region needs no collectives and the kernel runs on each device's shard.
+# Value: (mesh, batch_axis_name_or_None, head_axis_name_or_None).
+FLASH_SHARD: Optional[tuple] = None
+
 
 def _flash_enabled(n_q: int, n_k: int, head_dim: int) -> bool:
     if FLASH_ATTENTION == "off":
@@ -140,8 +150,8 @@ def _flash_probe() -> bool:
     return _FLASH_PROBED_OK
 
 
-def flash_self_attention(q, k, v):
-    """Fused attention over (B, N, H, D) tensors via the Pallas TPU kernel."""
+def _flash_kernel(q, k, v):
+    """Single-device fused attention over (B, N, H, D) via the Pallas kernel."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, flash_attention)
 
@@ -159,6 +169,33 @@ def flash_self_attention(q, k, v):
         v.transpose(0, 2, 1, 3),
         sm_scale=1.0 / float(q.shape[-1]) ** 0.5, block_sizes=sizes)
     return out.transpose(0, 2, 1, 3)
+
+
+def flash_self_attention(q, k, v):
+    """Fused attention over (B, N, H, D) tensors via the Pallas TPU kernel.
+
+    When ``FLASH_SHARD`` publishes a device mesh (DP/TP training), the kernel
+    is wrapped in ``shard_map`` with batch split over the data axis and heads
+    over the model axis, so it stays alive inside GSPMD-sharded programs. An
+    axis that doesn't divide its dimension falls back to replicated for that
+    dimension (still correct; that spec matches what GSPMD could do)."""
+    if FLASH_SHARD is None:
+        return _flash_kernel(q, k, v)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh, baxis, haxis = FLASH_SHARD
+    B, _, H, _ = q.shape
+    bname = baxis if (baxis in mesh.shape and mesh.shape[baxis] > 1
+                      and B % mesh.shape[baxis] == 0) else None
+    hname = haxis if (haxis is not None and haxis in mesh.shape
+                      and mesh.shape[haxis] > 1
+                      and H % mesh.shape[haxis] == 0) else None
+    spec = P(bname, None, hname, None)
+    fn = shard_map(_flash_kernel, mesh=mesh,
+                   in_specs=(spec, spec, spec), out_specs=spec,
+                   check_vma=False)
+    return fn(q, k, v)
 
 
 class Attention(nn.Module):

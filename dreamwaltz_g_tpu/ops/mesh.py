@@ -156,9 +156,11 @@ def interpolate_vertex_attributes(
 
 def sample_mesh_surface(
     key: jax.Array, vertices: jnp.ndarray, faces: jnp.ndarray, n: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_bary: bool = False,
+):
     """Area-weighted uniform surface samples.
-    Returns (points (n, 3), face_idx (n,)). (replaces trimesh.sample,
+    Returns (points (n, 3), face_idx (n,)) — plus the (n, 3) barycentric
+    weights when ``return_bary``. (replaces trimesh.sample,
     reference: avatar.py:92-103 mesh_surface init)."""
     tri = vertices[faces]
     e1 = tri[:, 1] - tri[:, 0]
@@ -171,7 +173,24 @@ def sample_mesh_surface(
     su = jnp.sqrt(u[:, 0:1])
     bary = jnp.concatenate([1 - su, su * (1 - u[:, 1:2]), su * u[:, 1:2]], -1)
     pts = jnp.einsum("nk,nkd->nd", bary, tri[fidx])
+    if return_bary:
+        return pts, fidx, bary
     return pts, fidx
+
+
+def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Per-vertex unit normals: mean of the unit normals of the adjacent
+    faces (trimesh ``vertex_normals`` semantics, which the reference's
+    sigma guidance interpolates barycentrically,
+    reference: core/trainer.py:744-752)."""
+    tri = vertices[faces]
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+    vn = jnp.zeros_like(vertices)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn / jnp.maximum(jnp.linalg.norm(vn, axis=-1, keepdims=True),
+                            1e-12)
 
 
 def triangle_frames(vertices: jnp.ndarray, faces: jnp.ndarray):

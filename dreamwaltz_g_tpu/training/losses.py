@@ -87,11 +87,16 @@ def make_sigma_guidance_points(
     ``surface_thickness`` from the mesh (reference: calc_sigma_loss,
     trainer.py:736-772 — off-surface keeps static shape here; too-close
     offsets are re-projected onto the surface set instead of dropped)."""
-    k1, k2 = jax.random.split(key)
-    pts, fidx = sample_mesh_surface(k1, vertices, faces, num_points)
+    from ..ops.mesh import vertex_normals
 
-    tri = vertices[faces[fidx]]
-    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    k1, k2 = jax.random.split(key)
+    pts, fidx, bary = sample_mesh_surface(k1, vertices, faces, num_points,
+                                          return_bary=True)
+
+    # barycentric-interpolated vertex normals, as the reference does
+    # (trimesh points_to_barycentric + vertex_normals, trainer.py:744-752)
+    vn = vertex_normals(vertices, faces)[faces[fidx]]      # (N, 3, 3)
+    n = jnp.einsum("nk,nkd->nd", bary, vn)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     noise = (jax.random.uniform(k2, (num_points, 1)) - 0.5) * noise_range
     noisy = pts + noise * n

@@ -91,10 +91,10 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
         from ..guidance import layers
         from ..parallel.tp import guidance_shardings, shard_guidance_params
 
-        # GSPMD cannot partition the Pallas flash-attention custom call
-        # across the model axis; fall back to the einsum attention, which
-        # propagates the Megatron head sharding cleanly.
-        layers.FLASH_ATTENTION = "off"
+        # GSPMD cannot partition the Pallas flash-attention custom call;
+        # publish the mesh so layers.flash_self_attention wraps the kernel
+        # in shard_map (batch over 'data', heads over 'model') instead of
+        # losing flash in every multi-device config.
         assert n_dev % tp == 0, (
             f"parallel.tp={tp} must divide the device count {n_dev}")
         dp = n_dev // tp if req_dp < 0 else min(req_dp, n_dev // tp)
@@ -102,6 +102,7 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
         assert batch_size % dp == 0, (
             f"batch_size {batch_size} must divide over dp={dp}")
         mesh = make_mesh_2d(dp=dp, tp=tp)
+        layers.FLASH_SHARD = (mesh, "data", "model")
         gshard = guidance_shardings(guidance_params, mesh)
         return mesh, gshard, shard_guidance_params(guidance_params, mesh)
     dp = n_dev if req_dp < 0 else min(req_dp, n_dev)
@@ -109,17 +110,16 @@ def _train_mesh_and_gshard(cfg, batch_size, guidance_params):
     assert batch_size % dp == 0, (
         f"batch_size {batch_size} must divide over dp={dp} "
         f"(parallel.dp={req_dp}, {n_dev} devices)")
+    mesh = make_mesh(dp=dp)
     if dp > 1:
         # Same constraint as the TP branch above: the DP train steps are
         # jax.jit with in_shardings over a >1-device mesh, and GSPMD has
-        # no partitioning rule for the Pallas flash-attention custom call
-        # — it would either refuse to lower or replicate the op
-        # (all-gathering q/k/v), silently un-DP-ing exactly the layers
-        # flash accelerates. The einsum path partitions cleanly.
+        # no partitioning rule for the Pallas flash-attention custom call.
+        # The shard_map wrapper splits the CFG-batch rows over 'data'.
         from ..guidance import layers
 
-        layers.FLASH_ATTENTION = "off"
-    return make_mesh(dp=dp), None, guidance_params
+        layers.FLASH_SHARD = (mesh, "data", None)
+    return mesh, None, guidance_params
 
 
 class Trainer:

@@ -66,6 +66,109 @@ def test_attention_module_flash_parity():
     assert jnp.abs(out - ref).max() < 1e-4 * float(jnp.abs(ref).max())
 
 
+def test_flash_shard_map_dp_matches_einsum():
+    """FLASH_SHARD (the DP mesh published by the trainer) wraps the kernel
+    in shard_map with batch rows split over 'data'; values and gradients
+    must match the einsum reference exactly as in the unsharded case."""
+    from dreamwaltz_g_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8)
+    key = jax.random.PRNGKey(3)
+    # minimal shapes: the interpreted backward kernels run once per shard
+    # (serially on CPU), so keep per-shard work tiny
+    B, N, H, D = 8, 128, 1, 8
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, N, H, D),
+                                 jnp.float32) for i in range(3))
+
+    def loss_flash(q, k, v):
+        return (layers.flash_self_attention(q, k, v) ** 2).sum()
+
+    old = layers.FLASH_SHARD
+    try:
+        layers.FLASH_SHARD = (mesh, "data", None)
+        with pltpu.force_tpu_interpret_mode():
+            out = layers.flash_self_attention(q, k, v)
+            grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        layers.FLASH_SHARD = old
+    ref = _einsum_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 1e-5
+    ref_grads = jax.grad(
+        lambda q, k, v: (_einsum_attention(q, k, v) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for g, rg in zip(grads, ref_grads):
+        assert jnp.abs(g - rg).max() < 1e-4 * float(jnp.abs(rg).max())
+
+
+def test_flash_shard_map_tp_head_split():
+    """On a (data, model) mesh the heads split over 'model' (Megatron
+    sharding of the attention) and batch over 'data'."""
+    from dreamwaltz_g_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(dp=2, tp=4)
+    key = jax.random.PRNGKey(4)
+    B, N, H, D = 2, 128, 4, 8
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, N, H, D),
+                                 jnp.float32) for i in range(3))
+    old = layers.FLASH_SHARD
+    try:
+        layers.FLASH_SHARD = (mesh, "data", "model")
+        with pltpu.force_tpu_interpret_mode():
+            out = layers.flash_self_attention(q, k, v)
+    finally:
+        layers.FLASH_SHARD = old
+    ref = _einsum_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 1e-5
+
+
+def test_flash_shard_map_inside_gspmd_jit():
+    """The shard_map wrapper composes with a jit whose inputs carry GSPMD
+    shardings — the exact context of the DP train steps, where the bare
+    Pallas call has no partitioning rule."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dreamwaltz_g_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8)
+    key = jax.random.PRNGKey(5)
+    B, N, H, D = 8, 128, 1, 8
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, N, H, D),
+                                 jnp.float32) for i in range(3))
+    sh = NamedSharding(mesh, P("data"))
+    old = layers.FLASH_SHARD
+    try:
+        layers.FLASH_SHARD = (mesh, "data", None)
+        f = jax.jit(layers.flash_self_attention,
+                    in_shardings=(sh, sh, sh))
+        with pltpu.force_tpu_interpret_mode():
+            out = f(q, k, v)
+    finally:
+        layers.FLASH_SHARD = old
+    ref = _einsum_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 1e-5
+
+
+def test_flash_shard_map_nondividing_falls_back_replicated():
+    """Batch/head extents that don't divide their mesh axes degrade to the
+    replicated spec for that dimension (correctness preserved)."""
+    from dreamwaltz_g_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8)
+    key = jax.random.PRNGKey(6)
+    B, N, H, D = 3, 128, 1, 8  # 3 % 8 != 0
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, N, H, D),
+                                 jnp.float32) for i in range(3))
+    old = layers.FLASH_SHARD
+    try:
+        layers.FLASH_SHARD = (mesh, "data", None)
+        with pltpu.force_tpu_interpret_mode():
+            out = layers.flash_self_attention(q, k, v)
+    finally:
+        layers.FLASH_SHARD = old
+    ref = _einsum_attention(q, k, v)
+    assert jnp.abs(out - ref).max() < 1e-5
+
+
 @pytest.mark.parametrize("nq,nk,d,expect", [
     (4096, 4096, 40, True),    # 64² self-attention
     (1024, 1024, 80, True),    # 32² self-attention

@@ -119,6 +119,45 @@ class TestLosses:
                                            num_points=64)
         assert pts.surface.shape == (64, 3) and pts.offset.shape == (64, 3)
 
+    def test_vertex_normals_octahedron(self):
+        """The sigma-guidance offset direction interpolates VERTEX normals
+        (reference: trainer.py:744-752 via trimesh), not flat face normals;
+        on a regular octahedron every vertex normal is radial."""
+        from dreamwaltz_g_tpu.ops.mesh import vertex_normals
+
+        v = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                         [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+        f = jnp.asarray([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+        vn = vertex_normals(v, f)
+        assert np.allclose(np.asarray(vn), np.asarray(v), atol=1e-6)
+
+    def test_sigma_points_use_interpolated_normals(self):
+        """On the octahedron, flat face normals are diagonal while the
+        interpolated normal varies across the face — points sampled near a
+        vertex must offset nearly radially."""
+        from dreamwaltz_g_tpu.ops import mesh as M
+
+        v = jnp.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                         [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+        f = jnp.asarray([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+        pts = L.make_sigma_guidance_points(jax.random.PRNGKey(0), v, f,
+                                           num_points=256, noise_range=0.1,
+                                           surface_thickness=0.0)
+        d = np.asarray(pts.offset - pts.surface)
+        d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        p = np.asarray(pts.surface)
+        p = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+        # interpolated normals track the sample position on this symmetric
+        # solid; a flat normal would be constant per face (cos to radial as
+        # low as cos(~35°)≈0.82 at the corners). Samples near vertices must
+        # align much better than the flat-normal worst case.
+        cosr = np.abs((d * p).sum(-1))
+        near_vertex = np.abs(np.asarray(pts.surface)).max(-1) > 0.9
+        if near_vertex.any():
+            assert cosr[near_vertex].min() > 0.95
+
     def test_knn_regularizer(self):
         rng = np.random.default_rng(0)
         v = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
