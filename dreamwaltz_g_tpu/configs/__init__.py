@@ -125,10 +125,10 @@ class NeRFConfig:
     # honored: stop-gradient on weights_sum when compositing the background
     # (reference: nerf_renderer.py:467)
     detach_bg_weights_sum: bool = False
-    # DMTet finetune path (reference: nerf_renderer.py:475-646): the library
-    # modules exist here (nerf/dmtet.py, nerf/isosurface.py, mesh losses) but
-    # the trainer wiring is not shipped — the reference's shipped scripts
-    # never enable it either; warned when set
+    # DMTet finetune path (reference: nerf_renderer.py:475-646), wired via
+    # training/dmtet_trainer.py: seed SDF/deform from the stage-1 field
+    # (pass --optim.ckpt), SDS on the marching-tets surface rendered as
+    # flat splats, with normal-consistency + Laplacian regularizers
     dmtet: bool = False
     dmtet_reso_scale: float = 8.0
     lock_geo: bool = False

@@ -45,20 +45,67 @@ class DMTetModel(NamedTuple):
                           bound=bound,
                           deform_scale=deform_scale * 2 * bound / resolution)
 
+    def _query_sigma(self, nerf: NeRFModel, params: NeRFParams,
+                     verts: jnp.ndarray, chunk: int) -> jnp.ndarray:
+        n = verts.shape[0]
+        pad = (-n) % chunk
+        pts = jnp.concatenate([verts, jnp.zeros((pad, 3))]) if pad else verts
+        return jax.lax.map(lambda p: nerf.density(params, p)[0],
+                           pts.reshape(-1, chunk, 3)).reshape(-1)[:n]
+
     def init_from_nerf(self, nerf: NeRFModel, params: NeRFParams,
                        density_thresh: float = 10.0,
-                       chunk: int = 128 ** 2) -> DMTetParams:
-        """Seed the SDF from the stage-1 density field
-        (reference: init_tet, nerf_renderer.py:497-520)."""
-        pts = self.verts
-        n = pts.shape[0]
-        pad = (-n) % chunk
-        if pad:
-            pts = jnp.concatenate([pts, jnp.zeros((pad, 3))])
-        sigma = jax.lax.map(lambda p: nerf.density(params, p)[0],
-                            pts.reshape(-1, chunk, 3)).reshape(-1)[:n]
-        return DMTetParams(sdf=sigma - density_thresh,
-                           deform=jnp.zeros_like(self.verts))
+                       chunk: int = 128 ** 2,
+                       fit_scale: bool = False,
+                       ) -> "Tuple[DMTetModel, DMTetParams]":
+        """Seed the SDF from the stage-1 density field, clamped to [-1, 1]
+        as the reference does (init_tet, nerf_renderer.py:497-646:
+        ``self.sdf.data += (sigma - density_thresh).clamp(-1, 1)``).
+
+        ``fit_scale``: rescale the grid to hug the occupied region first
+        (reference: ``tet_scale = valid_verts.abs().amax() + 1e-1``) and
+        reseed at the new vertex positions. Returns (model, params) — the
+        model changes when fit_scale moves the vertices."""
+        model = self
+        sigma = self._query_sigma(nerf, params, model.verts, chunk)
+        if fit_scale:
+            occupied = sigma > density_thresh
+            extent = jnp.max(jnp.where(occupied[:, None],
+                                       jnp.abs(model.verts), 0.0))
+            scale = (extent + 1e-1) / model.bound
+            scale = jnp.where(jnp.any(occupied), scale, 1.0)
+            model = model._replace(verts=model.verts * scale,
+                                   deform_scale=float(model.deform_scale)
+                                   * float(scale))
+            sigma = self._query_sigma(nerf, params, model.verts, chunk)
+        dparams = DMTetParams(
+            sdf=jnp.clip(sigma - density_thresh, -1.0, 1.0),
+            deform=jnp.zeros_like(model.verts))
+        return model, dparams
+
+    def prune_to_surface_band(self, dparams: DMTetParams,
+                              dilate: int = 3) -> "DMTetModel":
+        """Keep only tets within ``dilate`` cells of the seeded isosurface
+        (host-side, once at init). The reference loads precomputed sparse
+        tet files covering [-1,1]³ (load_tets, isosurface/dmtet.py); the
+        TPU analog keeps shapes static by pruning the dense grid to a band
+        around the surface — SDS gradients only reach sign-crossing tets,
+        and the deform budget (±0.45 cells) keeps the moving surface well
+        inside a few-cell band."""
+        sdf = np.asarray(dparams.sdf)
+        tets = np.asarray(self.tets)
+        ts = sdf[tets]
+        cut = (ts > 0).any(1) & (ts <= 0).any(1)        # (Tt,)
+        # dilate through shared vertices: a vertex of a cut tet marks all
+        # its tets for the next ring
+        keep = cut.copy()
+        for _ in range(max(dilate, 0)):
+            vmark = np.zeros(sdf.shape[0], bool)
+            vmark[tets[keep].reshape(-1)] = True
+            keep = keep | vmark[tets].any(1)
+        if not keep.any():
+            keep = np.ones_like(keep)  # degenerate seed: keep everything
+        return self._replace(tets=jnp.asarray(tets[keep]))
 
     def init_sphere(self, radius: float = 0.5) -> DMTetParams:
         sdf = radius - jnp.linalg.norm(self.verts, axis=-1)
@@ -67,6 +114,78 @@ class DMTetModel(NamedTuple):
     def extract(self, params: DMTetParams) -> TriangleSoup:
         verts = self.verts + jnp.tanh(params.deform) * self.deform_scale
         return marching_tets(verts, params.sdf, self.tets)
+
+
+def soup_face_normals(soup: TriangleSoup) -> jnp.ndarray:
+    """(M, 3) unit face normals of the extracted triangles (0 where invalid)."""
+    tris = soup.vertices
+    n = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    n = safe_normalize(n)
+    return jnp.where(soup.valid[:, None], n, 0.0)
+
+
+def shade_soup(soup: TriangleSoup, albedo: jnp.ndarray, shading: str,
+               light_d: jnp.ndarray, ambient_ratio: float = 1.0,
+               ) -> jnp.ndarray:
+    """Per-triangle shading (reference: run_dmtet's shading switch,
+    nerf_renderer.py:563-578 — albedo / lambertian / textureless / normal;
+    the reference shades per-pixel with interpolated vertex normals, the
+    splat renderer shades per-triangle with the face normal)."""
+    if shading == "albedo":
+        return albedo
+    n = soup_face_normals(soup)
+    if shading == "normal":
+        return (n + 1.0) * 0.5
+    lam = ambient_ratio + (1.0 - ambient_ratio) * jnp.clip(
+        jnp.sum(n * light_d[None, :], axis=-1), 0.0, None)
+    if shading == "textureless":
+        return jnp.broadcast_to(lam[:, None], albedo.shape)
+    return albedo * lam[:, None]  # lambertian
+
+
+def soup_normal_consistency(soup: TriangleSoup) -> jnp.ndarray:
+    """1 - cos between the two triangles each tet emits (valid quad cases).
+
+    The reference computes normal_consistency over the extracted
+    shared-vertex mesh's edge-adjacent faces (run_dmtet,
+    nerf_renderer.py:593-595 + mesh_loss.py:38) — and then never adds it to
+    the training loss (no consumer of results['loss_normal'] exists in its
+    trainer). The static-shape analog regularizes the in-tet pair, which is
+    exactly the quad diagonal where marching tets creates the sharpest
+    creases."""
+    n = soup_face_normals(soup).reshape(-1, 2, 3)
+    valid = soup.valid.reshape(-1, 2)
+    both = valid[:, 0] & valid[:, 1]
+    cos = jnp.sum(n[:, 0] * n[:, 1], axis=-1)
+    return jnp.sum(jnp.where(both, 1.0 - cos, 0.0)) \
+        / jnp.maximum(jnp.sum(both), 1.0)
+
+
+def unique_tet_edges(tets) -> np.ndarray:
+    """(E, 2) unique undirected edges of the tet grid (host-side, once;
+    reference: all_edges_sorted + unique, nerf_renderer.py:496-500)."""
+    t = np.asarray(tets)
+    e = t[:, [0, 1, 0, 2, 0, 3, 1, 2, 1, 3, 2, 3]].reshape(-1, 2)
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0)
+
+
+def tet_laplacian_loss(verts: jnp.ndarray, edges: jnp.ndarray,
+                       ) -> jnp.ndarray:
+    """Uniform-Laplacian smoothness over the tet-grid edge graph — the
+    static-shape analog of the reference's laplacian_smooth_loss on the
+    extracted mesh (run_dmtet, nerf_renderer.py:596-597 + mesh_loss.py:77;
+    also never consumed by the reference trainer). Pulls each vertex
+    toward the mean of its grid neighbors, i.e. smooths the deformation
+    field that carries the surface."""
+    V = verts.shape[0]
+    deg = jnp.zeros((V,)).at[edges.reshape(-1)].add(1.0)
+    nbr = jnp.zeros((V, 3))
+    nbr = nbr.at[edges[:, 0]].add(verts[edges[:, 1]])
+    nbr = nbr.at[edges[:, 1]].add(verts[edges[:, 0]])
+    lap = verts - nbr / jnp.maximum(deg[:, None], 1.0)
+    return jnp.mean(jnp.sum(jnp.where(deg[:, None] > 0, lap, 0.0) ** 2,
+                            axis=-1))
 
 
 def render_dmtet_splats(

@@ -160,6 +160,7 @@ def make_nerf_sds_step(
     neg_embeds=None,
     pgc=None,
     tp_lr_weights=None,
+    donate_state: bool = False,
 ):
     """One SDS step on the NeRF (reference: train_forward,
     trainer.py:933-1017 with stage='nerf'): render -> guidance loss ->
@@ -167,9 +168,15 @@ def make_nerf_sds_step(
 
     ``tp_lr_weights``: (T,) per-timestep lr weights — the 'ddpm' lr_policy
     (reference: TimePrioritizedLR, time_prior.py:394-431) applied to the
-    updates at this step's sampled t."""
+    updates at this step's sampled t.
 
-    @functools.partial(jax.jit, static_argnames=("use_sigma",))
+    ``donate_state``: donate the train-state buffers to the step so XLA
+    reuses their HBM for the outputs (params + adam slots are ~200 MB at
+    the 2^19 reference table size) — the caller must not read the old
+    state afterwards."""
+
+    @functools.partial(jax.jit, static_argnames=("use_sigma",),
+                       donate_argnums=(0,) if donate_state else ())
     def step(state: NeRFTrainState, grid: OccupancyGrid,
              gparams: GuidanceParams,
              cam_c2w, cam_intr, bg_color,

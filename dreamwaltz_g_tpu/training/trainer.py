@@ -160,6 +160,7 @@ class Trainer:
         self._init_cameras()
         self.checkpointer = Checkpointer(self.exp_dir / "checkpoints",
                                          max_keep=cfg.log.max_keep_ckpts)
+        self.dmtet_model = None  # set by _init_nerf when --nerf.dmtet
         if cfg.stage == "nerf":
             self._init_nerf()
         else:
@@ -226,14 +227,16 @@ class Trainer:
             (n.dt_gamma != 0.0, "nerf.dt_gamma (fixed-step TPU marching)"),
             (n.bg_suppress, "nerf.bg_suppress (dead in the reference: "
              "consumer commented out, nerf_renderer.py:445-462)"),
-            # DMTet finetune: modules exist (nerf/dmtet.py, isosurface.py,
-            # mesh losses) but trainer wiring is not shipped — the
-            # reference's shipped scripts never enable it either
-            (n.dmtet, "nerf.dmtet (DMTet library present; trainer wiring "
-             "not shipped — reference scripts never enable it)"),
-            (n.lambda_normal > 0, "nerf.lambda_normal (DMTet-path loss)"),
+            # DMTet finetune is wired (--nerf.dmtet -> training/
+            # dmtet_trainer.py); lambda_normal / lambda_2d_normal_smooth
+            # gate a normal_image the reference renders but whose losses
+            # its trainer never consumes (no reader of those lambdas
+            # outside configs) — parsed + warned here
+            (n.lambda_normal > 0, "nerf.lambda_normal (normal_image loss "
+             "never consumed by the reference trainer)"),
             (n.lambda_2d_normal_smooth > 0,
-             "nerf.lambda_2d_normal_smooth (DMTet-path loss)"),
+             "nerf.lambda_2d_normal_smooth (normal_image loss never "
+             "consumed by the reference trainer)"),
             (n.lambda_3d_normal_smooth > 0,
              "nerf.lambda_3d_normal_smooth (dead in the reference)"),
             (n.start_shading_iter is not None,
@@ -608,11 +611,33 @@ class Trainer:
                         jnp.asarray, restored["params"]))
                 logger.info("warm-started NeRF from %s", step_dir)
         self.grid = init_occupancy(cfg.nerf.grid_size)
+        self.dmtet_model = None
+        if cfg.nerf.dmtet:
+            # DMTet finetune (reference: run_dmtet + init_tet,
+            # nerf_renderer.py:475-646): seed SDF/deform from the
+            # (warm-started) stage-1 field, train surface + field by SDS
+            from . import dmtet_trainer
+
+            assert cfg.optim.batch_size == 1 and cfg.parallel.tp <= 1, \
+                "--nerf.dmtet runs single-view (batch_size=1, no TP)"
+            self.dmtet_model, dparams, self._tet_edges = \
+                dmtet_trainer.init_dmtet(
+                    self.nerf, self.state.params,
+                    int(cfg.nerf.tet_grid_size),
+                    density_thresh=cfg.nerf.density_thresh)
+            self._tx_dmtet = dmtet_trainer.build_dmtet_optimizer(
+                cfg.nerf, self.max_iteration)
+            self.state = dmtet_trainer.init_train_state(
+                self.state.params, dparams, tx, self._tx_dmtet)
+            logger.info("DMTet finetune: %d tets in the surface band "
+                        "(grid %d)", self.dmtet_model.tets.shape[0],
+                        cfg.nerf.tet_grid_size)
         H = self.train_res
         self.pretrain_step_fn = nerf_trainer.make_pretrain_step(
             self.nerf, tx, H, H, num_steps=cfg.nerf.num_steps,
             compact_steps=cfg.nerf.compact_steps)
-        if cfg.optim.batch_size > 1 or cfg.parallel.tp > 1:
+        if (cfg.optim.batch_size > 1 or cfg.parallel.tp > 1) \
+                and self.dmtet_model is None:
             # stage-1 data parallelism: one view per chip (VERDICT r2 #1 —
             # the reference is single-GPU B=1; SDS view-gradient averaging
             # makes the B-view step B reference steps averaged)
@@ -623,11 +648,30 @@ class Trainer:
             self.mesh = None
             self._gshard = None
         self._build_nerf_sds_step(H)
-        self.eval_render = nerf_trainer.make_eval_render(
-            self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
+        if self.dmtet_model is not None:
+            from . import dmtet_trainer
+
+            self.eval_render = dmtet_trainer.make_dmtet_eval_render(
+                self.nerf, self.dmtet_model, self.cfg.data.eval_h,
+                self.cfg.data.eval_w, tile_size=cfg.render.tile_size,
+                capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
+        else:
+            self.eval_render = nerf_trainer.make_eval_render(
+                self.nerf, self.cfg.data.eval_h, self.cfg.data.eval_w)
 
     def _build_nerf_sds_step(self, H: int):
         cfg = self.cfg
+        if getattr(self, "dmtet_model", None) is not None:
+            from . import dmtet_trainer
+
+            self.sds_step_fn = dmtet_trainer.make_dmtet_sds_step(
+                self.nerf, self.dmtet_model, self._tet_edges, self.guidance,
+                self.tx, self._tx_dmtet, H, H, cfg.nerf,
+                lambda_guidance=cfg.guide.lambda_guidance,
+                neg_embeds=self.neg_embeds, pgc=self.pgc,
+                tile_size=cfg.render.tile_size,
+                capacity=cfg.render.tile_capacity, chunk=cfg.render.chunk)
+            return
         common = dict(
             num_steps=cfg.nerf.num_steps,
             lambda_guidance=cfg.guide.lambda_guidance,
@@ -1462,6 +1506,10 @@ class Trainer:
                     cam.extrinsic[0], cam.intrinsics[0], cam.tanfov[0],
                     jnp.zeros((self.cfg.data.eval_h, self.cfg.data.eval_w, 3)),
                     self.extra_states)
+            elif self.dmtet_model is not None:
+                img, _, _ = self.eval_render(
+                    self.state, cam.c2w[0], cam.intrinsics[0],
+                    jnp.asarray([0.5, 0.5, 0.5]))
             else:
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
@@ -1505,6 +1553,19 @@ class Trainer:
     def _train_one(self, batch) -> Dict[str, float]:
         cfg = self.cfg
         cam: CameraBatch = batch["cam"]
+        if cfg.stage == "nerf" and self.dmtet_model is not None:
+            # DMTet finetune step (no occupancy grid / sigma guidance —
+            # the surface IS the density structure now)
+            campos = cam.c2w[0][:3, 3]
+            self.state, metrics = self.sds_step_fn(
+                self.state, self.guidance_params, cam.extrinsic[0],
+                cam.intrinsics[0], campos, self._bg_color(),
+                batch["text"], batch["uncond"], batch["t"],
+                self._next_key(),
+                cond_image=batch["cond_image"],
+                guidance_scale=batch["guidance_scale"],
+                progress=batch["progress"])
+            return metrics
         if cfg.stage == "nerf":
             self.grid = nerf_trainer.maybe_update_occupancy(
                 self.state, self.grid, self.nerf, self._next_key(),
@@ -1813,7 +1874,10 @@ class Trainer:
                                       (0.5, 0.5, 0.5))
                 bg = jnp.asarray(c)
 
-            if cfg.stage == "nerf":
+            if cfg.stage == "nerf" and self.dmtet_model is not None:
+                img, _, _ = self.eval_render(
+                    self.state, cam.c2w[0], cam.intrinsics[0], bg)
+            elif cfg.stage == "nerf":
                 img, _, _ = self.eval_render(
                     self.state.params, self.grid, cam.c2w[0],
                     cam.intrinsics[0], bg)
@@ -1985,6 +2049,8 @@ class Trainer:
                 "step": np.asarray(self.train_step)}
         if self.bg_state is not None:
             tree["background"] = self.bg_state
+        if self.dmtet_model is not None:
+            tree["dmtet"] = self.state.dmtet
         self.checkpointer.save(self.train_step, tree)
         logger.info("saved checkpoint at step %d", self.train_step)
 
@@ -1996,6 +2062,8 @@ class Trainer:
                     "step": np.asarray(0)}
         if self.bg_state is not None:
             template["background"] = self.bg_state
+        if self.dmtet_model is not None:
+            template["dmtet"] = self.state.dmtet
         restored, step = self.checkpointer.restore(step, target=template)
         if self.bg_state is not None and "background" in restored:
             self.bg_state = tuple(restored["background"])
@@ -2004,6 +2072,8 @@ class Trainer:
             self.state = self.state._replace(
                 params=restored["params"], opt_state=restored["opt_state"],
                 step=jnp.asarray(self.train_step))
+            if self.dmtet_model is not None and "dmtet" in restored:
+                self.state = self.state._replace(dmtet=restored["dmtet"])
         else:
             self.state = self.state._replace(
                 avatar=restored["params"], opt_state=restored["opt_state"],
