@@ -40,6 +40,12 @@ class DensifyConfig(NamedTuple):
     enable_split: bool = True
     enable_prune: bool = True
     opacity_reset_value: float = 0.01
+    # grad-prune mode (reference: enable_grad_prune,
+    # gaussian_densifier.py:360-376): suspend clone/split, prune points
+    # whose accumulated screen-grad exceeds grad_threshold; the caller
+    # (trainer._maybe_densify) applies the reference's auto-disable window
+    # (first third of the densify interval, densifier.py:370-373)
+    grad_prune: bool = False
 
 
 def update_stats(
@@ -122,14 +128,23 @@ def densify_step(
 
     limit = cfg.percent_dense * cfg.spatial_scale
     hot = eligible & (avg_grad > cfg.grad_threshold) & (state.grad_denom > 0)
-    clone_mask = hot & (max_s <= limit) if cfg.enable_clone else jnp.zeros(C, bool)
-    split_mask = hot & (max_s > limit) if cfg.enable_split else jnp.zeros(C, bool)
+    if cfg.grad_prune:
+        # grad-prune mode: no growth, high-gradient points are pruned
+        # (reference: gaussian_densifier.py:360-376)
+        clone_mask = split_mask = jnp.zeros(C, bool)
+    else:
+        clone_mask = hot & (max_s <= limit) if cfg.enable_clone \
+            else jnp.zeros(C, bool)
+        split_mask = hot & (max_s > limit) if cfg.enable_split \
+            else jnp.zeros(C, bool)
 
     prune_mask = eligible & (op < cfg.min_opacity)
     if cfg.max_screen_size is not None:
         prune_mask = prune_mask | (eligible & (state.max_radii > cfg.max_screen_size))
     if cfg.max_world_size is not None:
         prune_mask = prune_mask | (eligible & (max_s > cfg.max_world_size))
+    if cfg.grad_prune:
+        prune_mask = prune_mask | hot
     if not cfg.enable_prune:
         prune_mask = jnp.zeros(C, bool)
     # a split parent is consumed (its slot is overwritten by child 1)

@@ -54,18 +54,44 @@ def joint_template(model: SMPLXModelData) -> jnp.ndarray:
     return jnp.einsum("jv,vc->jc", model.J_regressor, model.v_template)
 
 
+#: SMPL-X template arrays that may be swapped for learnable copies via the
+#: ``overrides`` argument of :func:`glbs_transforms` — the
+#: ``--render.deform_learn_{v_template,shapedirs,posedirs,expr_dirs,
+#: lbs_weights,J_regressor}`` knobs (reference: LinearBlendSkinning /
+#: GeneralLinearBlendSkinning learnable nn.Parameters,
+#: inverse_lbs.py:286-305).
+LEARNABLE_TEMPLATE_KEYS = (
+    "v_template", "shapedirs", "posedirs", "expr_dirs",
+    "lbs_weights", "J_regressor",
+)
+
+
 def glbs_transforms(
     model: SMPLXModelData,
     params: SMPLXParams,
     full_pose: Optional[jnp.ndarray] = None,
     extra_betas: Optional[jnp.ndarray] = None,
+    overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> GLBSTransforms:
     """Compute the named transform decomposition for one parameter batch.
 
     All outputs have leading batch dim B folded into the per-joint /
     per-vertex batch (the reference computes per-batch then squeezes; we keep
     B=1 semantics and return (J, ...) / (V, ...) transforms when B == 1).
+
+    ``overrides`` maps a subset of :data:`LEARNABLE_TEMPLATE_KEYS` to
+    learnable replacement arrays so gradients flow into the SMPL-X template
+    itself (reference: ``deform_learn_*`` → requires_grad nn.Parameters,
+    inverse_lbs.py:286-305; NOTE the reference never actually steps them —
+    its only optimizer hookup is commented out, avatar.py:325-327 — while
+    here ``build_avatar_optimizer`` wires the documented intent of
+    ``LinearBlendSkinning.get_optimizer``, inverse_lbs.py:504-514).
     """
+    ov = overrides or {}
+
+    def arr(name):
+        return ov.get(name, getattr(model, name))
+
     if full_pose is None:
         full_pose = full_pose_from_params(model, params)
     B = full_pose.shape[0]
@@ -74,20 +100,21 @@ def glbs_transforms(
     if extra_betas is not None:
         betas = betas + extra_betas
     shape_components = jnp.concatenate([betas, params.expression], axis=-1)
-    dirs = jnp.concatenate([model.shapedirs, model.expr_dirs], axis=-1)
+    dirs = jnp.concatenate([arr("shapedirs"), arr("expr_dirs")], axis=-1)
     shape_offsets = blend_shapes(shape_components, dirs)          # (B, V, 3)
-    v_shaped = model.v_template[None] + shape_offsets
+    v_shaped = arr("v_template")[None] + shape_offsets
 
-    J_rest = vertices2joints(model.J_regressor, v_shaped)          # (B, J, 3)
-    J_tmpl = joint_template(model)
+    J_rest = vertices2joints(arr("J_regressor"), v_shaped)        # (B, J, 3)
+    J_tmpl = jnp.einsum("jv,vc->jc", arr("J_regressor"), arr("v_template")) \
+        if ov else joint_template(model)
 
     rot_mats = axis_angle_to_matrix(full_pose.reshape(B, -1, 3))
     ident = jnp.eye(3, dtype=rot_mats.dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(B, -1)
-    pose_offsets = (pose_feature @ model.posedirs).reshape(B, -1, 3)
+    pose_offsets = (pose_feature @ arr("posedirs")).reshape(B, -1, 3)
 
     _, A = rigid_kinematics(rot_mats, J_rest, model.parents)       # (B, J, 4, 4)
-    T = jnp.einsum("vj,bjkl->bvkl", model.lbs_weights, A)          # (B, V, 4, 4)
+    T = jnp.einsum("vj,bjkl->bvkl", arr("lbs_weights"), A)         # (B, V, 4, 4)
 
     def _sq(x):
         return x[0] if B == 1 else x

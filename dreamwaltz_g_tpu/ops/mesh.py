@@ -109,7 +109,8 @@ class NearestTriangles(NamedTuple):
     triangle_indices: jnp.ndarray   # (N,) int32
     sq_dists: jnp.ndarray           # (N,)
     barycentric: jnp.ndarray        # (N, 3)
-    vertex_indices: jnp.ndarray     # (N,) dominant-vertex id of that triangle
+    vertex_indices: jnp.ndarray     # (N,) argmin-barycentric vertex id of
+    #                                 that triangle (reference avatar.py:798)
 
 
 def find_nearest_triangles(
@@ -136,8 +137,13 @@ def find_nearest_triangles(
     d2s = d2s.reshape(-1)[:N]
     idxs = idxs.reshape(-1)[:N]
     barys = barys.reshape(-1, 3)[:N]
-    dominant = jnp.argmax(barys, axis=-1)
-    vertex_indices = jnp.take(faces, idxs, axis=0)[jnp.arange(N), dominant]
+    # the reference picks the vertex with the MINIMUM barycentric weight
+    # (torch.argmin, avatar.py:797-798) — surprising (the farthest corner of
+    # the nearest triangle) but load-bearing for parity: these indices gather
+    # the V_shape/V_pose offset translations when --render.use_vertex_*
+    # composition terms are enabled (avatar.py:1412-1422, 1435-1444)
+    nearest = jnp.argmin(barys, axis=-1)
+    vertex_indices = jnp.take(faces, idxs, axis=0)[jnp.arange(N), nearest]
     return NearestTriangles(
         triangle_indices=idxs, sq_dists=d2s, barycentric=barys,
         vertex_indices=vertex_indices.astype(jnp.int32),

@@ -45,6 +45,15 @@ def _on_tpu() -> bool:
 
 _LOG_T_EPS = -9.2  # ln(1e-4): CUDA rasterizer's early-termination threshold
 
+#: default panel precision for the TRAIN kernel pair ('f32' | 'bf16').
+#: 'bf16' stores the values panel in bf16 and runs the MXU passes on bf16
+#: operands with f32 accumulate — halves values-panel HBM traffic, but the
+#: gradient deviation vs f32 is ~1e-2 max-rel (measured,
+#: tests/test_pallas_blend.py::test_pallas_train_blend_bf16_panels_gradients
+#: + PERF.md "bf16 blend panels"), above the 2e-3 parity envelope — so f32
+#: stays the default and bf16 is an opt-in speed knob.
+PANEL_DTYPE = "f32"
+
 
 def _make_kernel(tile_size: int, tiles_x: int, chunk: int,
                  alpha_clip: float, min_alpha: float):
@@ -404,8 +413,10 @@ def blend_sorted_pallas(
 
 
 def _make_fwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
-                           alpha_clip: float, min_alpha: float):
+                           alpha_clip: float, min_alpha: float,
+                           bf16: bool = False):
     P = tile_size * tile_size
+    mm = jnp.bfloat16 if bf16 else jnp.float32
 
     def kernel(counts_ref, triu_ref, attrs_ref, values_ref,
                out_ref, ckpt_ref, acc_ref, logt_ref):
@@ -443,12 +454,16 @@ def _make_fwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
                           jnp.minimum(w, alpha_clip), 0.0)
             l = jnp.log1p(-w)
             log_t = logt_ref[:, 0:1]
+            # bf16 panel mode: both MXU passes take bf16 operands with f32
+            # accumulate (|l| <= 9.2 -> ~0.4% on log-T; contrib/values are
+            # [0,1]-ranged) — attrs stay f32, screen positions need the
+            # mantissa (VERDICT r3 #10; measured grad check in PERF.md)
             excl = jax.lax.dot_general(
-                l, triu_ref[:], (((1,), (0,)), ((), ())),
+                l.astype(mm), triu_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + log_t
             contrib = jnp.exp(excl) * w
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-                contrib, values_ref[0], (((1,), (1,)), ((), ())),
+                contrib.astype(mm), values_ref[0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             logt_ref[:, 0:1] = log_t + jnp.sum(l, axis=1, keepdims=True)
 
@@ -460,8 +475,10 @@ def _make_fwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
 
 
 def _make_bwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
-                           alpha_clip: float, min_alpha: float):
+                           alpha_clip: float, min_alpha: float,
+                           bf16: bool = False):
     P = tile_size * tile_size
+    mm = jnp.bfloat16 if bf16 else jnp.float32
 
     def kernel(counts_ref, tril_ref, triu_ref, attrs_ref, values_ref,
                ckpt_ref, g_ref, dattrs_ref, dvals_ref, suffix_ref):
@@ -500,21 +517,22 @@ def _make_bwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
             l = jnp.log1p(-w)
             log_t = ckpt_ref[0, kf % 8].reshape(P, 1)
             excl = jax.lax.dot_general(
-                l, triu_ref[:], (((1,), (0,)), ((), ())),
+                l.astype(mm), triu_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + log_t
             contrib = jnp.exp(excl) * w                     # (P, C)
 
             g = g_ref[0]                                    # (P, 8)
             # G = g @ vals^T : contract the 8 value lanes
             G = jax.lax.dot_general(
-                g, values_ref[0], (((1,), (0,)), ((), ())),
+                g.astype(mm), values_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (P, C)
             Gc = G * contrib
 
             # dvals (8, C): contract pixels
             dvals_ref[0] = jax.lax.dot_general(
-                g, contrib, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                g.astype(mm), contrib.astype(mm),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dvals_ref.dtype)
 
             # suffix within the chunk + across later chunks
             S = jax.lax.dot_general(
@@ -566,11 +584,20 @@ def blend_tiles_pallas_train(
     alpha_clip: float = 0.999,
     min_alpha: float = 1.0 / 255.0,
     interpret: bool = False,
+    panel_dtype: Optional[str] = None,
 ) -> jnp.ndarray:
     """Differentiable Pallas blend: VMEM forward AND backward kernels.
 
     Gradients flow to means2d/conic/opacity/values; the panel->gaussian
     reduction is the XLA vjp of the pre-gather (a segment scatter-add).
+
+    ``panel_dtype='bf16'`` stores the VALUES panel in bf16 and runs both
+    MXU passes (log-transmittance prefix, channel accumulation — and their
+    backward counterparts) on bf16 operands with f32 accumulate, halving
+    the values-panel HBM traffic (VERDICT r3 #10). The ATTRS panel stays
+    f32: screen-space means at 512² need more than bf16's 8 mantissa bits
+    (a bf16 mean_x at x~500 quantizes to ~2 px). Gradient-accuracy deltas
+    are recorded in PERF.md ("bf16 blend panels").
     """
     T, K = tile_lists.shape
     N, CV = values.shape
@@ -587,18 +614,22 @@ def blend_tiles_pallas_train(
     Tx = -(-image_width // tile_size)
     Ty = -(-image_height // tile_size)
 
+    if panel_dtype is None:
+        panel_dtype = PANEL_DTYPE
+    bf16 = panel_dtype == "bf16"
+    vdt = jnp.bfloat16 if bf16 else jnp.float32
     attrs = jnp.zeros((N + 1, 8), jnp.float32)
     attrs = attrs.at[:N, 0:2].set(means2d)
     attrs = attrs.at[:N, 2:5].set(conic)
     attrs = attrs.at[:N, 5].set(opacity)
-    vals8 = jnp.zeros((N + 1, 8), jnp.float32)
-    vals8 = vals8.at[:N, :CV].set(values)
+    vals8 = jnp.zeros((N + 1, 8), vdt)
+    vals8 = vals8.at[:N, :CV].set(values.astype(vdt))
 
     # differentiable pre-gather: its vjp is the per-gaussian scatter-add
     g_attrs = jnp.swapaxes(attrs[tile_lists], 1, 2)
     g_vals = jnp.swapaxes(vals8[tile_lists], 1, 2)
 
-    triu = jnp.triu(jnp.ones((C, C), jnp.float32), k=1)
+    triu = jnp.triu(jnp.ones((C, C), vdt), k=1)
     tril = jnp.tril(jnp.ones((C, C), jnp.float32), k=-1)
 
     @jax.custom_vjp
@@ -608,7 +639,7 @@ def blend_tiles_pallas_train(
 
     def _fwd_impl(g_attrs, g_vals):
         kernel = _make_fwd_train_kernel(tile_size, Tx, C, alpha_clip,
-                                        min_alpha)
+                                        min_alpha, bf16=bf16)
         out, ckpt = pl.pallas_call(
             kernel,
             grid=(T, n_chunks),
@@ -647,7 +678,7 @@ def blend_tiles_pallas_train(
     def bwd(res, g_out):
         g_attrs, g_vals, ckpt = res
         kernel = _make_bwd_train_kernel(tile_size, Tx, C, alpha_clip,
-                                        min_alpha)
+                                        min_alpha, bf16=bf16)
         rev = lambda t, k: (t, 0, n_chunks - 1 - k)  # noqa: E731
         d_attrs, d_vals = pl.pallas_call(
             kernel,
@@ -672,7 +703,7 @@ def blend_tiles_pallas_train(
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(g_attrs.shape, jnp.float32),
-                jax.ShapeDtypeStruct(g_vals.shape, jnp.float32),
+                jax.ShapeDtypeStruct(g_vals.shape, g_vals.dtype),
             ),
             scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
             interpret=interpret,

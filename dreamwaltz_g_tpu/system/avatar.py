@@ -48,7 +48,12 @@ from ..ops.mesh import (
     interpolate_vertex_attributes,
     knn,
 )
-from ..utils.transforms import matrix_to_quat, quat_normalize, safe_normalize
+from ..utils.transforms import (
+    matrix_to_quat,
+    quat_multiply,
+    quat_normalize,
+    safe_normalize,
+)
 
 # barycentric patterns per triangle (reference: avatar.py:969-1005)
 _BARY_PATTERNS = {
@@ -87,6 +92,10 @@ class AvatarParams(NamedTuple):
     sq_net: dict                    # DeformNetwork: offsets/scales/quats
     mesh: Dict[str, MeshBindingParams]
     extra_betas: jnp.ndarray        # (n_betas,) learnable shape tweak
+    # learnable SMPL-X template copies keyed by LEARNABLE_TEMPLATE_KEYS —
+    # populated per --render.deform_learn_* (reference: requires_grad
+    # nn.Parameters, inverse_lbs.py:286-305); empty dict = frozen template
+    smpl_learn: Dict[str, jnp.ndarray] = {}
 
 
 class AvatarState(NamedTuple):
@@ -95,6 +104,12 @@ class AvatarState(NamedTuple):
     grad_accum: jnp.ndarray
     grad_denom: jnp.ndarray
     max_radii: jnp.ndarray
+    # (C,) nearest-SMPLX-vertex id per unconstrained gaussian (reference:
+    # nearest_triangles_buffer['nearest_vertex_indices'], avatar.py:798) —
+    # gathers the V_shape/V_pose offset translations for the
+    # --render.use_vertex_*_offsets composition terms; None on converted
+    # checkpoints that never enable those knobs
+    vertex_indices: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
@@ -147,6 +162,32 @@ class AvatarModel:
     # nerf_scale_and_quaternion_net MLP(enc -> 7), scale = exp(.) *
     # init_scale, quat normalized); sq_net is then SigmaMLP(out=7)
     hash_mode: bool = False
+    # optional LBS composition terms (reference: lbs_transform /
+    # inverse_lbs_transform branches, avatar.py:1412-1422 / 1435-1444;
+    # all off-default, configs/__init__.py:118-120; the reference asserts
+    # joint+vertex shape offsets are mutually exclusive, avatar.py:1132)
+    use_joint_shape_offsets: bool = False
+    use_vertex_shape_offsets: bool = False
+    use_vertex_pose_offsets: bool = False
+    # non-rigid composition mode: 'add' (default) or multiplicative —
+    # NOTE the reference gates BOTH the scale and the quaternion branch on
+    # non_rigid_rotation_mode (avatar.py:1471, 1485); its separate
+    # non_rigid_scale_mode field is stored (avatar.py:1126) but never read
+    non_rigid_rotation_mode: str = "add"
+    # hash-mode (_AnimatableAvatar.lbs_transform) knobs: compose the shape
+    # offsets into the skinning (reference: deform_with_shape →
+    # LinearBlendSkinning.forward, inverse_lbs.py:492-496) and pick the
+    # quaternion composition path (reference: deform_rotation_mode →
+    # transform_quaternions, inverse_lbs.py:244-251)
+    deform_with_shape: bool = False
+    deform_rotation_mode: str = "quaternion"
+    # sq_net input: NeRF encoding (True, reference default) or detached raw
+    # positions frequency-encoded inside the DeformNetwork (reference:
+    # use_nerf_encoded_position, avatar.py:1166-1174, 1313-1316)
+    use_nerf_encoded_position: bool = True
+    # subset of LEARNABLE_TEMPLATE_KEYS made learnable
+    # (--render.deform_learn_*)
+    deform_learn: Tuple[str, ...] = ()
     # render overrides (reference: Scene.forward, scene.py:134-145 +
     # avatar.py:1546,1585) — debug/visualization knobs applied to every
     # animate() output; static model config, so branches trace once
@@ -236,17 +277,40 @@ def forward_lbs(
     weights: jnp.ndarray,
     quats: Optional[jnp.ndarray] = None,
     flip_rotation_axis: bool = True,
+    rotation_mode: str = "quaternion",
+    use_vertex_shape_offsets: bool = False,
+    use_joint_shape_offsets: bool = False,
+    use_vertex_pose_offsets: bool = False,
+    vertex_indices: Optional[jnp.ndarray] = None,
 ):
     """Skin points (and optionally orientation quats) by joint weights:
     (J_pose_rigid ∘ G_transl).weight(w) (reference lbs_transform default
-    path, avatar.py:1427-1462; shape/pose-offset branches are off by
-    default, configs/__init__.py:115-117)."""
+    path, avatar.py:1427-1462).
+
+    The optional composition terms mirror the reference's order
+    (avatar.py:1435-1452): shape offsets first (per-vertex at
+    ``vertex_indices``, or per-joint by ``weights``), then per-vertex pose
+    offsets, then the weighted rigid transform. All offset transforms are
+    pure translations (R = I), so only points move — quats see the rigid
+    part alone, as in the reference.
+    """
+    if use_vertex_shape_offsets:
+        positions = transforms.V_shape_offset.transform_points(
+            positions, indices=vertex_indices)
+    elif use_joint_shape_offsets:
+        positions = transforms.J_shape_offset.transform_points(
+            positions, weights=weights)
+    if use_vertex_pose_offsets:
+        positions = transforms.V_pose_offset.transform_points(
+            positions, indices=vertex_indices)
     t = transforms.J_pose_rigid.compose(transforms.G_transl_offset)
     per_point = t.weight(weights)
     out = per_point.transform_points(positions)
     if quats is None:
         return out
-    q = per_point.transform_quaternions(quats, flip_rotation_axis=flip_rotation_axis)
+    q = per_point.transform_quaternions(
+        quats, flip_rotation_axis=flip_rotation_axis,
+        rotation_mode=rotation_mode)
     return out, q
 
 
@@ -254,15 +318,48 @@ def inverse_lbs(
     transforms: GLBSTransforms,
     positions: jnp.ndarray,
     weights: jnp.ndarray,
+    use_vertex_shape_offsets: bool = False,
+    use_joint_shape_offsets: bool = False,
+    use_vertex_pose_offsets: bool = False,
+    vertex_indices: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Posed -> zero-pose via the *blended-matrix* inverse: solve
     R_w x = (p - T_w) per point. The blended LBS matrix is not a rigid
     transform, so inverting the blend — not blending inverses — is the
     correct operation (the reference's documented fix, avatar.py:1390-1409).
+
+    When the optional composition terms are on, their translations are
+    undone AFTER the rigid inverse, in the reference's order
+    (inverse_lbs_transform, avatar.py:1411-1424): pose offsets first, then
+    shape offsets — the exact inverse of :func:`forward_lbs`.
     """
     t = transforms.J_pose_rigid.compose(transforms.G_transl_offset)
     blended = t.weight(weights)
-    return jnp.linalg.solve(blended.rot, (positions - blended.trans)[..., None])[..., 0]
+    out = jnp.linalg.solve(
+        blended.rot, (positions - blended.trans)[..., None])[..., 0]
+    if use_vertex_pose_offsets:
+        out = transforms.V_pose_offset.inverse().transform_points(
+            out, indices=vertex_indices)
+    if use_vertex_shape_offsets:
+        out = transforms.V_shape_offset.inverse().transform_points(
+            out, indices=vertex_indices)
+    elif use_joint_shape_offsets:
+        out = transforms.J_shape_offset.inverse().transform_points(
+            out, weights=weights)
+    return out
+
+
+def effective_offset_flags(model: AvatarModel) -> Tuple[bool, bool, bool]:
+    """(vertex_shape, joint_shape, vertex_pose) offset-term flags.
+
+    hash-mode ``deform_with_shape`` composes the shape AND pose offsets into
+    the skinning (reference: LinearBlendSkinning.forward,
+    inverse_lbs.py:492-496 — transform_V gains V_shape_offset, and always
+    carries V_pose_offset)."""
+    with_shape = model.hash_mode and model.deform_with_shape
+    return (model.use_vertex_shape_offsets or with_shape,
+            model.use_joint_shape_offsets,
+            model.use_vertex_pose_offsets or with_shape)
 
 
 def init_avatar_state(
@@ -306,7 +403,13 @@ def init_avatar_state(
         smooth_K=lbs_weight_smooth_K)
 
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
-    zero_pose_positions = inverse_lbs(canonical_tr, point_cloud, lbs_w)
+    vso, jso, vpo = effective_offset_flags(model)
+    zero_pose_positions = inverse_lbs(
+        canonical_tr, point_cloud, lbs_w,
+        use_vertex_shape_offsets=vso,
+        use_joint_shape_offsets=jso,
+        use_vertex_pose_offsets=vpo,
+        vertex_indices=nearest.vertex_indices)
 
     N = point_cloud.shape[0]
     C = capacity or N
@@ -333,8 +436,10 @@ def init_avatar_state(
         sq_net = model.sq_net.init(
             k3, jnp.zeros((1, model.enc_cfg.output_dim)))
     else:
+        sq_in_dim = model.enc_cfg.output_dim \
+            if model.use_nerf_encoded_position else 3
         sq_net = model.sq_net.init(
-            k3, jnp.zeros((1, model.enc_cfg.output_dim)), jnp.zeros((1, 63)))
+            k3, jnp.zeros((1, sq_in_dim)), jnp.zeros((1, 63)))
 
     mesh_params = {
         name: init_mesh_binding_params(st, model.smpl.v_template)
@@ -356,11 +461,20 @@ def init_avatar_state(
         sq_net=sq_net,
         mesh=mesh_params,
         extra_betas=jnp.zeros((model.smpl.num_betas,)),
+        # learnable template copies seeded FROM the frozen template
+        # (reference: deepcopy into requires_grad Parameters,
+        # inverse_lbs.py:286-292)
+        smpl_learn={k: jnp.asarray(getattr(model.smpl, k))
+                    for k in model.deform_learn},
     )
     alive = (jnp.arange(C) < N) & pad(keep, fill=False) if C > N else keep
     z = jnp.zeros((C,), jnp.float32)
+    vidx = nearest.vertex_indices
+    if C > N:
+        vidx = jnp.concatenate(
+            [vidx, jnp.zeros((C - N,), vidx.dtype)], axis=0)
     return AvatarState(params=params, alive=alive, grad_accum=z,
-                       grad_denom=z, max_radii=z)
+                       grad_denom=z, max_radii=z, vertex_indices=vidx)
 
 
 # ---------------------------------------------------------------------------
@@ -447,11 +561,27 @@ def animate(
     if observed_inputs is None:
         observed_inputs = model.canonical_inputs
 
-    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
-    observed_tr = glbs_transforms(model.smpl, observed_inputs)
+    ov = params.smpl_learn or None
+    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs,
+                                   overrides=ov)
+    observed_tr = glbs_transforms(model.smpl, observed_inputs, overrides=ov)
+
+    use_vso, use_jso, use_vpo = effective_offset_flags(model)
+    if (use_vso or use_vpo) and state.vertex_indices is None:
+        raise ValueError(
+            "use_vertex_*_offsets / deform_with_shape need per-point "
+            "nearest-vertex indices; this AvatarState predates them — "
+            "rebuild via init_avatar_state")
+    offset_kw = dict(
+        use_vertex_shape_offsets=use_vso,
+        use_joint_shape_offsets=use_jso,
+        use_vertex_pose_offsets=use_vpo,
+        vertex_indices=state.vertex_indices,
+    )
 
     w = params.lbs_weights
-    canonical_positions = forward_lbs(canonical_tr, params.positions, w)
+    canonical_positions = forward_lbs(canonical_tr, params.positions, w,
+                                      **offset_kw)
 
     enc = encode_any(params.encoder, model.enc_cfg, canonical_positions,
                       model.nerf_bound)
@@ -469,27 +599,45 @@ def animate(
         quats = quat_normalize(sq[:, 3:7])
     else:
         body_pose = observed_inputs.body_pose
+        # reference default (use_nerf_encoded_position=True) feeds the NeRF
+        # encoding; False feeds DETACHED raw positions, frequency-encoded
+        # inside the DeformNetwork (avatar.py:1313-1316)
+        sq_in = enc if model.use_nerf_encoded_position \
+            else jax.lax.stop_gradient(params.positions)
         offsets, dscales, dquats = model.sq_net.apply(
-            params.sq_net, enc, body_pose)
+            params.sq_net, sq_in, body_pose)
 
-        # non-rigid composition, 'add' mode with learnable base scales/quats
-        # (reference: non_rigid_transform, avatar.py:1464-1498 — learn_scales
-        # and learn_quaternions are True by default, configs/__init__.py:195-197)
+        # non-rigid composition with learnable base scales/quats (reference:
+        # non_rigid_transform, avatar.py:1464-1498 — learn_scales and
+        # learn_quaternions are True by default, configs/__init__.py:195-197;
+        # NOTE: both the scale and quaternion mode branches gate on
+        # non_rigid_ROTATION_mode, avatar.py:1471/1485 — replicated quirk,
+        # the reference's non_rigid_scale_mode is stored but never read)
+        add_mode = model.non_rigid_rotation_mode == "add"
         if model.use_non_rigid_offsets:
             positions = positions + offsets * model.init_offset
         if model.use_non_rigid_scales:
-            scales = jnp.exp(params.log_scales) + dscales * model.init_scale
+            base = jnp.exp(params.log_scales)
+            scales = base + dscales * model.init_scale if add_mode \
+                else base * (1.0 + dscales * model.init_scale)
         else:
             scales = jnp.exp(params.log_scales)
         scales = jnp.clip(scales, 1e-7, model.max_scale)
         if model.use_non_rigid_rotations:
-            quats = quat_normalize(params.quats + dquats)
+            quats = quat_normalize(params.quats + dquats) if add_mode \
+                else quat_multiply(quat_normalize(dquats),
+                                   quat_normalize(params.quats))
         else:
             quats = quat_normalize(params.quats)
 
     positions, quats = forward_lbs(
         observed_tr, positions, w, quats,
-        flip_rotation_axis=model.flip_rotation_axis)
+        # DreamWaltzG always flips the rotation axis (avatar.py:1455-1460);
+        # the hash path uses the deform_rotation_mode composition instead
+        # (_AnimatableAvatar.lbs_transform, avatar.py:297-303)
+        flip_rotation_axis=not model.hash_mode and model.flip_rotation_axis,
+        rotation_mode=model.deform_rotation_mode,
+        **offset_kw)
 
     unconstrained = GaussiansOut(
         positions=positions, colors=colors, opacities=opacities,
@@ -505,9 +653,9 @@ def animate(
     if model.learn_betas:
         eb = params.extra_betas
         canonical_tr_b = glbs_transforms(
-            model.smpl, model.canonical_inputs, extra_betas=eb)
+            model.smpl, model.canonical_inputs, extra_betas=eb, overrides=ov)
         observed_tr_b = glbs_transforms(
-            model.smpl, observed_inputs, extra_betas=eb)
+            model.smpl, observed_inputs, extra_betas=eb, overrides=ov)
     parts = [
         _mesh_part_gaussians(
             model, params, name,
@@ -597,9 +745,15 @@ def decode_opacities(model: AvatarModel, state: AvatarState) -> jnp.ndarray:
     has no opacity parameter (colors/opacities come from the stage-1 NeRF
     MLP, reference: get_unconstrained_gaussians, avatar.py:1296-1326), so
     the densifier's min-opacity prune evaluates the DECODED opacity."""
-    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
-    pos = forward_lbs(canonical_tr, state.params.positions,
-                      state.params.lbs_weights)
+    canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs,
+                                   overrides=state.params.smpl_learn or None)
+    vso, jso, vpo = effective_offset_flags(model)
+    pos = forward_lbs(
+        canonical_tr, state.params.positions, state.params.lbs_weights,
+        use_vertex_shape_offsets=vso,
+        use_joint_shape_offsets=jso,
+        use_vertex_pose_offsets=vpo,
+        vertex_indices=state.vertex_indices)
     enc = encode_any(state.params.encoder, model.enc_cfg, pos,
                       model.nerf_bound)
     oc = model.color_mlp.apply(state.params.color_mlp, enc)
@@ -637,8 +791,17 @@ def densify_avatar(
 
     limit = cfg.percent_dense * cfg.spatial_scale
     hot = state.alive & (avg_grad > cfg.grad_threshold) & (state.grad_denom > 0)
-    clone_mask = hot & (max_s <= limit) if cfg.enable_clone else jnp.zeros(C, bool)
-    split_mask = hot & (max_s > limit) if cfg.enable_split else jnp.zeros(C, bool)
+    # grad-prune mode: clone/split are suspended and high-gradient points are
+    # PRUNED instead (reference: enable_grad_prune, gaussian_densifier.py:
+    # 360-376 — get_prune_mask(extent, grads) adds ‖grad‖ >= max_grad); the
+    # time-windowed auto-disable lives in the caller (trainer._maybe_densify)
+    if cfg.grad_prune:
+        clone_mask = split_mask = jnp.zeros(C, bool)
+    else:
+        clone_mask = hot & (max_s <= limit) if cfg.enable_clone \
+            else jnp.zeros(C, bool)
+        split_mask = hot & (max_s > limit) if cfg.enable_split \
+            else jnp.zeros(C, bool)
 
     prune_mask = jnp.zeros(C, bool)
     if opacities is not None:
@@ -647,6 +810,8 @@ def densify_avatar(
         prune_mask = prune_mask | (state.alive & (state.max_radii > cfg.max_screen_size))
     if cfg.max_world_size is not None:
         prune_mask = prune_mask | (state.alive & (max_s > cfg.max_world_size))
+    if cfg.grad_prune:
+        prune_mask = prune_mask | hot
     if not cfg.enable_prune:
         prune_mask = jnp.zeros(C, bool)
     prune_mask = prune_mask & ~split_mask
@@ -679,6 +844,13 @@ def densify_avatar(
     alive_new = alive_after.at[dest].set(True, mode="drop")
     written = jnp.zeros((C,), bool).at[dest].set(True, mode="drop") | sp | prune_mask
 
+    vidx = state.vertex_indices
+    if vidx is not None:
+        # children inherit the parent's nearest-vertex attachment (reference:
+        # vertex_indices sync in clone/split, gaussian_densifier.py:247-296)
+        vidx = scatter(vidx, vidx)
+
     z = jnp.zeros((C,), jnp.float32)
     return AvatarState(params=params, alive=alive_new,
-                       grad_accum=z, grad_denom=z, max_radii=z), written
+                       grad_accum=z, grad_denom=z, max_radii=z,
+                       vertex_indices=vidx), written

@@ -255,11 +255,12 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
 
     def label_fn(params):
         # AvatarParams NamedTuple fields; mesh-binding sub-params get their
-        # own labels so learn_mesh_bary_coords / learn_mesh_scales freeze
-        # them individually (reference: avatar.py:1620-1633 param groups)
+        # own labels so learn_mesh_bary_coords / learn_mesh_vertex_coords /
+        # learn_mesh_scales freeze them individually (reference:
+        # avatar.py:1076-1092 MeshBindingGaussianModel.get_optimizer groups)
         def mesh_labels(mp):
             return type(mp)(bary_coords="mesh_bary",
-                            vertex_coords="mesh",
+                            vertex_coords="mesh_vertex",
                             scales="mesh_scale")
 
         return type(params)(
@@ -272,6 +273,14 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
             sq_net="deform",
             mesh={k: mesh_labels(v) for k, v in params.mesh.items()},
             extra_betas="betas",
+            # learnable SMPL-X template copies: lbs_lr, v_template x10 —
+            # the documented intent of LinearBlendSkinning.get_optimizer
+            # (inverse_lbs.py:504-514); NOTE the reference parses
+            # deform_learn_* into requires_grad Parameters but its only
+            # optimizer hookup is commented out (avatar.py:325-327), so
+            # these params never actually step there — here they do
+            smpl_learn={k: ("smpl_vt" if k == "v_template" else "smpl_tpl")
+                        for k in params.smpl_learn},
         )
 
     def adam(lr):
@@ -288,14 +297,22 @@ def build_avatar_optimizer(cfg: RenderConfig, max_steps: int,
             "lbs": maybe_frozen(cfg.learn_lbs_weights, adam(cfg.lbs_lr)),
             "nerf": adam(1e-3),
             "deform": adam(1e-4),
-            "mesh": adam(cfg.feature_lr),
+            # mesh-binding LRs per the reference's get_optimizer groups
+            # (avatar.py:1083-1091): bary/vertex coords at position_lr_init,
+            # scales at scaling_lr; vertex coords train only under
+            # --render.learn_mesh_vertex_coords (requires_grad gate,
+            # avatar.py:952)
+            "mesh_vertex": maybe_frozen(cfg.learn_mesh_vertex_coords,
+                                        adam(cfg.position_lr_init)),
             "mesh_bary": maybe_frozen(cfg.learn_mesh_bary_coords,
-                                      adam(cfg.feature_lr)),
+                                      adam(cfg.position_lr_init)),
             "mesh_scale": maybe_frozen(cfg.learn_mesh_scales,
-                                       adam(cfg.feature_lr)),
+                                       adam(cfg.scaling_lr)),
             "betas": maybe_frozen(
                 cfg.learn_hand_betas or cfg.learn_face_betas,
                 adam(cfg.betas_lr)),
+            "smpl_tpl": adam(cfg.lbs_lr),
+            "smpl_vt": adam(cfg.lbs_lr * 10.0),
         },
         label_fn,
     )

@@ -174,24 +174,24 @@ class Trainer:
         advertised-but-ignored flags are worse than absent ones)."""
         r, g, d = self.cfg.render, self.cfg.guide, self.cfg.data
         checks = [
-            (r.deform_with_shape, "render.deform_with_shape"),
-            (r.deform_rotation_mode != "quaternion",
-             "render.deform_rotation_mode"),
-            (not r.always_animate, "render.always_animate=false"),
-            (r.non_rigid_scale_mode != "add", "render.non_rigid_scale_mode"),
-            (r.non_rigid_rotation_mode != "add",
-             "render.non_rigid_rotation_mode"),
-            (r.enable_grad_prune, "render.enable_grad_prune"),
+            # non_rigid_scale_mode is DEAD IN THE REFERENCE: stored
+            # (avatar.py:1126) but never read — both the scale and the
+            # quaternion composition branch gate on non_rigid_ROTATION_mode
+            # (avatar.py:1471, 1485), which IS honored here
+            (r.non_rigid_scale_mode != "add",
+             "render.non_rigid_scale_mode (dead in the reference: stored at "
+             "avatar.py:1126, never read — the scale branch gates on "
+             "non_rigid_rotation_mode, avatar.py:1471)"),
             (r.use_nerf_opacities is False, "render.use_nerf_opacities"),
             (r.use_nerf_scales_and_quaternions is False,
              "render.use_nerf_scales_and_quaternions (use gs_type=hash)"),
-            (r.use_nerf_encoded_position is False,
-             "render.use_nerf_encoded_position"),
             (r.use_nerf_mesh_scales_and_quaternions is False,
              "render.use_nerf_mesh_scales_and_quaternions"),
             (not r.learn_mesh_quaternions is False,
-             "render.learn_mesh_quaternions (mesh quats derive from "
-             "triangle frames here)"),
+             "render.learn_mesh_quaternions (dead for the shipped avatar: "
+             "only read by the reference's dead HashAvatarWithMesh, "
+             "avatar.py:518/563/746 — DreamWaltzG's mesh quats always "
+             "derive from triangle frames, avatar.py:1027-1079)"),
             # batched_view / uniform_sphere_rate / jitter_pose are DEAD IN
             # THE REFERENCE TOO: defined in its DataConfig
             # (reference configs/__init__.py:319-322) and never read by any
@@ -241,26 +241,12 @@ class Trainer:
              "nerf.lambda_3d_normal_smooth (dead in the reference)"),
             (n.start_shading_iter is not None,
              "nerf.start_shading_iter (dead in the reference)"),
-            # learnable SMPL-X template components (functional GLBS keeps
-            # the template frozen; learn_hand/face_betas cover shipped use)
-            (r.deform_learn_v_template or r.deform_learn_shapedirs
-             or r.deform_learn_posedirs or r.deform_learn_expr_dirs
-             or r.deform_learn_lbs_weights or r.deform_learn_J_regressor,
-             "render.deform_learn_* (frozen SMPL-X template here; "
-             "learn_hand/face_betas cover the shipped use)"),
-            (r.use_joint_shape_offsets or r.use_vertex_shape_offsets
-             or r.use_vertex_pose_offsets,
-             "render.use_*_offsets (optional LBS composition terms, "
-             "off-default in the reference)"),
             (r.use_nerf_scales or r.use_nerf_quaternions
              or r.use_deform_scales_and_quaternions,
              "render.use_nerf_scales/use_nerf_quaternions/"
              "use_deform_scales_and_quaternions (dead in the reference)"),
             (r.use_nerf_mesh_opacities, "render.use_nerf_mesh_opacities "
              "(only read by the reference's dead HashAvatarWithMesh)"),
-            (r.learn_mesh_vertex_coords, "render.learn_mesh_vertex_coords "
-             "(mesh-binding positions derive from posed SMPL-X vertices "
-             "here; barycentric coords are the learnable)"),
             (p.nerf_depth_step != 0.2,
              "prompt.nerf_depth_step (dead in the reference)"),
             (p.num_object != 0, "prompt.num_object (dead in the reference)"),
@@ -738,8 +724,23 @@ class Trainer:
                         n_per_triangle=cfg.render.n_gaussians_per_triangle)
 
         out_ch = 1 + (4 if cfg.nerf.nerf_type == "latent" else 3)
-        sq_net = SigmaMLP(hidden=64, num_layers=3, out_channels=7) \
-            if hash_mode else DeformNetwork(xyz_input_ch=enc_cfg.output_dim)
+        if hash_mode:
+            sq_net = SigmaMLP(hidden=64, num_layers=3, out_channels=7)
+        else:
+            # use_nerf_encoded_position=False feeds detached raw positions,
+            # frequency-encoded inside the net (reference: DeformNetwork
+            # (xyz_input_ch=None), avatar.py:1171-1174)
+            sq_net = DeformNetwork(
+                xyz_input_ch=enc_cfg.output_dim
+                if cfg.render.use_nerf_encoded_position else None)
+        r = cfg.render
+        assert not (r.use_joint_shape_offsets and r.use_vertex_shape_offsets), \
+            "joint and vertex shape offsets are mutually exclusive " \
+            "(reference: avatar.py:1132)"
+        deform_learn = tuple(
+            k for k in ("v_template", "shapedirs", "posedirs", "expr_dirs",
+                        "lbs_weights", "J_regressor")
+            if getattr(r, f"deform_learn_{k}"))
         return A.AvatarModel(
             smpl=self.smpl,
             canonical_inputs=self.prompt.canonical_inputs,
@@ -755,6 +756,14 @@ class Trainer:
             use_non_rigid_offsets=cfg.render.use_non_rigid_offsets,
             use_non_rigid_scales=cfg.render.use_non_rigid_scales,
             use_non_rigid_rotations=cfg.render.use_non_rigid_rotations,
+            use_joint_shape_offsets=r.use_joint_shape_offsets,
+            use_vertex_shape_offsets=r.use_vertex_shape_offsets,
+            use_vertex_pose_offsets=r.use_vertex_pose_offsets,
+            non_rigid_rotation_mode=r.non_rigid_rotation_mode,
+            deform_with_shape=r.deform_with_shape,
+            deform_rotation_mode=r.deform_rotation_mode,
+            use_nerf_encoded_position=r.use_nerf_encoded_position,
+            deform_learn=deform_learn,
             learn_hand_betas=cfg.render.learn_hand_betas,
             learn_face_betas=cfg.render.learn_face_betas,
             use_zero_scales=cfg.render.use_zero_scales,
@@ -1252,6 +1261,19 @@ class Trainer:
             per_view_outputs = None
             self._pose_cache = (smpl_inputs, smpl_outputs, None)
 
+        # --render.always_animate=false: in the plain canonical scene the
+        # render observes the CANONICAL pose while conditions/text still
+        # come from the sampled pose (reference: trainer.py:692-695 —
+        # smpl_observed_inputs=None → animate falls back to canonical)
+        render_inputs = smpl_inputs
+        if self.cfg.stage == "gs" and not self.cfg.render.always_animate \
+                and self.cfg.prompt.scene == "canonical":
+            B_in = smpl_inputs.body_pose.shape[0]
+            ci = self.prompt.canonical_inputs
+            render_inputs = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x, (B_in,) + x.shape[1:]).astype(x.dtype), ci)
+
         cams, parts, conds, texts, uncs = [], [], [], [], []
         for i in range(B):
             cam, part = self.train_camera(1)
@@ -1287,7 +1309,7 @@ class Trainer:
         gs_scale = jnp.asarray(self.t_scheduler.get_guidance_scale(
             step, self.max_iteration), jnp.float32)
         progress = jnp.asarray(step / max(self.max_iteration, 1), jnp.float32)
-        return dict(cam=cam, part=parts[0], smpl_inputs=smpl_inputs,
+        return dict(cam=cam, part=parts[0], smpl_inputs=render_inputs,
                     cond_image=cond_image,
                     text=jnp.stack(texts), uncond=jnp.stack(uncs),
                     t=t, guidance_scale=gs_scale, progress=progress)
@@ -1672,15 +1694,25 @@ class Trainer:
             return
         vanilla = r.gs_type == "vanilla"
         if self.train_step % self.densification_interval == 0:
+            dcfg = self.densify_cfg
+            if r.enable_grad_prune:
+                # grad-prune mode holds for the first third of the densify
+                # window, then auto-disables (reference:
+                # gaussian_densifier.py:360-376)
+                until = r.densify_until_iter or self.max_iteration
+                window = (until - r.densify_from_iter) / 3
+                dcfg = dcfg._replace(
+                    grad_prune=self.train_step
+                    <= r.densify_from_iter + window)
             if vanilla:
                 n_before = int(self.state.avatar.gaussians.alive.sum())
                 self.state = gs_trainer.densify_vanilla(
-                    self.state, self.densify_cfg, self._next_key())
+                    self.state, dcfg, self._next_key())
                 n_after = int(self.state.avatar.gaussians.alive.sum())
             else:
                 n_before = int(self.state.avatar.num_alive)
                 self.state = gs_trainer.densify(
-                    self.state, self.densify_cfg, self._next_key(),
+                    self.state, dcfg, self._next_key(),
                     model=self.avatar_model)
                 n_after = int(self.state.avatar.num_alive)
             logger.info("densify @%d: %d -> %d alive", self.train_step,

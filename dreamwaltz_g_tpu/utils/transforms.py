@@ -260,9 +260,21 @@ class RigidTransform(NamedTuple):
         indices: Optional[jnp.ndarray] = None,
         weights: Optional[jnp.ndarray] = None,
         flip_rotation_axis: bool = False,
+        rotation_mode: str = "quaternion",
     ) -> jnp.ndarray:
         """Rotate orientation quaternions by this transform's rotation part
-        (reference: inverse_lbs.py:210-259)."""
+        (reference: inverse_lbs.py:210-259).
+
+        ``rotation_mode`` follows the reference's two composition paths
+        (inverse_lbs.py:244-251): 'quaternion' multiplies by the rotation's
+        quaternion; 'matrix' round-trips through matrices
+        (``matrix_to_quat(R @ quat_to_matrix(q))``). The two express the
+        SAME rotation — they can differ only in quaternion sign — and are
+        selected by ``--render.deform_rotation_mode`` for vertex-attached
+        skinning (reference: _AnimatableAvatar.lbs_transform,
+        avatar.py:297-303). Ignored when ``flip_rotation_axis`` is set
+        (the DreamWaltzG path always flips, avatar.py:1455-1460).
+        """
         t = self
         if indices is not None:
             t = t.index(indices)
@@ -270,6 +282,10 @@ class RigidTransform(NamedTuple):
             t = t.weight(weights)
         if flip_rotation_axis:
             return quat_flip_axis_rotate(t.rot, quaternions)
+        if rotation_mode == "matrix":
+            return matrix_to_quat(t.rot @ quat_to_matrix(quaternions))
+        if rotation_mode != "quaternion":
+            raise ValueError(f"unknown rotation_mode {rotation_mode!r}")
         qr = matrix_to_quat(t.rot)
         return quat_multiply(qr, quaternions)
 

@@ -1,0 +1,174 @@
+"""Stage-1 backbone quality comparison: hash grid (reference parity,
+2^19 table) vs triplane (the TPU-first factorized field).
+
+VERDICT r3 #2b: the triplane backbone meets the <1h v5e-8 wall-clock target
+but had no quality evidence. SDS needs real SD weights, which this container
+cannot fetch — the strongest runnable proxy is the NeRF PRETRAIN objective
+(reference: Trainer.pretrain, core/trainer.py:1152-1240): depth/mask MSE
+against rendered SMPL-X geometry. It is a REAL convergence target (fit the
+body's visual hull), exercises the same field + marcher the SDS stage
+trains, and needs no licensed assets (synthetic debug body).
+
+Both backbones train the same budget on the same camera stream, then are
+scored on
+* held-out-view mask / depth MSE (20 fixed eval cameras),
+* exported-point-cloud geometry: cloud->mesh RMS distance (accuracy) and
+  mesh->cloud RMS distance (coverage).
+
+Prints one JSON line per backbone plus a verdict line. Results are recorded
+in PERF.md ("Backbone quality" section).
+
+Usage:  python scripts/compare_backbones.py [--iters N] [--res H] [--cpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=600)
+    ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None, help="write JSON rows here too")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dreamwaltz_g_tpu.data.camera import make_camera_batch
+    from dreamwaltz_g_tpu.human.smplx_model import (
+        default_params,
+        make_synthetic_model,
+        smplx_forward,
+    )
+    from dreamwaltz_g_tpu.nerf.export import export_point_cloud
+    from dreamwaltz_g_tpu.nerf.renderer import init_occupancy
+    from dreamwaltz_g_tpu.nerf.network import NeRFConfig, build_nerf
+    from dreamwaltz_g_tpu.ops.mesh import find_nearest_triangles, knn
+    from dreamwaltz_g_tpu.ops.raycast import rasterize_mesh
+    from dreamwaltz_g_tpu.training import nerf_trainer
+    from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
+
+    H = W = args.res
+    smpl = make_synthetic_model(num_vertices=240, num_joints=6, num_betas=3,
+                                num_expr=2)
+    out = smplx_forward(smpl, default_params(smpl, 1))
+    verts = jnp.asarray(out.vertices[0])
+    faces = jnp.asarray(smpl.faces)
+
+    rng = np.random.default_rng(0)
+
+    def cam_at(azim, elev, radius=2.0, fov=50.0):
+        return make_camera_batch(radius, elev, azim, fov, H, W)
+
+    # fixed eval views (held out from the training stream's random draws)
+    eval_views = [cam_at(a, e) for a, e in
+                  [(a, e) for a in range(0, 360, 72) for e in (15.0, 45.0,
+                                                               75.0, -15.0)]]
+
+    def gt_for(cam):
+        # raw metric depth + mask, the pretrain target (reference:
+        # depth_raw conditions, trainer.py:1242-1279)
+        render = rasterize_mesh(verts, faces, cam.extrinsic[0],
+                                cam.intrinsics[0], H, W)
+        mask = jnp.asarray(render.mask)
+        depth = jnp.where(mask, jnp.asarray(render.depth), 0.0)
+        return depth, mask
+
+    eval_gt = [gt_for(c) for c in eval_views]
+
+    def run(name, ncfg):
+        nerf = build_nerf(ncfg, with_background=False)
+        ntx = build_nerf_optimizer(ncfg, args.iters)
+        state = nerf_trainer.init_train_state(nerf, ntx, jax.random.PRNGKey(1))
+        grid = init_occupancy(64)
+        step = nerf_trainer.make_pretrain_step(nerf, ntx, H, W, num_steps=96,
+                                               compact_steps=0)
+        key = jax.random.PRNGKey(2)
+        t0 = time.time()
+        for i in range(args.iters):
+            azim = float(rng.uniform(0, 360))
+            elev = float(rng.uniform(-30, 80))
+            cam = cam_at(azim, elev)
+            depth, mask = gt_for(cam)
+            grid = nerf_trainer.maybe_update_occupancy(
+                state, grid, nerf, jax.random.fold_in(key, i), interval=16,
+                density_thresh=ncfg.density_thresh)
+            key, kk = jax.random.split(key)
+            state, metrics = step(state, grid, cam.c2w[0],
+                                  cam.intrinsics[0], depth, mask, kk)
+        jax.block_until_ready(metrics["loss"])
+        train_s = time.time() - t0
+
+        # held-out-view losses
+        mmse, dmse = [], []
+        for cam, (gd, gm) in zip(eval_views, eval_gt):
+            key, kk = jax.random.split(key)
+            _, m = step(state, grid, cam.c2w[0], cam.intrinsics[0],
+                        gd, gm, kk)
+            mmse.append(float(m["mask_loss"]))
+            dmse.append(float(m["depth_loss"]))
+
+        # geometry: exported cloud vs the SMPL-X mesh
+        pc = export_point_cloud(nerf, state.params, resolution=96,
+                                density_thresh=ncfg.density_thresh,
+                                max_points=20000)
+        cloud = jnp.asarray(pc.points)
+        acc = float("nan")
+        cov = float("nan")
+        if cloud.shape[0] > 0:
+            near = find_nearest_triangles(cloud, verts, faces)
+            acc = float(jnp.sqrt(jnp.mean(near.sq_dists)))
+            # coverage: mesh vertices -> nearest cloud point
+            d2, _ = knn(verts, cloud, 1)
+            cov = float(jnp.sqrt(jnp.mean(d2)))
+        row = {"backbone": name, "iters": args.iters, "res": H,
+               "eval_mask_mse": round(float(np.mean(mmse)), 6),
+               "eval_depth_mse": round(float(np.mean(dmse)), 6),
+               "cloud_to_mesh_rms": round(acc, 5),
+               "mesh_to_cloud_rms": round(cov, 5),
+               "n_cloud_points": int(cloud.shape[0]),
+               "train_seconds": round(train_s, 1)}
+        print(json.dumps(row), flush=True)
+        return row
+
+    rows = [
+        run("hash_2^19_bf16", NeRFConfig(grid_dtype="bf16")),
+        run("triplane", NeRFConfig(backbone="triplane")),
+    ]
+    h, t = rows
+    verdict = {
+        "verdict": "triplane_quality_vs_hash",
+        "mask_mse_ratio": round(t["eval_mask_mse"]
+                                / max(h["eval_mask_mse"], 1e-12), 3),
+        "depth_mse_ratio": round(t["eval_depth_mse"]
+                                 / max(h["eval_depth_mse"], 1e-12), 3),
+        "cloud_to_mesh_ratio": round(t["cloud_to_mesh_rms"]
+                                     / max(h["cloud_to_mesh_rms"], 1e-12), 3),
+        "speedup": round(h["train_seconds"] / max(t["train_seconds"], 1e-9),
+                         2),
+    }
+    print(json.dumps(verdict), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows + [verdict]:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,16 @@ Decides layers.FLASH_ATTENTION's default: the Pallas flash kernel keeps
 the running softmax in VMEM (no (N, N) HBM materialization) but pads
 head_dim 40/80 to the 128-lane MXU tile, so whether it wins at SD1.5
 shapes is an empirical question — this measures it on the real chip.
+
+NOTE: intentionally mirrors the A/B inside scripts/profile_sds.py
+(lines ~140-158) as a lighter-weight standalone — no GS/render setup, so
+it runs in seconds on a cold cache. Keep the shapes/loop in sync with
+profile_sds.py when either changes.
+
+The VAE row times encode fwd AND grad-through-encode: training SDS
+gradients flow through vae.encode (the backward kernels are what
+layers.py's compile probe exercises), so the FLASH_ATTENTION default must
+reflect the differentiated path, not just inference.
 """
 import os
 import sys
@@ -63,8 +73,14 @@ def main():
         ms_u = timeit(uf, unet_p, lat2, t2, ctx2)
         ef = jax.jit(lambda p, im: vae.encode(p, im))
         ms_v = timeit(ef, vae_p, img)
+        # fwd+bwd through encode — the path SDS training actually pays
+        # (gradients flow from the latent loss back through the VAE)
+        eg = jax.jit(jax.grad(
+            lambda im, p: jnp.sum(vae.encode(p, im).astype(jnp.float32) ** 2)))
+        ms_vg = timeit(eg, img, vae_p)
         print(f"flash={mode:4s}  UNet CFG fwd {ms_u:7.2f} ms   "
-              f"VAE encode fwd {ms_v:7.2f} ms", flush=True)
+              f"VAE encode fwd {ms_v:7.2f} ms   "
+              f"VAE encode fwd+bwd {ms_vg:7.2f} ms", flush=True)
     L.FLASH_ATTENTION = "auto"
 
 

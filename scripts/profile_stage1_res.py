@@ -4,6 +4,10 @@ extrapolates (triplane @256^2, hash+compact+bf16 @256^2) on the real chip.
 Fills in the '*'-less cells of the two-stage wall-clock table. Mirrors
 bench.py's bench_stage1 exactly (same step builder, 96-candidate compacted
 march, SD1.5-size frozen guidance) with H=W configurable.
+
+``--512`` REPLACES the default 256^2 rows with 512^2 ones (triplane @512²,
+hash+compact+bf16 @512² — the wall-clock table's last extrapolated cell);
+run once without and once with the flag for the full table.
 """
 import os
 import sys
@@ -77,12 +81,11 @@ def main():
         jax.block_until_ready(nm["loss"])
         return (time.time() - t0) / n_iters
 
-    import sys as _sys
     rows = [
         ("triplane 256^2", NeRFConfig(backbone="triplane"), 256, 8),
         ("hash+compact bf16 256^2", NeRFConfig(grid_dtype="bf16"), 256, 3),
     ]
-    if "--512" in _sys.argv:
+    if "--512" in sys.argv:
         # the two-stage wall-clock table's last extrapolated cell
         # (PERF.md: hash @512² was scaled from the 256² render share)
         rows = [

@@ -121,3 +121,45 @@ def test_pallas_train_blend_matches_jnp_gradients():
     np.testing.assert_allclose(
         np.asarray(g1[3][:, :CH + 1]), np.asarray(g2[3][:, :CH + 1]),
         rtol=2e-3, atol=2e-4, err_msg="grad mismatch: values")
+
+
+def test_pallas_train_blend_bf16_panels_gradients():
+    """panel_dtype='bf16' (VERDICT r3 #10): values panel + MXU operands in
+    bf16 with f32 accumulate. The forward must stay within ~4e-3 of the f32
+    kernel and gradients within the documented bf16 envelope (the 2e-3-rtol
+    f32 check does NOT hold for bf16 panels — measured bound recorded here
+    and in PERF.md; panel_dtype stays opt-in)."""
+    from dreamwaltz_g_tpu.ops.pallas_blend import blend_tiles_pallas_train
+
+    H = W = 32
+    g = _scene(120, H, W, seed=7)
+    tile_lists, tile_counts, _ = R.bin_gaussians(
+        g.means2d, g.radius, g.depth, g.mask, H, W, 16, 64)
+    N, CH = g.colors.shape
+    values = jnp.concatenate(
+        [g.colors, g.depth[:, None], jnp.ones((N, 1))], axis=-1)
+    op = g.opacity * g.mask.astype(jnp.float32)
+
+    def loss(panel_dtype):
+        def f(means2d, conic, opacity, vals):
+            out = blend_tiles_pallas_train(
+                tile_lists, tile_counts, means2d, conic, opacity, vals,
+                H, W, tile_size=16, chunk=32, interpret=True,
+                panel_dtype=panel_dtype)
+            return jnp.sum(out ** 2) + jnp.sum(out[..., :3] * 0.3)
+        return f
+
+    args = (g.means2d, g.conic, op, values)
+    v32 = float(loss("f32")(*args))
+    v16 = float(loss("bf16")(*args))
+    assert abs(v16 - v32) / max(abs(v32), 1e-9) < 4e-3
+
+    g32 = jax.grad(loss("f32"), argnums=(0, 1, 2, 3))(*args)
+    g16 = jax.grad(loss("bf16"), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g16, g32,
+                          ("means2d", "conic", "opacity", "values")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(float(np.abs(b).max()), 1e-9)
+        rel = float(np.abs(a - b).max()) / denom
+        # bf16 operand envelope: ~0.4% per product, f32 accumulate
+        assert rel < 2e-2, f"{name}: bf16-panel grad deviates {rel:.2%}"
