@@ -218,3 +218,102 @@ def make_camera_batch(
         image_height=image_height,
         image_width=image_width,
     )
+
+
+# ---------------------------------------------------------------------------
+# Camera visualization (debug helpers)
+# ---------------------------------------------------------------------------
+
+#: frustum wire color per view direction index (reference DIR_COLORS,
+#: data/camera/utils.py:723-731: default/front/side/back/side/overhead/bottom)
+_DIR_COLORS = (
+    (0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (255, 255, 0), (255, 0, 255), (0, 255, 255),
+)
+
+
+def camera_wireframes(c2w, dirs=None, size: float = 0.2,
+                      draw_axis: bool = True):
+    """Line-segment geometry for a batch of camera poses
+    (reference: visualize_camera, data/camera/utils.py:716-769 — the same
+    8-segment frustum pyramid per camera plus optional world-scaled local
+    axes; trimesh scene objects become plain (segments, colors) arrays
+    here, renderable by :func:`draw_camera_viz` without a GL stack).
+
+    Args:
+        c2w: (B, 4, 4) camera-to-world poses (array-like).
+        dirs: optional (B,) view-direction indices into the 7-color wheel.
+    Returns:
+        (segs (S, 2, 3) float32, colors (S, 3) uint8)
+    """
+    import numpy as np
+
+    c2w = np.asarray(c2w, np.float32)
+    if c2w.ndim == 2:
+        c2w = c2w[None]
+    B = c2w.shape[0]
+    if dirs is None:
+        dirs = np.zeros((B,), np.int8)
+    segs, colors = [], []
+    for pose, d in zip(c2w, np.asarray(dirs)):
+        pos = pose[:3, 3]
+        r, u, f = pose[:3, 0], pose[:3, 1], pose[:3, 2]
+        a = pos + size * r + size * u + size * f
+        b = pos - size * r + size * u + size * f
+        c = pos - size * r - size * u + size * f
+        e = pos + size * r - size * u + size * f
+        quad = [[pos, a], [pos, b], [pos, c], [pos, e],
+                [a, b], [b, c], [c, e], [e, a]]
+        segs += quad
+        colors += [_DIR_COLORS[int(d) % 7]] * len(quad)
+        if draw_axis:
+            # reference scales: x/y half-length, z stretched 5x
+            # (utils.py:758-760) — XYZ <-> RGB
+            for axis, scale, col in ((0, 0.5, (255, 0, 0)),
+                                     (1, 0.5, (0, 255, 0)),
+                                     (2, 5.0, (0, 0, 255))):
+                segs.append([pos, pos + scale * pose[:3, axis]])
+                colors.append(col)
+    import numpy as _np
+    return (_np.asarray(segs, _np.float32),
+            _np.asarray(colors, _np.uint8))
+
+
+def draw_camera_viz(c2w, dirs=None, smpl_vertices=None, size: float = 0.2,
+                    image_size: int = 512, plane: str = "xz"):
+    """Render the camera rig (and optionally the body point cloud) to an
+    orthographic debug PNG array (reference: visualize_camera_with_smpl,
+    data/camera/utils.py:772-792 — the reference opens a trimesh GL window;
+    headless TPU pods get a cv2 canvas instead).
+
+    ``plane`` picks the two world axes to project onto ('xz' top view,
+    'xy' front view).
+    Returns (H, W, 3) uint8.
+    """
+    import cv2
+    import numpy as np
+
+    segs, colors = camera_wireframes(c2w, dirs=dirs, size=size)
+    ax = {"x": 0, "y": 1, "z": 2}
+    i, j = ax[plane[0]], ax[plane[1]]
+    pts = segs.reshape(-1, 3)[:, [i, j]]
+    if smpl_vertices is not None:
+        sv = np.asarray(smpl_vertices, np.float32).reshape(-1, 3)[:, [i, j]]
+        pts = np.concatenate([pts, sv], axis=0)
+    lo = pts.min(axis=0) - 0.2
+    hi = pts.max(axis=0) + 0.2
+    scale = (image_size - 1) / max(float((hi - lo).max()), 1e-6)
+
+    def to_px(p):
+        q = (p - lo) * scale
+        return int(round(float(q[0]))), image_size - 1 - int(round(float(q[1])))
+
+    img = np.full((image_size, image_size, 3), 255, np.uint8)
+    if smpl_vertices is not None:
+        sv = np.asarray(smpl_vertices, np.float32).reshape(-1, 3)[:, [i, j]]
+        for p in sv:
+            cv2.circle(img, to_px(p), 1, (80, 80, 80), -1)
+    for (p0, p1), col in zip(segs[:, :, [i, j]], colors):
+        cv2.line(img, to_px(p0), to_px(p1),
+                 tuple(int(x) for x in col[::-1]), 1, cv2.LINE_AA)
+    return img

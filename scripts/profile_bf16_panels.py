@@ -61,8 +61,6 @@ def main():
                                     chunk=128, use_pallas=True)
         return jnp.sum(out.image ** 2) + jnp.sum(out.alpha), out.image
 
-    grad_f = jax.jit(jax.grad(lambda m, c: loss(m, c)[0], argnums=(0, 1)))
-
     results = {}
     for mode in ("f32", "bf16"):
         PB.PANEL_DTYPE = mode
@@ -83,7 +81,6 @@ def main():
         print(f"grad max-rel dev {name}: {rel:.2e}", flush=True)
     sp = results["f32"][0] / results["bf16"][0]
     print(f"bf16 speedup: {sp:.3f}x", flush=True)
-    del grad_f
 
 
 if __name__ == "__main__":

@@ -82,3 +82,37 @@ def test_intrinsics_resize_consistency():
     K64 = C.to_intrinsics(tanfov, 64, 64)
     K128 = C.to_intrinsics(tanfov, 128, 128)
     np.testing.assert_allclose(np.asarray(K128[0, 0, 0]) / np.asarray(K64[0, 0, 0]), 2.0)
+
+
+class TestCameraViz:
+    def test_wireframes_shape_and_colors(self):
+        """(reference: visualize_camera, data/camera/utils.py:716-769 —
+        8 frustum segments + 3 axis segments per camera; direction-indexed
+        color wheel)."""
+        from dreamwaltz_g_tpu.data.camera import (
+            camera_wireframes,
+            make_camera_batch,
+        )
+
+        cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 64, 64)
+        c2w = np.concatenate([np.asarray(cam.c2w)] * 3, axis=0)
+        segs, colors = camera_wireframes(c2w, dirs=[0, 1, 5])
+        assert segs.shape == (3 * 11, 2, 3)
+        assert colors.shape == (3 * 11, 3)
+        # frustum apex is the camera position
+        np.testing.assert_allclose(segs[0, 0], np.asarray(c2w)[0, :3, 3],
+                                   atol=1e-6)
+        # second camera's frustum wears the 'front' color (255,0,0)
+        assert tuple(colors[11]) == (255, 0, 0)
+
+    def test_draw_camera_viz_png(self):
+        from dreamwaltz_g_tpu.data.camera import (
+            draw_camera_viz,
+            make_camera_batch,
+        )
+
+        cam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 64, 64)
+        body = np.random.default_rng(0).normal(size=(50, 3)) * 0.3
+        img = draw_camera_viz(cam.c2w, smpl_vertices=body, image_size=128)
+        assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+        assert (img < 250).any(), "nothing was drawn"
