@@ -229,6 +229,7 @@ def test_frame_batched_render_matches_per_frame(setup):
                                    atol=2e-3)
 
 
+@pytest.mark.slow
 class TestTriplaneAvatar:
     """Stage-2 avatar over the TPU-first triplane field (encode_any
     dispatch): the nerf2gs handoff passes the stage-1 encoder verbatim, so

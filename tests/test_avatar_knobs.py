@@ -374,6 +374,7 @@ class TestGradPruneDensify:
         assert new.vertex_indices.shape == state.vertex_indices.shape
 
 
+@pytest.mark.slow
 class TestTrainerKnobSmoke:
     def test_dreamwaltz_g_trainer_with_knobs(self, tmp_path):
         """Full Trainer smoke with the whole knob family enabled at once:

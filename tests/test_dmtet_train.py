@@ -18,6 +18,10 @@ from dreamwaltz_g_tpu.nerf.network import build_nerf
 from dreamwaltz_g_tpu.training import dmtet_trainer
 from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
 
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
+
 
 def _tiny_setup(lock_geo=False):
     ncfg = NeRFConfig(num_levels=2, desired_resolution=32,

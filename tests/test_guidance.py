@@ -168,6 +168,7 @@ def test_text_augmentation_views():
     assert "face of a wizard" in ta.texts
 
 
+@pytest.mark.slow
 def test_sds_loss_and_gradients(tiny_guidance):
     unet, vae, cn, unet_p, vae_p, cn_p, ucfg = tiny_guidance
     guidance = S.ScoreDistillation(
@@ -313,6 +314,7 @@ def test_sds_new_families_run(tiny_guidance):
     assert np.abs(np.asarray(g0) - np.asarray(g1)).max() > 1e-7
 
 
+@pytest.mark.slow
 def test_sds_denoise_modes(tiny_guidance):
     """z0/x0 denoise-mode losses: mse-style loss, gradients flow, and the
     z0 latent gradient equals (latents - target) (basic.py:843-898)."""
@@ -536,6 +538,7 @@ def test_clip_penultimate_and_projection_conversion():
     assert np.abs(np.asarray(final) - np.asarray(h)).max() > 1e-7
 
 
+@pytest.mark.slow
 def test_sdxl_avatar_sds_step():
     """tiny SDXL guidance drives the avatar SDS step end-to-end
     (reference: model-card 'sdxl10' selection, basic.py:36-49)."""

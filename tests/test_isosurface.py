@@ -1,4 +1,5 @@
 """Marching-tetrahedra isosurface tests."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +64,7 @@ def test_save_obj(tmp_path):
     assert text.count("\nf ") + text.startswith("f ") == f.shape[0]
 
 
+@pytest.mark.slow
 def test_dmtet_render_and_grads():
     """DMTet sphere renders a silhouette and gradients reach the SDF."""
     import jax

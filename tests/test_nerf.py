@@ -243,6 +243,7 @@ def test_scaling_density_activation(small_cfg):
     assert np.isfinite(float(g.sigma_scale))
 
 
+@pytest.mark.slow
 def test_pdf_upsampling(small_cfg):
     """upsample_steps adds importance samples: output stays finite,
     differentiable, and concentrates samples where density is."""
@@ -297,6 +298,7 @@ def test_ray_chunked_render_matches(small_cfg):
     assert float(jnp.abs(g.encoder.tables).sum()) > 0
 
 
+@pytest.mark.slow
 def test_compaction_exact_when_under_budget(small_cfg):
     """compact_steps: when every ray has <= K occupied candidates the
     compacted march must equal the dense masked march exactly (the CUDA

@@ -1,4 +1,5 @@
 """Pallas tile-blend kernel vs the jnp blend (interpret mode on CPU)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,6 +124,7 @@ def test_pallas_train_blend_matches_jnp_gradients():
         rtol=2e-3, atol=2e-4, err_msg="grad mismatch: values")
 
 
+@pytest.mark.slow
 def test_pallas_train_blend_bf16_panels_gradients():
     """panel_dtype='bf16' (VERDICT r3 #10): values panel + MXU operands in
     bf16 with f32 accumulate. The forward must stay within ~4e-3 of the f32

@@ -18,6 +18,9 @@ from dreamwaltz_g_tpu.parallel.mesh import (
 from dreamwaltz_g_tpu.training.gs_trainer import init_avatar_train_state
 from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
 
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_helpers():
     mesh = make_mesh(dp=8)

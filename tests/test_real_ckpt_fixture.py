@@ -32,8 +32,10 @@ from dreamwaltz_g_tpu.convert_reference import (  # noqa: E402
 )
 
 REF = pathlib.Path("/root/reference")
-pytestmark = pytest.mark.skipif(not REF.exists(),
-                                reason="reference tree unavailable")
+# heavyweight e2e fixture: excluded from the fast profile (pytest.ini)
+pytestmark = [pytest.mark.skipif(not REF.exists(),
+                                 reason="reference tree unavailable"),
+              pytest.mark.slow]
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 

@@ -7,12 +7,18 @@ from dreamwaltz_g_tpu.configs import TrainConfig, parse_args
 from dreamwaltz_g_tpu.configs.prompts import get_avatar_list
 from dreamwaltz_g_tpu.data.camera import make_camera_batch
 from dreamwaltz_g_tpu.system.background import (
+
     BackgroundMLPNet,
     MLPBackground,
     PureColorBackground,
     VideoBackground,
 )
 
+
+
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
 
 class TestBackgrounds:
     def test_pure_color(self):

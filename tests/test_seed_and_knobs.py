@@ -199,6 +199,7 @@ def test_trainer_check_sd_writes_samples(tmp_path):
     assert any(n.startswith("control_az") for n in pngs), pngs
 
 
+@pytest.mark.slow
 def test_evaluate_frame_batched_path(tmp_path):
     """The gs animation eval defers renders into 8-frame dispatches
     (make_avatar_render_frames fast path); every frame must be filled."""
@@ -224,6 +225,7 @@ def test_evaluate_frame_batched_path(tmp_path):
         assert np.isfinite(f).all()
 
 
+@pytest.mark.slow
 def test_trainer_triplane_avatar_stage2(tmp_path):
     """Full Trainer smoke: --nerf.backbone triplane carries into stage 2 —
     the avatar's color/opacity decode runs on the factorized plane field

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 class TestPlaceGaussians:
     def _gs(self, n=4):

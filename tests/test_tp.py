@@ -24,6 +24,10 @@ from dreamwaltz_g_tpu.parallel.tp import (
 from dreamwaltz_g_tpu.training.gs_trainer import init_avatar_train_state
 from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
 
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
+
 
 def test_tp_specs_follow_megatron_rules():
     guidance, gparams = ts.tiny_guidance(jax.random.PRNGKey(0))

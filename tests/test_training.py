@@ -15,12 +15,17 @@ from dreamwaltz_g_tpu.data.sampler import (
 )
 from dreamwaltz_g_tpu.training import losses as L
 from dreamwaltz_g_tpu.training.optim import (
+
     adan,
     build_gaussian_optimizer,
     build_nerf_optimizer,
     expon_lr,
 )
 
+
+
+# heavyweight e2e module: excluded from the fast profile (pytest.ini)
+pytestmark = pytest.mark.slow
 
 class TestExponLR:
     def test_endpoints(self):
