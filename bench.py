@@ -105,6 +105,11 @@ def main():
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
     gparams = GuidanceParams(unet=cast(unet_p), vae=cast(vae_p),
                              controlnet=cast(cnet_p))
+    # free the f32 init trees (~5.2 GB HBM): only the bf16 copies are used.
+    # Keeping them alive OOMed the 16 GB chip once the stage-1 section added
+    # its 2^19 hash state on top (round-4 regression).
+    del unet_p, vae_p, cnet_p
+    jax.block_until_ready(gparams)
     guidance = ScoreDistillation(unet=unet, vae=vae, controlnet=cnet,
                                  latent_size=64, guidance_scale=50.0)
 
@@ -145,15 +150,65 @@ def main():
                          cond_image=cond)
     jax.block_until_ready(m["loss"])
 
-    iters = 10
-    t0 = time.time()
-    for i in range(iters):
-        k, kk = jax.random.split(k)
-        tstate, m = step(tstate, gparams, setup.observed, cam.extrinsic[0],
-                         cam.intrinsics[0], cam.tanfov[0], bg, txt, txt,
-                         t, kk, cond_image=cond)
-    jax.block_until_ready(m["loss"])
-    dt = (time.time() - t0) / iters
+    def measure(run_async, run_sync, iters, sync_iters, label,
+                retries=3, backoff_s=120.0):
+        """Async-loop timing with a host-synced cross-check and bounded
+        retries. The remote (axon) backend has two observed failure modes:
+        (a) per-buffer readiness reported early — the async loop becomes a
+        dispatch-only measurement (a 407 "it/s" reading); (b) a degraded
+        service window where a trivial matmul takes ~90 s to sync. When
+        async and synced timing disagree >3x, the window is bad — back off
+        and re-measure rather than record garbage either way."""
+        import sys
+
+        for attempt in range(retries):
+            t0 = time.time()
+            run_async(iters)
+            dt_a = (time.time() - t0) / iters
+            t0 = time.time()
+            run_sync(sync_iters)
+            dt_s = (time.time() - t0) / sync_iters
+            if dt_s <= 3.0 * dt_a:
+                return dt_a
+            print(f"bench[{label}] attempt {attempt + 1}: async "
+                  f"{1 / dt_a:.1f} vs synced {1 / dt_s:.2f} it/s disagree "
+                  "— remote service degraded, backing off "
+                  f"{backoff_s:.0f}s", file=sys.stderr)
+            time.sleep(backoff_s)
+        print(f"bench[{label}]: service never stabilized; reporting the "
+              "SYNCED number (overstates per-step cost)", file=sys.stderr)
+        return dt_s
+
+    def _run_async(n):
+        nonlocal k, tstate, m
+        for _ in range(n):
+            k, kk = jax.random.split(k)
+            tstate, m = step(tstate, gparams, setup.observed,
+                             cam.extrinsic[0], cam.intrinsics[0],
+                             cam.tanfov[0], bg, txt, txt, t, kk,
+                             cond_image=cond)
+        # block on the FULL output state, not just the loss
+        jax.block_until_ready((tstate, m))
+
+    def _run_sync(n):
+        nonlocal k, tstate, m
+        for _ in range(n):
+            k, kk = jax.random.split(k)
+            tstate, m = step(tstate, gparams, setup.observed,
+                             cam.extrinsic[0], cam.intrinsics[0],
+                             cam.tanfov[0], bg, txt, txt, t, kk,
+                             cond_image=cond)
+            _ = float(m["loss"])
+
+    dt = measure(_run_async, _run_sync, 10, 3, "stage-2")
+
+    # release the stage-2 train state (200k-capacity avatar + opt slots)
+    # before building the stage-1 programs — they never coexist in a real
+    # run, and the bench must fit both sections on one 16 GB chip
+    del tstate, m, step, setup
+    import gc
+
+    gc.collect()
 
     # stage-1 NeRF SDS throughput (secondary metric — the reference's
     # stage-1 trains a hash-grid NeRF through the same SD1.5 guidance;
@@ -164,7 +219,7 @@ def main():
     from dreamwaltz_g_tpu.training import nerf_trainer
     from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
 
-    def bench_stage1(ncfg, n_iters=iters):
+    def bench_stage1(ncfg, n_iters=10):
         nonlocal k
         nerf = build_nerf(ncfg, with_background=False)
         ntx = build_nerf_optimizer(ncfg, 10000)
@@ -175,22 +230,25 @@ def main():
             nerf, guidance, ntx, 128, 128, ncfg, num_steps=96,
             max_iteration=10000, ray_chunk=4096)
         ncam = make_camera_batch(2.5, 30.0, 80.0, 50.0, 128, 128)
-        for w in range(3):
-            k, kk = jax.random.split(k)
-            nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
-                               ncam.intrinsics[0],
-                               jnp.asarray([0.5, 0.5, 0.5]),
-                               txt, txt, t, kk, cond_image=cond)
-        jax.block_until_ready(nm["loss"])
-        t0 = time.time()
-        for i in range(n_iters):
-            k, kk = jax.random.split(k)
-            nstate, nm = nstep(nstate, grid, gparams, ncam.c2w[0],
-                               ncam.intrinsics[0],
-                               jnp.asarray([0.5, 0.5, 0.5]),
-                               txt, txt, t, kk, cond_image=cond)
-        jax.block_until_ready(nm["loss"])
-        return (time.time() - t0) / n_iters
+        nstate_box = [nstate]
+
+        def _nrun(n, sync):
+            nonlocal k
+            nm = None
+            for _ in range(n):
+                k, kk = jax.random.split(k)
+                nstate_box[0], nm = nstep(
+                    nstate_box[0], grid, gparams, ncam.c2w[0],
+                    ncam.intrinsics[0], jnp.asarray([0.5, 0.5, 0.5]),
+                    txt, txt, t, kk, cond_image=cond)
+                if sync:
+                    _ = float(nm["loss"])
+            if not sync:
+                jax.block_until_ready((nstate_box[0], nm))
+
+        _nrun(3, False)  # warmup
+        return measure(lambda n: _nrun(n, False), lambda n: _nrun(n, True),
+                       n_iters, 2, "stage-1")
 
     # parity hash-grid backbone with occupied-sample compaction + bf16
     # table gathers (round-2 baseline, dense f32: 0.15 it/s)

@@ -8,6 +8,9 @@ march, SD1.5-size frozen guidance) with H=W configurable.
 ``--512`` REPLACES the default 256^2 rows with 512^2 ones (triplane @512²,
 hash+compact+bf16 @512² — the wall-clock table's last extrapolated cell);
 run once without and once with the flag for the full table.
+
+``--small`` likewise replaces the default rows with hash 64^2/128^2 —
+the cells re-measured at the 2^19 parity table size (round 4).
 """
 import os
 import sys
@@ -91,6 +94,13 @@ def main():
         rows = [
             ("triplane 512^2", NeRFConfig(backbone="triplane"), 512, 5),
             ("hash+compact bf16 512^2", NeRFConfig(grid_dtype="bf16"), 512, 2),
+        ]
+    if "--small" in sys.argv:
+        # hash rows at 64^2/128^2 — re-measured after the 2^19 capacity fix
+        # (the r3 cells were 2^16); REPLACES the default rows like --512
+        rows = [
+            ("hash+compact bf16 64^2", NeRFConfig(grid_dtype="bf16"), 64, 5),
+            ("hash+compact bf16 128^2", NeRFConfig(grid_dtype="bf16"), 128, 4),
         ]
     for name, ncfg, H, n in rows:
         dt = bench_stage1(ncfg, H, n_iters=n)
