@@ -260,14 +260,40 @@ def initialize_lbs_weights(
     positions: jnp.ndarray,
     smooth: bool = False,
     smooth_K: int = 30,
+    smooth_N: int = 5000,
+    use_sqrt: bool = True,
+    valid_dist_threshold: float = 0.01,
 ) -> jnp.ndarray:
     """Barycentric LBS-weight transfer + optional KNN smoothing
-    (reference: LBSUtils.initialize_lbs_weights, avatar.py:862-911)."""
+    (reference: LBSUtils.initialize_lbs_weights, avatar.py:862-911).
+
+    The smoothing is the reference's fixed-point diffusion: ``smooth_N``
+    iterations of a distance-weighted neighbor average (kernel
+    ``1 / (mesh_dist[neighbor] * knn_dist)``, self excluded), blended per
+    point by an update ramp that freezes points whose mesh distance is
+    under ``valid_dist_threshold`` (avatar.py:880-907; with the
+    reference's low == high threshold the ramp is a step function)."""
     faces = jnp.asarray(smpl.faces)
     w = interpolate_vertex_attributes(nearest, faces, smpl.lbs_weights)
     if smooth:
-        _, idx = knn(positions, positions, smooth_K)
-        w = jnp.mean(w[idx], axis=1)
+        d2, idx = knn(positions, positions, smooth_K + 1)
+        idx, d2 = idx[:, 1:], d2[:, 1:]  # drop self (reference idx[:, 1:])
+        mesh_d = nearest.sq_dists
+        knn_d = d2
+        if use_sqrt:
+            mesh_d = jnp.sqrt(mesh_d)
+            knn_d = jnp.sqrt(knn_d)
+        # 1e-12 guards exact-zero distances (the torch code would produce
+        # inf/inf = nan there; near-mesh points are normally pruned first)
+        kw = 1.0 / jnp.maximum(mesh_d[idx] * knn_d, 1e-12)
+        kw = kw / kw.sum(-1, keepdims=True)
+        upd = (mesh_d > valid_dist_threshold).astype(w.dtype)[:, None]
+
+        def body(_, cur):
+            new = jnp.einsum("nk,nkj->nj", kw, cur[idx])
+            return (1.0 - upd) * cur + upd * new
+
+        w = jax.lax.fori_loop(0, smooth_N, body, w)
     return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
 
 
@@ -372,6 +398,7 @@ def init_avatar_state(
     prune_dists_close_to_mesh: Optional[float] = 0.01,
     lbs_weight_smooth: bool = False,
     lbs_weight_smooth_K: int = 30,
+    lbs_weight_smooth_N: int = 5000,
     init_scales: Optional[jnp.ndarray] = None,  # (N, 3) linear per-point
 ) -> AvatarState:
     """Build the avatar from a stage-1 NeRF point cloud
@@ -400,7 +427,7 @@ def init_avatar_state(
 
     lbs_w = initialize_lbs_weights(
         model.smpl, nearest, point_cloud, smooth=lbs_weight_smooth,
-        smooth_K=lbs_weight_smooth_K)
+        smooth_K=lbs_weight_smooth_K, smooth_N=lbs_weight_smooth_N)
 
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
     vso, jso, vpo = effective_offset_flags(model)

@@ -56,6 +56,8 @@ def init_vanilla_avatar(
     init_scale: float = 0.001,
     init_opacity: float = 0.99,
     lbs_weight_smooth: bool = False,
+    lbs_weight_smooth_K: int = 30,
+    lbs_weight_smooth_N: int = 5000,
 ) -> VanillaAvatarState:
     """Attach LBS weights by nearest triangle and inverse-LBS the cloud into
     zero-pose space (the same init geometry as the hybrid avatar,
@@ -65,7 +67,9 @@ def init_vanilla_avatar(
     faces = jnp.asarray(model.smpl.faces)
     nearest = find_nearest_triangles(point_cloud, verts, faces)
     lbs_w = initialize_lbs_weights(model.smpl, nearest, point_cloud,
-                                   smooth=lbs_weight_smooth)
+                                   smooth=lbs_weight_smooth,
+                                   smooth_K=lbs_weight_smooth_K,
+                                   smooth_N=lbs_weight_smooth_N)
     canonical_tr = glbs_transforms(model.smpl, model.canonical_inputs)
     zero_pose = inverse_lbs(canonical_tr, point_cloud, lbs_w)
 

@@ -204,8 +204,6 @@ class Trainer:
              "configs/__init__.py:320, never read)"),
             (d.jitter_pose, "data.jitter_pose (dead in the reference: "
              "parsed at configs/__init__.py:322, never read)"),
-            (r.lbs_weight_smooth_N != 5000,
-             "render.lbs_weight_smooth_N (smoothing runs over all points)"),
         ]
         n, p, lg = self.cfg.nerf, self.cfg.prompt, self.cfg.log
         checks += [
@@ -867,7 +865,9 @@ class Trainer:
             init_scale=seed_scales if seed_scales is not None
             else cfg.render.init_scale,
             init_opacity=cfg.render.init_opacity,
-            lbs_weight_smooth=cfg.render.lbs_weight_smooth)
+            lbs_weight_smooth=cfg.render.lbs_weight_smooth,
+            lbs_weight_smooth_K=cfg.render.lbs_weight_smooth_K,
+            lbs_weight_smooth_N=cfg.render.lbs_weight_smooth_N)
 
         spatial = cfg.render.spatial_scale or 1.0
         tx = build_gaussian_optimizer(cfg.render, self.max_iteration,
@@ -1012,7 +1012,8 @@ class Trainer:
             if cfg.render.prune_points_close_to_mesh
             and self.avatar_model.mesh_parts else None,
             lbs_weight_smooth=cfg.render.lbs_weight_smooth,
-            lbs_weight_smooth_K=cfg.render.lbs_weight_smooth_K)
+            lbs_weight_smooth_K=cfg.render.lbs_weight_smooth_K,
+            lbs_weight_smooth_N=cfg.render.lbs_weight_smooth_N)
 
         spatial = cfg.render.spatial_scale or 1.0
         tx = build_avatar_optimizer(cfg.render, self.max_iteration,

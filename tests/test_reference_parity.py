@@ -893,3 +893,102 @@ class TestCameraMathParity:
         back = np.asarray(ndc_depth_to_depth(jnp.asarray(ours_ndc), 0.01,
                                              100.0))
         np.testing.assert_allclose(back, d, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# LBS weight smoothing (LBSUtils.initialize_lbs_weights)
+# ---------------------------------------------------------------------------
+
+class TestLBSWeightSmoothingParity:
+    """Golden parity for the reference's iterative LBS-weight diffusion
+    (avatar.py:862-911): distance-weighted neighbor kernel, update ramp
+    frozen under valid_dist_threshold, smooth_N fixed-point iterations."""
+
+    def _load_ref_avatar(self):
+        import types
+
+        class _Stub:  # any torch-module-safe placeholder class
+            pass
+
+        stubs = {
+            "pytorch3d.transforms": {
+                "quaternion_to_matrix": None, "matrix_to_quaternion": None,
+                "standardize_quaternion": None, "quaternion_multiply": None},
+            "loguru": _LOGURU_STUB,
+            "configs": {"TrainConfig": _Stub},
+            "core.gaussian.gaussian_utils": {
+                "GaussianOutput": _Stub, "merge_gaussians": None},
+            "core.gaussian.gaussian_model": {
+                "GaussianModel": torch.nn.Module},
+            "core.gaussian.gaussian_optimizer": {
+                "OptimizationParams": _Stub, "GaussianOptimizer": _Stub,
+                "build_optimizer": None},
+            "core.gaussian.gaussian_densifier": {"build_densifier": None},
+            "core.gaussian.spherical_harmonics": {"RGB2SH": None},
+            "core.deformation.deform_model": {"DeformNetwork": _Stub},
+            "core.human.smpl_prompt": {"SMPLPrompt": _Stub},
+            "core.human.inverse_lbs": {
+                "LinearBlendSkinning": _Stub,
+                "GeneralLinearBlendSkinning": _Stub,
+                "RigidTransform": _Stub},
+            "utils.point_cloud": {"BasicPointCloud": _Stub},
+            "utils.mesh": {"compute_normal": None},
+            "core.nerf.nerf_model": {
+                "NeRFNetwork": _Stub, "MLP": _Stub,
+                "build_NeRFNetwork": None},
+        }
+        mod = _load_ref("ref_avatar_sys", "core/system/avatar.py",
+                        stubs=stubs)
+
+        def cpu_knn(q, r, K=3, device=None):
+            d = torch.cdist(q, r) ** 2
+            dists, idx = torch.topk(d, K, dim=-1, largest=False)
+            return types.SimpleNamespace(dists=dists, idx=idx)
+
+        mod.knn_points = cpu_knn  # the pytorch3d/CUDA import, CPU-replaced
+        return mod
+
+    @pytest.mark.parametrize("smooth_n", [1, 12])
+    def test_smoothed_weights_match(self, smooth_n):
+        import types
+
+        from dreamwaltz_g_tpu.ops.mesh import find_nearest_triangles
+        from dreamwaltz_g_tpu.system.avatar import initialize_lbs_weights
+
+        rng = np.random.default_rng(3)
+        V, Fc, J, N, K = 26, 30, 7, 60, 8
+        verts = rng.normal(size=(V, 3)).astype(np.float32)
+        faces = rng.integers(0, V, size=(Fc, 3)).astype(np.int32)
+        lbs = rng.random((V, J)).astype(np.float32)
+        lbs /= lbs.sum(-1, keepdims=True)
+        # spread points across the ramp: some inside the freeze threshold
+        pts = (verts[rng.integers(0, V, N)]
+               + rng.normal(size=(N, 3)).astype(np.float32)
+               * rng.choice([0.002, 0.2], size=(N, 1)))
+        pts = pts.astype(np.float32)
+
+        nearest = find_nearest_triangles(jnp.asarray(pts),
+                                         jnp.asarray(verts),
+                                         jnp.asarray(faces))
+        smpl_stub = types.SimpleNamespace(faces=faces, lbs_weights=jnp.asarray(lbs))
+        ours = np.asarray(initialize_lbs_weights(
+            smpl_stub, nearest, jnp.asarray(pts), smooth=True,
+            smooth_K=K, smooth_N=smooth_n))
+
+        ref = self._load_ref_avatar()
+        buf = {
+            "vertex_indices": torch.from_numpy(
+                faces[np.asarray(nearest.triangle_indices)]).long(),
+            "barycentric_coords": torch.from_numpy(
+                np.asarray(nearest.barycentric)),
+            "squared_distances": torch.from_numpy(
+                np.asarray(nearest.sq_dists)),
+        }
+        lbs_model = types.SimpleNamespace(
+            lbs_weights=torch.from_numpy(lbs))
+        ref_w = ref.LBSUtils.initialize_lbs_weights(
+            lbs_model, buf, positions=torch.from_numpy(pts),
+            smooth=True, smooth_K=K, smooth_N=smooth_n).numpy()
+        ref_w = ref_w / np.clip(ref_w.sum(-1, keepdims=True), 1e-8, None)
+
+        np.testing.assert_allclose(ours, ref_w, rtol=2e-4, atol=2e-5)
