@@ -182,11 +182,14 @@ class Trainer:
              "render.non_rigid_scale_mode (dead in the reference: stored at "
              "avatar.py:1126, never read — the scale branch gates on "
              "non_rigid_rotation_mode, avatar.py:1471)"),
-            (r.use_nerf_opacities is False, "render.use_nerf_opacities"),
+            (r.use_nerf_opacities is False, "render.use_nerf_opacities "
+             "(dead in the reference: defaulted at configs/__init__.py:179, "
+             "never read by any core module)"),
             (r.use_nerf_scales_and_quaternions is False,
              "render.use_nerf_scales_and_quaternions (use gs_type=hash)"),
             (r.use_nerf_mesh_scales_and_quaternions is False,
-             "render.use_nerf_mesh_scales_and_quaternions"),
+             "render.use_nerf_mesh_scales_and_quaternions (only read by "
+             "the reference's dead HashAvatarWithMesh, avatar.py:520)"),
             (not r.learn_mesh_quaternions is False,
              "render.learn_mesh_quaternions (dead for the shipped avatar: "
              "only read by the reference's dead HashAvatarWithMesh, "

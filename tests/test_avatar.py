@@ -176,6 +176,7 @@ def test_decode_opacities_matches_animate(setup):
                                np.asarray(gs.opacities[:64]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_render_scene_sanity(setup):
     model, state, cloud = setup
     cam = make_camera_batch(2.0, 0.0, 90.0, 50.0, 32, 32, at_vector=((0, 0.7, 0),))

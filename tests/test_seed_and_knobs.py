@@ -174,6 +174,7 @@ class TestTrainerSeedsFromMesh(object):
         assert tr.train_step == 1
 
 
+@pytest.mark.slow
 def test_trainer_check_sd_writes_samples(tmp_path):
     """--log.check_sd exports SD samples (+ControlNet-conditioned ones)
     before training (VERDICT r2 #5; reference: trainer.py:386-443)."""
