@@ -73,24 +73,43 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def cam_at(azim, elev, radius=2.0, fov=50.0):
-        return make_camera_batch(radius, elev, azim, fov, H, W)
+    # fixed eval views (held out from the training stream's random draws);
+    # their raw metric depth + mask are the pretrain target (reference:
+    # depth_raw conditions, trainer.py:1242-1279)
+    ev = [(a, e) for a in range(0, 360, 72) for e in (15.0, 45.0,
+                                                      75.0, -15.0)]
+    eval_cams = make_camera_batch(
+        np.full(len(ev), 2.0, np.float32),
+        np.asarray([a for a, _ in ev], np.float32),
+        np.asarray([e for _, e in ev], np.float32),
+        np.full(len(ev), 50.0, np.float32), H, W)
 
-    # fixed eval views (held out from the training stream's random draws)
-    eval_views = [cam_at(a, e) for a, e in
-                  [(a, e) for a in range(0, 360, 72) for e in (15.0, 45.0,
-                                                               75.0, -15.0)]]
+    # the whole training-view stream is drawn and ground-truthed up front
+    # in batched/jitted calls — the naive per-iteration host loop was
+    # tunnel-latency-bound on the remote TPU (~100 eager dispatches/iter)
+    azims = rng.uniform(0, 360, args.iters).astype(np.float32)
+    elevs = rng.uniform(-30, 80, args.iters).astype(np.float32)
+    train_cams = make_camera_batch(
+        np.full(args.iters, 2.0, np.float32), azims, elevs,
+        np.full(args.iters, 50.0, np.float32), H, W)
 
-    def gt_for(cam):
-        # raw metric depth + mask, the pretrain target (reference:
-        # depth_raw conditions, trainer.py:1242-1279)
-        render = rasterize_mesh(verts, faces, cam.extrinsic[0],
-                                cam.intrinsics[0], H, W)
-        mask = jnp.asarray(render.mask)
-        depth = jnp.where(mask, jnp.asarray(render.depth), 0.0)
-        return depth, mask
+    @jax.jit
+    def gt_batch(extr, intr):
+        def one(a):
+            e, K = a
+            r = rasterize_mesh(verts, faces, e, K, H, W)
+            m = jnp.asarray(r.mask)
+            return jnp.where(m, jnp.asarray(r.depth), 0.0), m
 
-    eval_gt = [gt_for(c) for c in eval_views]
+        return jax.lax.map(one, (extr, intr))
+
+    train_depth, train_mask = gt_batch(train_cams.extrinsic,
+                                       train_cams.intrinsics)
+    eval_depth, eval_mask = gt_batch(eval_cams.extrinsic,
+                                     eval_cams.intrinsics)
+    jax.block_until_ready((train_mask, eval_mask))
+
+    from dreamwaltz_g_tpu.nerf.renderer import update_occupancy
 
     def run(name, ncfg):
         nerf = build_nerf(ncfg, with_background=False)
@@ -99,30 +118,50 @@ def main():
         grid = init_occupancy(64)
         step = nerf_trainer.make_pretrain_step(nerf, ntx, H, W, num_steps=96,
                                                compact_steps=0)
-        key = jax.random.PRNGKey(2)
+        keys = jax.random.split(jax.random.PRNGKey(2), args.iters)
+        c2w, intr = train_cams.c2w, train_cams.intrinsics
+
+        @jax.jit
+        def train_all(state0, grid0):
+            def body(i, carry):
+                st, gr = carry
+                gr = jax.lax.cond(
+                    i % 16 == 0,
+                    lambda g: update_occupancy(
+                        g, nerf, st.params, keys[i],
+                        density_thresh=ncfg.density_thresh),
+                    lambda g: g, gr)
+                st, _ = step(st, gr, c2w[i], intr[i], train_depth[i],
+                             train_mask[i], keys[i])
+                return (st, gr)
+
+            return jax.lax.fori_loop(0, args.iters, body, (state0, grid0))
+
+        # AOT-compile so train_seconds is pure execution (compile time on
+        # the remote service would otherwise dominate the comparison)
+        compiled = train_all.lower(state, grid).compile()
         t0 = time.time()
-        for i in range(args.iters):
-            azim = float(rng.uniform(0, 360))
-            elev = float(rng.uniform(-30, 80))
-            cam = cam_at(azim, elev)
-            depth, mask = gt_for(cam)
-            grid = nerf_trainer.maybe_update_occupancy(
-                state, grid, nerf, jax.random.fold_in(key, i), interval=16,
-                density_thresh=ncfg.density_thresh)
-            key, kk = jax.random.split(key)
-            state, metrics = step(state, grid, cam.c2w[0],
-                                  cam.intrinsics[0], depth, mask, kk)
-        jax.block_until_ready(metrics["loss"])
+        state, grid = compiled(state, grid)
+        jax.block_until_ready(state.params)
         train_s = time.time() - t0
 
-        # held-out-view losses
-        mmse, dmse = [], []
-        for cam, (gd, gm) in zip(eval_views, eval_gt):
-            key, kk = jax.random.split(key)
-            _, m = step(state, grid, cam.c2w[0], cam.intrinsics[0],
-                        gd, gm, kk)
-            mmse.append(float(m["mask_loss"]))
-            dmse.append(float(m["depth_loss"]))
+        # held-out-view losses (one dispatch; the step's metrics are read,
+        # its optimizer update discarded)
+        ekeys = jax.random.split(jax.random.PRNGKey(7), len(ev))
+
+        @jax.jit
+        def eval_all(st, gr):
+            def one(j):
+                _, m = step(st, gr, eval_cams.c2w[j],
+                            eval_cams.intrinsics[j], eval_depth[j],
+                            eval_mask[j], ekeys[j])
+                return m["mask_loss"], m["depth_loss"]
+
+            return jax.lax.map(one, jnp.arange(len(ev)))
+
+        mloss, dloss = eval_all(state, grid)
+        mmse = [float(x) for x in np.asarray(mloss)]
+        dmse = [float(x) for x in np.asarray(dloss)]
 
         # geometry: exported cloud vs the SMPL-X mesh
         pc = export_point_cloud(nerf, state.params, resolution=96,

@@ -11,6 +11,11 @@ run once without and once with the flag for the full table.
 
 ``--small`` likewise replaces the default rows with hash 64^2/128^2 —
 the cells re-measured at the 2^19 parity table size (round 4).
+
+``--chunk N`` overrides the render's ray_chunk (default 4096, the
+reference's max_ray_batch) for every row — the chunk-size A/B: at 512^2
+the default runs 64 sequential rematerialized chunk renders, which may
+underutilize the chip for the matmul-heavy triplane backbone.
 """
 import os
 import sys
@@ -56,6 +61,10 @@ def main():
     t = jnp.asarray([500], jnp.int32)
     k = jax.random.PRNGKey(1)
 
+    ray_chunk = 4096
+    if "--chunk" in sys.argv:
+        ray_chunk = int(sys.argv[sys.argv.index("--chunk") + 1])
+
     def bench_stage1(ncfg, H, n_iters=5, warmup=3):
         nonlocal k
         nerf = build_nerf(ncfg, with_background=False)
@@ -65,7 +74,7 @@ def main():
         grid = init_occupancy(64)
         nstep = nerf_trainer.make_nerf_sds_step(
             nerf, guidance, ntx, H, H, ncfg, num_steps=96,
-            max_iteration=10000, ray_chunk=4096)
+            max_iteration=10000, ray_chunk=ray_chunk)
         ncam = make_camera_batch(2.5, 30.0, 80.0, 50.0, H, H)
         for _ in range(warmup):
             k, kk = jax.random.split(k)
