@@ -119,29 +119,33 @@ def main():
         step = nerf_trainer.make_pretrain_step(nerf, ntx, H, W, num_steps=96,
                                                compact_steps=0)
         keys = jax.random.split(jax.random.PRNGKey(2), args.iters)
-        c2w, intr = train_cams.c2w, train_cams.intrinsics
 
+        # big per-iteration arrays ride as ARGUMENTS — closure capture
+        # would bake them into the MLIR as constants (25 MB program, which
+        # the remote compile helper rejects)
         @jax.jit
-        def train_all(state0, grid0):
+        def train_all(state0, grid0, c2w, intr, depths, masks, ks):
             def body(i, carry):
                 st, gr = carry
                 gr = jax.lax.cond(
                     i % 16 == 0,
                     lambda g: update_occupancy(
-                        g, nerf, st.params, keys[i],
+                        g, nerf, st.params, ks[i],
                         density_thresh=ncfg.density_thresh),
                     lambda g: g, gr)
-                st, _ = step(st, gr, c2w[i], intr[i], train_depth[i],
-                             train_mask[i], keys[i])
+                st, _ = step(st, gr, c2w[i], intr[i], depths[i],
+                             masks[i], ks[i])
                 return (st, gr)
 
             return jax.lax.fori_loop(0, args.iters, body, (state0, grid0))
 
         # AOT-compile so train_seconds is pure execution (compile time on
         # the remote service would otherwise dominate the comparison)
-        compiled = train_all.lower(state, grid).compile()
+        targs = (state, grid, train_cams.c2w, train_cams.intrinsics,
+                 train_depth, train_mask, keys)
+        compiled = train_all.lower(*targs).compile()
         t0 = time.time()
-        state, grid = compiled(state, grid)
+        state, grid = compiled(*targs)
         jax.block_until_ready(state.params)
         train_s = time.time() - t0
 

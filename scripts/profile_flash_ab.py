@@ -7,10 +7,11 @@ the running softmax in VMEM (no (N, N) HBM materialization) but pads
 head_dim 40/80 to the 128-lane MXU tile, so whether it wins at SD1.5
 shapes is an empirical question — this measures it on the real chip.
 
-NOTE: intentionally mirrors the A/B inside scripts/profile_sds.py
-(lines ~140-158) as a lighter-weight standalone — no GS/render setup, so
-it runs in seconds on a cold cache. Keep the shapes/loop in sync with
-profile_sds.py when either changes.
+NOTE: intentionally mirrors the A/B inside scripts/profile_sds.py as a
+lighter-weight standalone — no GS/render setup. Timing uses
+_bench_util's in-graph serial repetition: the remote backend's readiness
+reporting made the old dispatch-loop pattern read 1.6 ms for a ~40 ms
+UNet forward (round-4 artifact; see _bench_util docstring).
 
 The VAE row times encode fwd AND grad-through-encode: training SDS
 gradients flow through vae.encode (the backward kernels are what
@@ -19,22 +20,9 @@ reflect the differentiated path, not just inference.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def timeit(f, *args, iters=20, warmup=3):
-    import jax
-    out = None
-    for _ in range(warmup):
-        out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters * 1000.0  # ms
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -67,17 +55,45 @@ def main():
     ctx2 = jnp.zeros((2, 77, 768), jnp.bfloat16)
     img = jnp.zeros((1, 512, 512, 3), jnp.bfloat16)
 
+    from _bench_util import fetch_rtt, time_op
+
+    rtt = fetch_rtt()
+    print(f"host fetch RTT baseline: {rtt * 1e3:.1f} ms", flush=True)
+
     for mode in ("off", "auto"):
         L.FLASH_ATTENTION = mode
-        uf = jax.jit(lambda p, l, tt, cc: unet.apply(p, l, tt, cc))
-        ms_u = timeit(uf, unet_p, lat2, t2, ctx2)
-        ef = jax.jit(lambda p, im: vae.encode(p, im))
-        ms_v = timeit(ef, vae_p, img)
+
+        # in-graph serial repetition (see _bench_util): carry perturbs the
+        # input, the output feeds the next carry — dispatch-only timing on
+        # the remote backend is impossible by construction
+        def body_unet(c):
+            li = lat2.at[0, 0, 0, 0].set((c % 3).astype(jnp.bfloat16))
+            out = unet.apply(unet_p, li, t2, ctx2)
+            return (out[0, 0, 0, 0].astype(jnp.float32)
+                    != 12345.0).astype(jnp.int32) + c
+
+        ms_u = time_op(body_unet, K=20, rtt=rtt)
+
+        def body_vae(c):
+            im = img.at[0, 0, 0, 0].set((c % 3).astype(jnp.bfloat16))
+            z = vae.encode(vae_p, im)
+            return (z[0, 0, 0, 0].astype(jnp.float32)
+                    != 12345.0).astype(jnp.int32) + c
+
+        ms_v = time_op(body_vae, K=20, rtt=rtt)
+
         # fwd+bwd through encode — the path SDS training actually pays
         # (gradients flow from the latent loss back through the VAE)
-        eg = jax.jit(jax.grad(
-            lambda im, p: jnp.sum(vae.encode(p, im).astype(jnp.float32) ** 2)))
-        ms_vg = timeit(eg, img, vae_p)
+        gfun = jax.grad(
+            lambda im, p: jnp.sum(vae.encode(p, im).astype(jnp.float32) ** 2))
+
+        def body_vae_grad(c):
+            im = img.at[0, 0, 0, 0].set((c % 3).astype(jnp.bfloat16))
+            g = gfun(im, vae_p)
+            return (g[0, 0, 0, 0].astype(jnp.float32)
+                    != 12345.0).astype(jnp.int32) + c
+
+        ms_vg = time_op(body_vae_grad, K=20, rtt=rtt)
         print(f"flash={mode:4s}  UNet CFG fwd {ms_u:7.2f} ms   "
               f"VAE encode fwd {ms_v:7.2f} ms   "
               f"VAE encode fwd+bwd {ms_vg:7.2f} ms", flush=True)
