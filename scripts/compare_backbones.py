@@ -122,11 +122,25 @@ def main():
 
         # big per-iteration arrays ride as ARGUMENTS — closure capture
         # would bake them into the MLIR as constants (25 MB program, which
-        # the remote compile helper rejects)
+        # the remote compile helper rejects). The train state crosses the
+        # fori_loop boundary FLATTENED to 1-D leaves: the loop-carry
+        # canonical layout tiles (16, 2^19, 2) hash tables T(8,128),
+        # padding the minor dim 64x (3 x 4 GB of HLO temp -> OOM).
+        _leaves, _treedef = jax.tree_util.tree_flatten(state)
+        _shapes = [x.shape for x in _leaves]
+
+        def flat(tree):
+            return [x.reshape(-1) for x in jax.tree_util.tree_leaves(tree)]
+
+        def unflat(leaves_1d):
+            return jax.tree_util.tree_unflatten(
+                _treedef, [x.reshape(s) for x, s in zip(leaves_1d, _shapes)])
+
         @jax.jit
-        def train_all(state0, grid0, c2w, intr, depths, masks, ks):
+        def train_all(state_flat, grid0, c2w, intr, depths, masks, ks):
             def body(i, carry):
-                st, gr = carry
+                st_flat, gr = carry
+                st = unflat(st_flat)
                 gr = jax.lax.cond(
                     i % 16 == 0,
                     lambda g: update_occupancy(
@@ -135,13 +149,15 @@ def main():
                     lambda g: g, gr)
                 st, _ = step(st, gr, c2w[i], intr[i], depths[i],
                              masks[i], ks[i])
-                return (st, gr)
+                return (flat(st), gr)
 
-            return jax.lax.fori_loop(0, args.iters, body, (state0, grid0))
+            out_flat, out_grid = jax.lax.fori_loop(
+                0, args.iters, body, (state_flat, grid0))
+            return unflat(out_flat), out_grid
 
         # AOT-compile so train_seconds is pure execution (compile time on
         # the remote service would otherwise dominate the comparison)
-        targs = (state, grid, train_cams.c2w, train_cams.intrinsics,
+        targs = (flat(state), grid, train_cams.c2w, train_cams.intrinsics,
                  train_depth, train_mask, keys)
         compiled = train_all.lower(*targs).compile()
         t0 = time.time()
