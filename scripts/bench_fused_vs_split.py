@@ -7,6 +7,13 @@ step (make_avatar_sds_step) renders once inside one jax.grad graph. The
 split exists because round-2's remote_compile transport failed on the
 giant fused graph — this probes whether that still holds and what the
 fused step is worth.
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys

@@ -8,6 +8,13 @@ E.triplane_encode ARE the shipped per-level/per-plane implementations.
 
 One process, interleaved measurement — removes session-to-session tunnel
 variance from the comparison. 200k points, ref-size 16L/2^19 tiled grid.
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys

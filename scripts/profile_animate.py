@@ -6,6 +6,13 @@ core/system/avatar.py:462-496) — on TPU the hash backward is a giant
 scatter-add and dominates the step (PERF.md). Rows: the round-2 bench's
 under-sized 4-level/2^8 encoder, the reference-size 16-level/2^19 tiled
 grid (bench honesty check), and the triplane backbone.
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys

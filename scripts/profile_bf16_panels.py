@@ -6,6 +6,13 @@ rasterize fwd+bwd at the training shape (512², 200k splats) and reports
 the gradient deviation of the bf16 path vs f32 on the same scene.
 
 Result goes to PERF.md "bf16 blend panels".
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys

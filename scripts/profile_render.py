@@ -3,6 +3,13 @@
 Times: project | bin(key+sort) | bin(extract) | pre-gather | pallas kernel,
 each as its own jitted program, to target the next optimization lever
 (PERF.md 'next levers').
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys

@@ -5,6 +5,13 @@ Breaks the bench.py 253 ms step into its three jitted programs
 apply_grads: animate fwd, animate fwd+bwd, project fwd, bin, blend
 fwd(train), full render fwd, render fwd+bwd, VAE encode fwd, optimizer
 apply. Targets the next optimization lever (PERF.md).
+
+TIMING CAVEAT (round 4): this script predates the remote-backend
+readiness artifact discovered 2026-08-19 (dispatch-loop +
+block_until_ready can time DISPATCH only). Its historical numbers in
+PERF.md were taken while the service honored readiness; re-runs
+should cross-check against the in-graph pattern in _bench_util.py
+(see bench.py measure() / profile_flash_ab.py).
 """
 import os
 import sys
