@@ -72,7 +72,8 @@ def main():
             return (out[0, 0, 0, 0].astype(jnp.float32)
                     != 12345.0).astype(jnp.int32) + c
 
-        ms_u = time_op(body_unet, K=20, rtt=rtt)
+        ms_u = time_op(body_unet, K=5, rtt=rtt)  # small K: the
+        # remote compile helper chokes on big looped UNet programs
 
         def body_vae(c):
             im = img.at[0, 0, 0, 0].set((c % 3).astype(jnp.bfloat16))
@@ -80,7 +81,10 @@ def main():
             return (z[0, 0, 0, 0].astype(jnp.float32)
                     != 12345.0).astype(jnp.int32) + c
 
-        ms_v = time_op(body_vae, K=20, rtt=rtt)
+        # fwd-only VAE row behind --full: every program here is a
+        # heavyweight remote compile, and training only pays fwd+bwd
+        ms_v = time_op(body_vae, K=8, rtt=rtt) \
+            if "--full" in sys.argv else float("nan")
 
         # fwd+bwd through encode — the path SDS training actually pays
         # (gradients flow from the latent loss back through the VAE)
@@ -93,7 +97,7 @@ def main():
             return (g[0, 0, 0, 0].astype(jnp.float32)
                     != 12345.0).astype(jnp.int32) + c
 
-        ms_vg = time_op(body_vae_grad, K=20, rtt=rtt)
+        ms_vg = time_op(body_vae_grad, K=6, rtt=rtt)
         print(f"flash={mode:4s}  UNet CFG fwd {ms_u:7.2f} ms   "
               f"VAE encode fwd {ms_v:7.2f} ms   "
               f"VAE encode fwd+bwd {ms_vg:7.2f} ms", flush=True)
