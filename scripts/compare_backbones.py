@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=60,
+                    help="iterations per device dispatch; one unbounded "
+                    "600-iter execution trips the remote service's "
+                    "per-execution limit (observed UNAVAILABLE fault)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None, help="write JSON rows here too")
     args = ap.parse_args()
@@ -136,13 +140,38 @@ def main():
             return jax.tree_util.tree_unflatten(
                 _treedef, [x.reshape(s) for x, s in zip(leaves_1d, _shapes)])
 
+        # chunked dispatch: `--chunk` iterations per device execution, state
+        # resident on device between dispatches. One unbounded 600-iter
+        # execution died with UNAVAILABLE on the remote service (per-
+        # execution time limit); bounded executions also let a transient
+        # service fault kill only one chunk.
+        CH = max(1, min(args.chunk, args.iters))
+        n_chunks = -(-args.iters // CH)
+        pad_to = n_chunks * CH
+
+        def padded(x):
+            reps = np.concatenate(
+                [np.arange(args.iters), np.zeros(pad_to - args.iters, int)])
+            return jnp.asarray(np.asarray(x)[reps]).reshape(
+                (n_chunks, CH) + x.shape[1:])
+
+        p_c2w = padded(train_cams.c2w)
+        p_intr = padded(train_cams.intrinsics)
+        p_depth = padded(train_depth)
+        p_mask = padded(train_mask)
+        p_keys = padded(keys)
+        n_live = jnp.asarray(
+            [min(args.iters - c * CH, CH) for c in range(n_chunks)],
+            jnp.int32)
+
         @jax.jit
-        def train_all(state_flat, grid0, c2w, intr, depths, masks, ks):
+        def train_chunk(state_flat, grid0, base, live, c2w, intr, depths,
+                        masks, ks):
             def body(i, carry):
                 st_flat, gr = carry
                 st = unflat(st_flat)
                 gr = jax.lax.cond(
-                    i % 16 == 0,
+                    (base + i) % 16 == 0,
                     lambda g: update_occupancy(
                         g, nerf, st.params, ks[i],
                         density_thresh=ncfg.density_thresh),
@@ -151,19 +180,22 @@ def main():
                              masks[i], ks[i])
                 return (flat(st), gr)
 
-            out_flat, out_grid = jax.lax.fori_loop(
-                0, args.iters, body, (state_flat, grid0))
-            return unflat(out_flat), out_grid
+            return jax.lax.fori_loop(0, live, body, (state_flat, grid0))
 
         # AOT-compile so train_seconds is pure execution (compile time on
         # the remote service would otherwise dominate the comparison)
-        targs = (flat(state), grid, train_cams.c2w, train_cams.intrinsics,
-                 train_depth, train_mask, keys)
-        compiled = train_all.lower(*targs).compile()
+        cargs0 = (flat(state), grid, jnp.int32(0), n_live[0], p_c2w[0],
+                  p_intr[0], p_depth[0], p_mask[0], p_keys[0])
+        compiled = train_chunk.lower(*cargs0).compile()
+        st_flat, gr = flat(state), grid
         t0 = time.time()
-        state, grid = compiled(*targs)
-        jax.block_until_ready(state.params)
+        for c in range(n_chunks):
+            st_flat, gr = compiled(st_flat, gr, jnp.int32(c * CH), n_live[c],
+                                   p_c2w[c], p_intr[c], p_depth[c],
+                                   p_mask[c], p_keys[c])
+        jax.block_until_ready(st_flat)
         train_s = time.time() - t0
+        state, grid = unflat(st_flat), gr
 
         # held-out-view losses (one dispatch; the step's metrics are read,
         # its optimizer update discarded)
