@@ -79,6 +79,28 @@ def main():
 
     timed(body_gather, "(b) packed-panel pre-gather (1.6M x 16 f32)")
 
+    # (b2)/(b3): is the pre-gather bandwidth-bound or index-bound? If a
+    # half-traffic gather (bf16 rows, or half-width f32 rows) is not ~2x
+    # faster, the row bytes are not the cost — and the "bf16 eval panels"
+    # lever (PERF.md) cannot pay for its precision loss.
+    packed_bf16 = packed.astype(jnp.bfloat16)
+
+    def body_gather_bf16(c):
+        idx = flat_idx.at[0].set(c % N)
+        panels = packed_bf16[idx]       # (E, 16) bf16 row gather
+        return panels[E // 3, 0].astype(jnp.int32) + c
+
+    timed(body_gather_bf16, "(b2) pre-gather, bf16 rows (half traffic)")
+
+    packed8 = packed[:, :8]
+
+    def body_gather_8(c):
+        idx = flat_idx.at[0].set(c % N)
+        panels = packed8[idx]           # (E, 8) f32 row gather
+        return panels[E // 3, 0].astype(jnp.int32) + c
+
+    timed(body_gather_8, "(b3) pre-gather, 8-lane f32 rows (half traffic)")
+
     def body_hist(c):
         tiles = (flat_key // (qmax + 1)).at[0].set(c % T)
         h = jax.ops.segment_sum(jnp.ones((E,), jnp.int32), tiles,
