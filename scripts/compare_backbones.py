@@ -19,6 +19,12 @@ Prints one JSON line per backbone plus a verdict line. Results are recorded
 in PERF.md ("Backbone quality" section).
 
 Usage:  python scripts/compare_backbones.py [--iters N] [--res H] [--cpu]
+        python scripts/compare_backbones.py --backbone hash --out h.jsonl
+        python scripts/compare_backbones.py --verdict-from h.jsonl t.jsonl
+
+`--backbone` runs one backbone per process — the remote TPU worker has
+crashed mid-comparison (UNAVAILABLE kernel fault), and per-process runs
+mean a fault only loses one backbone's training, not both.
 """
 import argparse
 import json
@@ -39,7 +45,23 @@ def main():
                     "per-execution limit (observed UNAVAILABLE fault)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=None, help="write JSON rows here too")
+    ap.add_argument("--backbone", choices=["hash", "triplane", "both"],
+                    default="both")
+    ap.add_argument("--verdict-from", nargs=2, metavar="JSONL", default=None,
+                    help="skip training; compute the verdict from two row "
+                    "files written by earlier --backbone runs (hash first)")
     args = ap.parse_args()
+
+    if args.verdict_from:
+        rows = []
+        for path in args.verdict_from:
+            with open(path) as f:
+                rows += [json.loads(ln) for ln in f if ln.strip()]
+        rows = [r for r in rows if "backbone" in r]
+        h = next(r for r in rows if r["backbone"].startswith("hash"))
+        t = next(r for r in rows if r["backbone"] == "triplane")
+        print(json.dumps(_verdict(h, t)), flush=True)
+        return
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -238,12 +260,24 @@ def main():
         print(json.dumps(row), flush=True)
         return row
 
-    rows = [
-        run("hash_2^19_bf16", NeRFConfig(grid_dtype="bf16")),
-        run("triplane", NeRFConfig(backbone="triplane")),
-    ]
-    h, t = rows
-    verdict = {
+    specs = {
+        "hash": ("hash_2^19_bf16", NeRFConfig(grid_dtype="bf16")),
+        "triplane": ("triplane", NeRFConfig(backbone="triplane")),
+    }
+    wanted = ["hash", "triplane"] if args.backbone == "both" \
+        else [args.backbone]
+    rows = [run(*specs[k]) for k in wanted]
+    if len(rows) == 2:
+        rows.append(_verdict(rows[0], rows[1]))
+        print(json.dumps(rows[-1]), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+def _verdict(h, t):
+    return {
         "verdict": "triplane_quality_vs_hash",
         "mask_mse_ratio": round(t["eval_mask_mse"]
                                 / max(h["eval_mask_mse"], 1e-12), 3),
@@ -251,14 +285,11 @@ def main():
                                  / max(h["eval_depth_mse"], 1e-12), 3),
         "cloud_to_mesh_ratio": round(t["cloud_to_mesh_rms"]
                                      / max(h["cloud_to_mesh_rms"], 1e-12), 3),
+        "mesh_to_cloud_ratio": round(t["mesh_to_cloud_rms"]
+                                     / max(h["mesh_to_cloud_rms"], 1e-12), 3),
         "speedup": round(h["train_seconds"] / max(t["train_seconds"], 1e-9),
                          2),
     }
-    print(json.dumps(verdict), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            for r in rows + [verdict]:
-                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":
