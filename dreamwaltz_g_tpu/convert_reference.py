@@ -167,6 +167,7 @@ def convert_avatar_checkpoint(
         sq_net=sq_net,
         mesh=mesh,
         extra_betas=extra_betas,
+        smpl_learn={},
     )
     alive = jnp.asarray(np.arange(C) < N)
     z = jnp.zeros((C,), jnp.float32)

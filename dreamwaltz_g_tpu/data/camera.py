@@ -288,7 +288,8 @@ def draw_camera_viz(c2w, dirs=None, smpl_vertices=None, size: float = 0.2,
 
     ``plane`` picks the two world axes to project onto ('xz' top view,
     'xy' front view).
-    Returns (H, W, 3) uint8.
+    Returns (H, W, 3) uint8 in RGB channel order (the reference DIR_COLORS
+    are RGB); convert with ``img[..., ::-1]`` before ``cv2.imwrite``.
     """
     import cv2
     import numpy as np
@@ -315,5 +316,5 @@ def draw_camera_viz(c2w, dirs=None, smpl_vertices=None, size: float = 0.2,
             cv2.circle(img, to_px(p), 1, (80, 80, 80), -1)
     for (p0, p1), col in zip(segs[:, :, [i, j]], colors):
         cv2.line(img, to_px(p0), to_px(p1),
-                 tuple(int(x) for x in col[::-1]), 1, cv2.LINE_AA)
+                 tuple(int(x) for x in col), 1, cv2.LINE_AA)
     return img

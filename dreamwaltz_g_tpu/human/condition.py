@@ -89,6 +89,35 @@ def occlusion_cull(
     return occluded, t_far.reshape(N, K)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "n_person", "use_cull"))
+def _pose_cull_project_batch(
+    extrinsics: jnp.ndarray,   # (B, 4, 4)
+    intrinsics: jnp.ndarray,   # (B, 3, 3)
+    kp3d: jnp.ndarray,         # (B, N, K, 3) per-view world keypoints
+    vertices: jnp.ndarray,     # (B, N*V, 3) per-view posed vertices
+    faces: jnp.ndarray,        # (N*F, 3) shared topology
+    cfg: OcclusionCullingConfig,
+    n_person: int,
+    use_cull: bool,
+) -> jnp.ndarray:
+    """All B views' keypoint projection + occlusion ray-casts as ONE device
+    dispatch (a vmap over the per-view cull) — the per-view loop was ~B eager
+    dispatches per train step, which at DP-8's ~44 conditions/s budget left
+    no headroom for host jitter (PERF.md host-pipeline note)."""
+
+    def one(extr, intr, kp, verts):
+        kp2d = project_keypoints(kp, extr, intr)
+        if use_cull:
+            c2w_rot = extr[:3, :3].T
+            campos = -c2w_rot @ extr[:3, 3]
+            occluded, _ = occlusion_cull(campos, kp, verts, faces,
+                                         cfg=cfg, n_person=n_person)
+            kp2d = jnp.where(occluded[..., None], jnp.nan, kp2d)
+        return kp2d
+
+    return jax.vmap(one)(extrinsics, intrinsics, kp3d, vertices)
+
+
 class ConditionRenderer:
     """Renders ControlNet conditions for one or more posed persons
     (reference: SMPL2Condition.__call__, smpl_condition.py:271-320)."""
@@ -158,6 +187,42 @@ class ConditionRenderer:
             list(kp), image_height, image_width,
             draw_body_kp=self.draw_body, draw_hand_kp=self.draw_hand,
             draw_face_kp=self.draw_face, flip_lr=self.flip_lr)
+
+    def render_pose_batch(
+        self,
+        outputs: Sequence[SMPLXOutput],
+        extrinsics: jnp.ndarray,    # (B, 4, 4)
+        intrinsics: jnp.ndarray,    # (B, 3, 3)
+        image_height: int,
+        image_width: int,
+    ) -> list:
+        """B views' OpenPose maps with ONE fused device dispatch for all
+        projection + occlusion ray-casts (VERDICT r4 #8; reference runs one
+        open3d scene per view, smpl_condition.py:82-143). ``outputs`` is one
+        SMPLXOutput per view (pass the same object B times to share a pose).
+        Only the cv2 skeleton drawing stays host-side, per view."""
+        B = int(extrinsics.shape[0])
+        assert len(outputs) == B
+        kp3d = jnp.stack([
+            openpose_keypoints(self.model, o, self.landmarks)
+            for o in outputs])
+        n_person = outputs[0].vertices.shape[0]
+        verts = jnp.stack([o.vertices.reshape(-1, 3) for o in outputs])
+        _, faces = self._stacked_mesh(outputs[0])
+        kp2d = _pose_cull_project_batch(
+            jnp.asarray(extrinsics), jnp.asarray(intrinsics), kp3d, verts,
+            faces, cfg=self.culling, n_person=n_person,
+            use_cull=self.use_occlusion_culling)
+        kp2d = np.array(kp2d, np.float32)  # one host pull for all views
+        kp2d[..., 0] /= float(image_width)
+        kp2d[..., 1] /= float(image_height)
+        return [
+            draw_openpose_map(
+                list(kp2d[i]), image_height, image_width,
+                draw_body_kp=self.draw_body, draw_hand_kp=self.draw_hand,
+                draw_face_kp=self.draw_face, flip_lr=self.flip_lr)
+            for i in range(B)
+        ]
 
     def render_depth(self, output, extrinsic, intrinsics,
                      image_height: int, image_width: int,

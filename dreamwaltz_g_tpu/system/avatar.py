@@ -94,8 +94,11 @@ class AvatarParams(NamedTuple):
     extra_betas: jnp.ndarray        # (n_betas,) learnable shape tweak
     # learnable SMPL-X template copies keyed by LEARNABLE_TEMPLATE_KEYS —
     # populated per --render.deform_learn_* (reference: requires_grad
-    # nn.Parameters, inverse_lbs.py:286-305); empty dict = frozen template
-    smpl_learn: Dict[str, jnp.ndarray] = {}
+    # nn.Parameters, inverse_lbs.py:286-305); empty dict = frozen template.
+    # No class-level `{}` default: NamedTuple defaults are created once and
+    # shared across every instance, so an in-place mutation anywhere would
+    # corrupt all of them — construction sites pass a fresh dict.
+    smpl_learn: Dict[str, jnp.ndarray]
 
 
 class AvatarState(NamedTuple):
@@ -378,14 +381,13 @@ def inverse_lbs(
 def effective_offset_flags(model: AvatarModel) -> Tuple[bool, bool, bool]:
     """(vertex_shape, joint_shape, vertex_pose) offset-term flags.
 
-    hash-mode ``deform_with_shape`` composes the shape AND pose offsets into
-    the skinning (reference: LinearBlendSkinning.forward,
-    inverse_lbs.py:492-496 — transform_V gains V_shape_offset, and always
-    carries V_pose_offset)."""
+    hash-mode skinning ALWAYS carries V_pose_offset (reference:
+    LinearBlendSkinning.forward, inverse_lbs.py:492-496 — both branches
+    compose it); ``deform_with_shape`` only adds V_shape_offset on top."""
     with_shape = model.hash_mode and model.deform_with_shape
     return (model.use_vertex_shape_offsets or with_shape,
             model.use_joint_shape_offsets,
-            model.use_vertex_pose_offsets or with_shape)
+            model.use_vertex_pose_offsets or model.hash_mode)
 
 
 def init_avatar_state(

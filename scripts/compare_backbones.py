@@ -47,6 +47,13 @@ def main():
     ap.add_argument("--out", default=None, help="write JSON rows here too")
     ap.add_argument("--backbone", choices=["hash", "triplane", "both"],
                     default="both")
+    ap.add_argument("--state-file", default=None,
+                    help="npz path for per-chunk state checkpoints; with "
+                    "--resume, training restarts from the last completed "
+                    "chunk after a TPU-worker crash (the round-4/5 "
+                    "UNAVAILABLE fault kills the in-process backend, so "
+                    "recovery = process restart + this file)")
+    ap.add_argument("--resume", action="store_true")
     ap.add_argument("--verdict-from", nargs=2, metavar="JSONL", default=None,
                     help="skip training; compute the verdict from two row "
                     "files written by earlier --backbone runs (hash first)")
@@ -210,13 +217,38 @@ def main():
                   p_intr[0], p_depth[0], p_mask[0], p_keys[0])
         compiled = train_chunk.lower(*cargs0).compile()
         st_flat, gr = flat(state), grid
-        t0 = time.time()
-        for c in range(n_chunks):
+        c0, train_s = 0, 0.0
+        _gr_leaves, _gr_tree = jax.tree_util.tree_flatten(grid)
+        if args.resume and args.state_file and os.path.exists(args.state_file):
+            z = np.load(args.state_file)
+            c0 = int(z["chunk"])
+            train_s = float(z["train_seconds"])
+            st_flat = [jnp.asarray(z[f"s{i}"]) for i in range(len(st_flat))]
+            gr = jax.tree_util.tree_unflatten(
+                _gr_tree, [jnp.asarray(z[f"g{i}"])
+                           for i in range(len(_gr_leaves))])
+            print(json.dumps({"resumed_at_chunk": c0,
+                              "backbone": name}), flush=True)
+        for c in range(c0, n_chunks):
+            t0 = time.time()
             st_flat, gr = compiled(st_flat, gr, jnp.int32(c * CH), n_live[c],
                                    p_c2w[c], p_intr[c], p_depth[c],
                                    p_mask[c], p_keys[c])
-        jax.block_until_ready(st_flat)
-        train_s = time.time() - t0
+            jax.block_until_ready(st_flat)
+            train_s += time.time() - t0
+            if args.state_file:
+                # checkpoint OUTSIDE the timed window: a worker crash then
+                # re-enters at chunk c+1 after a process restart
+                payload = {"chunk": np.asarray(c + 1),
+                           "train_seconds": np.asarray(train_s)}
+                payload.update({f"s{i}": np.asarray(x)
+                                for i, x in enumerate(st_flat)})
+                payload.update({f"g{i}": np.asarray(x) for i, x in
+                                enumerate(jax.tree_util.tree_leaves(gr))})
+                tmp = args.state_file + ".tmp.npz"
+                with open(tmp, "wb") as f:
+                    np.savez(f, **payload)
+                os.replace(tmp, args.state_file)
         state, grid = unflat(st_flat), gr
 
         # held-out-view losses (one dispatch; the step's metrics are read,
