@@ -202,6 +202,32 @@ def main():
 
     dt = measure(_run_async, _run_sync, 10, 3, "stage-2")
 
+    # hardware utilization: XLA's own cost model for the compiled step
+    # (VERDICT r4 #3 — "is this fast, or just faster than a guess?").
+    # v5e peak: 197 TFLOP/s bf16 per chip (PERF.md names the source).
+    V5E_PEAK_FLOPS = 197e12
+
+    def _flops_of(jitted, *args, **kwargs):
+        try:
+            ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            f = float(ca.get("flops", 0.0))
+            return f if f > 0 else None
+        except Exception as e:  # cost model unavailable on this backend
+            import sys
+
+            print(f"bench: cost_analysis unavailable ({e!r})",
+                  file=sys.stderr)
+            return None
+
+    k, kk = jax.random.split(k)
+    step_flops = _flops_of(step, tstate, gparams, setup.observed,
+                           cam.extrinsic[0], cam.intrinsics[0],
+                           cam.tanfov[0], bg, txt, txt, t, kk,
+                           cond_image=cond)
+    mfu = (step_flops / dt / V5E_PEAK_FLOPS) if step_flops else None
+
     # release the stage-2 train state (200k-capacity avatar + opt slots)
     # before building the stage-1 programs — they never coexist in a real
     # run, and the bench must fit both sections on one 16 GB chip
@@ -247,15 +273,20 @@ def main():
                 jax.block_until_ready((nstate_box[0], nm))
 
         _nrun(3, False)  # warmup
-        return measure(lambda n: _nrun(n, False), lambda n: _nrun(n, True),
-                       n_iters, 2, "stage-1")
+        dt1 = measure(lambda n: _nrun(n, False), lambda n: _nrun(n, True),
+                      n_iters, 2, "stage-1")
+        nonlocal_k = jax.random.split(k)[1]
+        fl = _flops_of(nstep, nstate_box[0], grid, gparams, ncam.c2w[0],
+                       ncam.intrinsics[0], jnp.asarray([0.5, 0.5, 0.5]),
+                       txt, txt, t, nonlocal_k, cond_image=cond)
+        return dt1, fl
 
     # parity hash-grid backbone with occupied-sample compaction + bf16
     # table gathers (round-2 baseline, dense f32: 0.15 it/s)
-    ndt = bench_stage1(NeRFConfig(grid_dtype="bf16"))
+    ndt, nflops = bench_stage1(NeRFConfig(grid_dtype="bf16"))
     # TPU-first factorized-plane backbone (12 gathered rows/sample vs the
     # grid's 128 — see nerf/encoder.py TriplaneConfig)
-    tdt = bench_stage1(NeRFConfig(backbone="triplane"))
+    tdt, tflops = bench_stage1(NeRFConfig(backbone="triplane"))
 
     print(json.dumps({
         "metric": "sds_train_steps_per_sec",
@@ -271,6 +302,17 @@ def main():
                          "compacted march, hash grid 2^19 bf16, "
                          "ControlNet+UNet CFG)",
         "nerf_sds_triplane_steps_per_sec": round(1.0 / tdt, 2),
+        # hardware utilization (XLA cost_analysis FLOPs / measured step
+        # time / 197 TFLOP/s v5e bf16 peak) — None if the backend's cost
+        # model is unavailable
+        "flops_per_step": step_flops,
+        "mfu_pct": round(100.0 * mfu, 2) if mfu else None,
+        "stage1_hash_flops_per_step": nflops,
+        "stage1_hash_mfu_pct": round(
+            100.0 * nflops / ndt / V5E_PEAK_FLOPS, 2) if nflops else None,
+        "stage1_triplane_flops_per_step": tflops,
+        "stage1_triplane_mfu_pct": round(
+            100.0 * tflops / tdt / V5E_PEAK_FLOPS, 2) if tflops else None,
     }))
 
 
