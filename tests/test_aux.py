@@ -1,6 +1,7 @@
 """Tests for R-Precision, VPoser, PLY io, media io, semantics."""
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from dreamwaltz_g_tpu.human.vposer import (
@@ -331,6 +332,7 @@ class TestOverlay:
 
 
 class TestEvalRPrecisionScript:
+    @pytest.mark.slow  # 15 s CLI e2e; the metric math stays fast above
     def test_tiny_towers_end_to_end(self, tmp_path):
         """scripts/eval_r_precision.py — the paper's batch retrieval
         protocol (reference ships the tool unwired, utils/r_precision.py)."""

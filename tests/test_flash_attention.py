@@ -66,6 +66,7 @@ def test_attention_module_flash_parity():
     assert jnp.abs(out - ref).max() < 1e-4 * float(jnp.abs(ref).max())
 
 
+@pytest.mark.slow  # 16 s; DP path also exercised by the dryrun
 def test_flash_shard_map_dp_matches_einsum():
     """FLASH_SHARD (the DP mesh published by the trainer) wraps the kernel
     in shard_map with batch rows split over 'data'; values and gradients

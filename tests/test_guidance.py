@@ -698,6 +698,7 @@ class TestSampleImages:
                                       guidance_scale=7.5)
         assert float(jnp.abs(img2 - img).max()) > 1e-5
 
+    @pytest.mark.slow  # 24 s; plain text-to-image sampling stays fast
     def test_sampling_with_controlnet(self):
         from dreamwaltz_g_tpu import tests_support as ts
 
@@ -798,6 +799,7 @@ class TestDenoiseDriftDDIMvsDDPM:
             f"(rel={rel:.3f}) vs the stochastic-DDPM reference walk")
 
 
+@pytest.mark.slow  # 11 s; SDXL wiring also covered by test_sdxl_unet_and_guidance
 def test_sample_images_xl():
     """check_sd sampling through the SDXL stack (pooled embeds +
     add_time_ids ride the inherited DDIM walk)."""

@@ -360,6 +360,7 @@ def test_compact_samples_monotonic_across_gap():
     assert float(stride[0, 0]) == 1.0
 
 
+@pytest.mark.slow  # 42 s; the oversubscribed-compaction case stays fast
 def test_compaction_with_upsample_stays_sane(small_cfg):
     """compact_steps combined with upsample_steps (the trainer allows
     both): weights stay in [0, 1] and the result tracks the dense+upsample

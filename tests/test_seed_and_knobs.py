@@ -135,6 +135,8 @@ class TestInputInterpolate:
 
 
 class TestTrainerSeedsFromMesh(object):
+    @pytest.mark.slow  # 57 s: full vanilla Trainer compile; seeding
+    # math itself is covered by the fast TestGaussianSeeding cases
     def test_vanilla_trainer_without_nerf_ckpt(self, tmp_path):
         """Full Trainer smoke: gs_type=vanilla with no stage-1 checkpoint
         seeds gaussians from the (synthetic) body mesh per the
@@ -257,6 +259,7 @@ def test_trainer_triplane_avatar_stage2(tmp_path):
     assert np.abs(after - before).max() > 0.0
 
 
+@pytest.mark.slow  # 44 s; DP equivalence also exercised by the dryrun
 def test_evaluate_frame_dp_path(tmp_path):
     """With multiple devices and >= n_dev pending frames, eval goes through
     the frame-DP renderer (shard_map over the frame axis) — every frame
