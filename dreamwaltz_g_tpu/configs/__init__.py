@@ -89,6 +89,14 @@ class NeRFConfig:
     # grid backbones stay the reference-parity default
     triplane_resolution: int = 256
     triplane_dim: int = 32
+    # decoupled weight decay on the PLANE TABLES only (triplane backbone
+    # only; grids keep exact reference-parity optimization). Plane outer
+    # products hallucinate density in never-observed regions — measured in
+    # the round-5 backbone-quality run (PERF.md "Backbone quality"): at
+    # 9600 iters the undecayed field exported 20k floater points
+    # (cloud->mesh RMS 1.77); decay pulls unconstrained features to zero
+    # while observed-region gradients dominate it
+    triplane_weight_decay: float = 0.1
     grid_dtype: str = "f32"      # {'f32', 'bf16'} encoder-table gather dtype
     nerf_type: str = "rgb"       # {'rgb', 'latent'}
     structure: str = "shared_mlp"  # {'shared_mlp', 'dual_mlp', 'dual_enc'}

@@ -218,18 +218,27 @@ def build_nerf_optimizer(cfg: NeRFConfig, max_steps: int,
             )
         return label_fn
 
-    def opt(lr):
+    def opt(lr, weight_decay: float = 0.0):
         if use_adan:
             # reference: nerf_model.py:178 — Adan(eps=1e-8, weight_decay=2e-5,
             # max_grad_norm=5.0); the norm clip is applied globally across
             # all param groups (adan.py:109-128), so it is chained BEFORE
             # the per-group transforms rather than set per group.
             return adan(lr, eps=1e-8, weight_decay=2e-5)
+        if weight_decay > 0.0:
+            return optax.adamw(lr, b1=0.9, b2=0.99, eps=1e-15,
+                               weight_decay=weight_decay)
         return optax.adam(lr, b1=0.9, b2=0.99, eps=1e-15)
+
+    # plane-table decay (triplane only; see configs.NeRFConfig
+    # triplane_weight_decay — grid backbones keep reference parity)
+    enc_wd = cfg.triplane_weight_decay if cfg.backbone == "triplane" \
+        and getattr(cfg, "triplane_weight_decay", 0.0) else 0.0
 
     tx = optax.multi_transform(
         {
-            "encoder": opt(lambda s: sched(s) * cfg.encoder_lr_scale),
+            "encoder": opt(lambda s: sched(s) * cfg.encoder_lr_scale,
+                           weight_decay=enc_wd),
             "mlp": opt(sched),
             "bg": opt(bg_lr),
         },

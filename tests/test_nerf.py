@@ -500,6 +500,49 @@ def test_build_nerf_triplane_trains():
     assert float(jnp.abs(p2.encoder.planes - params.encoder.planes).max()) > 0
 
 
+def test_triplane_weight_decay_shrinks_unobserved_planes():
+    """``nerf.triplane_weight_decay`` decays plane features that receive no
+    gradient (the floater fix measured in PERF.md "Backbone quality" — plane
+    outer products hallucinate density in never-observed regions), while
+    grid backbones keep exact reference-parity optimization (no decay)."""
+    import optax
+
+    from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
+
+    cfg = NeRFConfig(backbone="triplane", triplane_resolution=16,
+                     triplane_dim=8, grid_size=16, bound=1.0)
+    assert cfg.triplane_weight_decay > 0  # shipped default is on
+    model = build_nerf(cfg, with_background=False)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = build_nerf_optimizer(cfg, max_steps=10)
+    opt_state = tx.init(params)
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p = params
+    for _ in range(3):
+        updates, opt_state = tx.update(zero_g, opt_state, p)
+        p = optax.apply_updates(p, updates)
+    before = float(jnp.abs(params.encoder.planes).mean())
+    after = float(jnp.abs(p.encoder.planes).mean())
+    assert after < before  # zero-gradient features decay toward zero
+    # the MLP group is NOT decayed (decay is plane-tables only)
+    w0 = jax.tree_util.tree_leaves(params.sigma_mlp)[0]
+    w1 = jax.tree_util.tree_leaves(p.sigma_mlp)[0]
+    np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+
+    # grid backbone: encoder group stays plain adam — zero grad, zero move
+    gcfg = NeRFConfig(num_levels=2, desired_resolution=32,
+                      log2_hashmap_size=8, grid_size=16, bound=1.0)
+    gmodel = build_nerf(gcfg, with_background=False)
+    gparams = gmodel.init(jax.random.PRNGKey(0))
+    gtx = build_nerf_optimizer(gcfg, max_steps=10)
+    gopt = gtx.init(gparams)
+    gz = jax.tree_util.tree_map(jnp.zeros_like, gparams)
+    gup, _ = gtx.update(gz, gopt, gparams)
+    gp2 = optax.apply_updates(gparams, gup)
+    np.testing.assert_array_equal(np.asarray(gparams.encoder.tables),
+                                  np.asarray(gp2.encoder.tables))
+
+
 def test_grid_encoder_bf16_close_to_f32():
     cfg32 = E.GridEncoderConfig(num_levels=4, base_resolution=4,
                                 desired_resolution=64, log2_hashmap_size=10)
