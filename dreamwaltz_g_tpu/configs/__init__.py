@@ -97,6 +97,13 @@ class NeRFConfig:
     # (cloud->mesh RMS 1.77); decay pulls unconstrained features to zero
     # while observed-region gradients dominate it
     triplane_weight_decay: float = 0.1
+    # Cauchy volume-sparsity prior at uniform random AABB points (triplane
+    # only; grids keep exact parity). Complements the weight decay: decay
+    # kills never-GRADIENT features, this kills 'ghost intersection'
+    # density at never-OBSERVED 3D points whose plane projections are each
+    # observed (losses.volume_sparsity_loss). Measured in the round-5
+    # backbone-quality run (PERF.md "Backbone quality").
+    triplane_volume_sparsity: float = 3e-3
     grid_dtype: str = "f32"      # {'f32', 'bf16'} encoder-table gather dtype
     nerf_type: str = "rgb"       # {'rgb', 'latent'}
     structure: str = "shared_mlp"  # {'shared_mlp', 'dual_mlp', 'dual_enc'}

@@ -25,11 +25,13 @@ from jax.sharding import PartitionSpec as P
 from ..gaussian.densify import reset_opt_slots
 from ..guidance.sds import GuidanceParams, ScoreDistillation
 from ..ops import rasterize as R
+from ..data.camera import get_rays
 from ..system.avatar import AvatarModel, animate, update_avatar_stats
 from ..training.gs_trainer import AvatarTrainState, _render_with_dummy
 from ..training.losses import (
     sigma_margin_loss,
     sparsity_loss,
+    volume_sparsity_loss,
 )
 from ..training.nerf_trainer import NeRFTrainState, _render_image
 from .mesh import DATA_AXIS, make_mesh
@@ -237,10 +239,10 @@ def make_nerf_sds_step_dp(
              use_sigma: bool):
 
         def one_view_loss(params, c2w, intr, bg, txt, unc, t1, key, cond):
-            k_render, k_sds = jax.random.split(
+            k_render, k_sds, k_vs = jax.random.split(
                 jax.random.wrap_key_data(key) if key.dtype == jnp.uint32
-                else key)
-            img, _, wsum = _render_image(
+                else key, 3)
+            img, ren_depth, wsum = _render_image(
                 model, params, grid, c2w, intr, H, W, k_render, num_steps,
                 bg, bg_mode=bg_mode, ray_chunk=ray_chunk,
                 min_near=min_near, upsample_steps=upsample,
@@ -260,6 +262,19 @@ def make_nerf_sds_step_dp(
             loss = lambda_guidance * sds["loss"]
             loss = loss + sparsity_loss(wsum.reshape(-1), nerf_cfg,
                                         state.step, max_iteration)
+            vs_weight = nerf_cfg.triplane_volume_sparsity \
+                if getattr(nerf_cfg, "backbone", "") == "triplane" else 0.0
+            if vs_weight > 0.0:
+                # triplane ghost-intersection stabilizer — mirrors the
+                # single-chip step exactly (same key order) so the DP
+                # step keeps its numeric-equivalence guarantee
+                rays_o, rays_d = get_rays(c2w[None], intr[None], H, W)
+                surf = rays_o[0] + rays_d[0] \
+                    * jax.lax.stop_gradient(ren_depth).reshape(-1, 1)
+                loss = loss + vs_weight * volume_sparsity_loss(
+                    model, params, k_vs, surface_points=surf,
+                    surface_valid=jax.lax.stop_gradient(wsum).reshape(-1)
+                    > 0.5)
             return loss
 
         def loss_fn(params):

@@ -25,7 +25,8 @@ from ..nerf.renderer import (
     render_rays,
     update_occupancy,
 )
-from .losses import SigmaGuidancePoints, sigma_margin_loss, sparsity_loss
+from .losses import (SigmaGuidancePoints, sigma_margin_loss, sparsity_loss,
+                     volume_sparsity_loss)
 
 
 class NeRFTrainState(NamedTuple):
@@ -116,13 +117,28 @@ def make_pretrain_step(
     (reference: pretrain_forward, trainer.py:1242-1279: loss =
     MSE(weights_sum, mask) + MSE(depth, smpl depth) on mask)."""
 
+    # triplane-only stabilizer (grids keep exact reference parity); see
+    # losses.volume_sparsity_loss for the ghost-intersection rationale
+    vs_weight = model.cfg.triplane_volume_sparsity \
+        if model.cfg.backbone == "triplane" else 0.0
+
     @jax.jit
     def step(state: NeRFTrainState, grid: OccupancyGrid,
              cam_c2w, cam_intr, gt_depth, gt_mask, key):
+        k_render, k_vs = jax.random.split(key)
+
+        if vs_weight > 0.0:
+            # GT surface points (backprojected depth) seed the stabilizer's
+            # shadow samples — the loci where triplane ghosts can exist
+            rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None],
+                                      image_height, image_width)
+            surf = rays_o[0] + rays_d[0] * gt_depth.reshape(-1, 1)
+            surf_valid = gt_mask.reshape(-1)
+
         def loss_fn(params):
             _, depth, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
-                image_height, image_width, key, num_steps,
+                image_height, image_width, k_render, num_steps,
                 jnp.zeros(model.color_channels),
                 compact_steps=compact_steps)
             m = gt_mask.astype(jnp.float32)
@@ -130,6 +146,10 @@ def make_pretrain_step(
             depth_loss = jnp.sum(m * (depth - gt_depth) ** 2) \
                 / jnp.maximum(jnp.sum(m), 1.0)
             loss = lambda_mask * mask_loss + lambda_depth * depth_loss
+            if vs_weight > 0.0:
+                loss = loss + vs_weight * volume_sparsity_loss(
+                    model, params, k_vs, surface_points=surf,
+                    surface_valid=surf_valid)
             return loss, {"mask_loss": mask_loss, "depth_loss": depth_loss}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -184,10 +204,10 @@ def make_nerf_sds_step(
              cond_image=None, guidance_scale=None, progress=None,
              sigma_pts: Optional[SigmaGuidancePoints] = None,
              use_sigma: bool = False):
-        k_render, k_sds = jax.random.split(key)
+        k_render, k_sds, k_vs = jax.random.split(key, 3)
 
         def loss_fn(params):
-            img, _, wsum = _render_image(
+            img, ren_depth, wsum = _render_image(
                 model, params, grid, cam_c2w, cam_intr,
                 image_height, image_width, k_render, num_steps, bg_color,
                 bg_mode=bg_mode, ray_chunk=ray_chunk,
@@ -214,6 +234,20 @@ def make_nerf_sds_step(
                                max_iteration)
             loss = loss + sp
             metrics["sparsity_loss"] = sp
+            vs_weight = nerf_cfg.triplane_volume_sparsity \
+                if getattr(nerf_cfg, "backbone", "") == "triplane" else 0.0
+            if vs_weight > 0.0:
+                # triplane ghost-intersection stabilizer (grids: parity);
+                # the RENDERED depth is the current surface estimate whose
+                # axis shadows seed the targeted samples
+                rays_o, rays_d = get_rays(cam_c2w[None], cam_intr[None],
+                                          image_height, image_width)
+                surf = rays_o[0] + rays_d[0] \
+                    * jax.lax.stop_gradient(ren_depth).reshape(-1, 1)
+                loss = loss + vs_weight * volume_sparsity_loss(
+                    model, params, k_vs, surface_points=surf,
+                    surface_valid=jax.lax.stop_gradient(wsum).reshape(-1)
+                    > 0.5)
             if use_sigma and sigma_pts is not None:
                 sg = sigma_margin_loss(model, params, sigma_pts,
                                        peak=sigma_peak,

@@ -288,7 +288,7 @@ def test_avatar_dp_step_equals_single_view_step():
 
 
 class TestNeRFDP:
-    def _setup(self):
+    def _setup(self, **cfg_kw):
         from dreamwaltz_g_tpu.configs import NeRFConfig
         from dreamwaltz_g_tpu.nerf.network import build_nerf
         from dreamwaltz_g_tpu.nerf.renderer import init_occupancy
@@ -298,7 +298,7 @@ class TestNeRFDP:
         cfg = NeRFConfig(num_levels=2, level_dim=2, base_resolution=4,
                          desired_resolution=16, log2_hashmap_size=8,
                          grid_size=16, num_steps=16, bound=1.0,
-                         compact_steps=0, max_ray_batch=0)
+                         compact_steps=0, max_ray_batch=0, **cfg_kw)
         model = build_nerf(cfg, with_background=False)
         tx = build_nerf_optimizer(cfg, max_steps=100)
         state = init_train_state(model, tx, jax.random.PRNGKey(0))
@@ -347,15 +347,37 @@ class TestNeRFDP:
         between the two compiled programs to percent level. Tolerances
         target the failure this test exists for — a wrong psum/mean shifts
         gradients ~8x — not bit-exactness across XLA fusions."""
-        from dreamwaltz_g_tpu.parallel.dp import make_nerf_sds_step_dp
-        from dreamwaltz_g_tpu.training.nerf_trainer import make_nerf_sds_step
-
-        cfg, model, tx, state, grid, guidance, gparams = self._setup()
+        setup = self._setup()
+        state = setup[3]
         big = jax.random.uniform(jax.random.PRNGKey(9),
                                  state.params.encoder.tables.shape,
                                  minval=-2.0, maxval=2.0)
         state = state._replace(params=state.params._replace(
             encoder=state.params.encoder._replace(tables=big)))
+        self._assert_dp_equals_single(setup[:3] + (state,) + setup[4:])
+
+    def test_nerf_dp_triplane_volume_sparsity_equals_single(self):
+        """Triplane + the ghost stabilizer ACTIVE: the volume-sparsity term
+        (losses.volume_sparsity_loss) splits the per-view key in the same
+        order as the single-chip step (k_render, k_sds, k_vs), so the
+        8-identical-view DP step must still equal the B=1 step with the
+        round-5 stabilizer in the loss."""
+        setup = self._setup(backbone="triplane", triplane_resolution=8,
+                            triplane_dim=4)
+        cfg, state = setup[0], setup[3]
+        assert cfg.triplane_volume_sparsity > 0  # on by default
+        big = jax.random.uniform(jax.random.PRNGKey(9),
+                                 state.params.encoder.planes.shape,
+                                 minval=-2.0, maxval=2.0)
+        state = state._replace(params=state.params._replace(
+            encoder=state.params.encoder._replace(planes=big)))
+        self._assert_dp_equals_single(setup[:3] + (state,) + setup[4:])
+
+    def _assert_dp_equals_single(self, setup):
+        from dreamwaltz_g_tpu.parallel.dp import make_nerf_sds_step_dp
+        from dreamwaltz_g_tpu.training.nerf_trainer import make_nerf_sds_step
+
+        cfg, model, tx, state, grid, guidance, gparams = setup
         mesh = make_mesh(dp=8)
         B = 8
         H = W = 16
@@ -394,11 +416,11 @@ class TestNeRFDP:
                                    rtol=1e-4)
         # adam normalizes updates to ~lr, so a wrong mean would displace
         # params by O(lr)=1e-2; compiled-program noise stays ~1e-6
-        np.testing.assert_allclose(np.asarray(dp.params.encoder.tables),
-                                   np.asarray(ref.params.encoder.tables),
-                                   atol=1e-4)
-        for a, b in zip(jax.tree_util.tree_leaves(dp.params.sigma_mlp),
-                        jax.tree_util.tree_leaves(ref.params.sigma_mlp)):
+        for a, b in zip(
+                jax.tree_util.tree_leaves((dp.params.encoder,
+                                           dp.params.sigma_mlp)),
+                jax.tree_util.tree_leaves((ref.params.encoder,
+                                           ref.params.sigma_mlp))):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4)
 
