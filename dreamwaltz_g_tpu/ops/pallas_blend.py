@@ -632,12 +632,17 @@ def blend_tiles_pallas_train(
     triu = jnp.triu(jnp.ones((C, C), vdt), k=1)
     tril = jnp.tril(jnp.ones((C, C), jnp.float32), k=-1)
 
+    # ``tile_counts`` is a formal custom_vjp argument (not a closure):
+    # under vmap (the DP step maps views) a closed-over traced value
+    # would leak a BatchTracer into the backward trace, which runs after
+    # the vmap trace is closed (UnexpectedTracerError — caught by the
+    # round-5 multi-view profiler on the chip).
     @jax.custom_vjp
-    def panels_blend(g_attrs, g_vals):
-        out, _ = _fwd_impl(g_attrs, g_vals)
+    def panels_blend(tile_counts, g_attrs, g_vals):
+        out, _ = _fwd_impl(tile_counts, g_attrs, g_vals)
         return out
 
-    def _fwd_impl(g_attrs, g_vals):
+    def _fwd_impl(tile_counts, g_attrs, g_vals):
         kernel = _make_fwd_train_kernel(tile_size, Tx, C, alpha_clip,
                                         min_alpha, bf16=bf16)
         out, ckpt = pl.pallas_call(
@@ -671,12 +676,12 @@ def blend_tiles_pallas_train(
         )(tile_counts, triu, g_attrs, g_vals)
         return out, ckpt
 
-    def fwd(g_attrs, g_vals):
-        out, ckpt = _fwd_impl(g_attrs, g_vals)
-        return out, (g_attrs, g_vals, ckpt)
+    def fwd(tile_counts, g_attrs, g_vals):
+        out, ckpt = _fwd_impl(tile_counts, g_attrs, g_vals)
+        return out, (tile_counts, g_attrs, g_vals, ckpt)
 
     def bwd(res, g_out):
-        g_attrs, g_vals, ckpt = res
+        tile_counts, g_attrs, g_vals, ckpt = res
         kernel = _make_bwd_train_kernel(tile_size, Tx, C, alpha_clip,
                                         min_alpha, bf16=bf16)
         rev = lambda t, k: (t, 0, n_chunks - 1 - k)  # noqa: E731
@@ -708,10 +713,12 @@ def blend_tiles_pallas_train(
             scratch_shapes=[pltpu.VMEM((P, 8), jnp.float32)],
             interpret=interpret,
         )(tile_counts, tril, triu, g_attrs, g_vals, ckpt, g_out)
-        return d_attrs, d_vals
+        # integer primal -> float0 zero cotangent
+        ct_counts = np.zeros(np.shape(tile_counts), dtype=jax.dtypes.float0)
+        return ct_counts, d_attrs, d_vals
 
     panels_blend.defvjp(fwd, bwd)
-    out = panels_blend(g_attrs, g_vals)
+    out = panels_blend(tile_counts, g_attrs, g_vals)
 
     img = out[..., :CV].reshape(Ty, Tx, tile_size, tile_size, CV)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

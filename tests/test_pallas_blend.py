@@ -124,6 +124,53 @@ def test_pallas_train_blend_matches_jnp_gradients():
         rtol=2e-3, atol=2e-4, err_msg="grad mismatch: values")
 
 
+def test_pallas_train_blend_grad_under_vmap():
+    """Regression (round-5 multi-view profiler, caught on the chip): the
+    train blend's custom_vjp bwd closed over ``tile_counts`` — under vmap
+    (the DP step maps views, parallel/dp.py loss_fn) the closed-over
+    BatchTracer escaped into the backward trace once the vmap trace was
+    closed (UnexpectedTracerError). ``tile_counts`` must thread through the
+    custom_vjp residuals, so grad-of-vmapped-blend must trace and match
+    the per-view gradients."""
+    from dreamwaltz_g_tpu.ops.pallas_blend import blend_tiles_pallas_train
+
+    H = W = 32
+    scenes = [_scene(120, H, W, seed=s) for s in (3, 4)]
+    binned = [R.bin_gaussians(g.means2d, g.radius, g.depth, g.mask,
+                              H, W, 16, 64) for g in scenes]
+    tile_lists = jnp.stack([b[0] for b in binned])
+    tile_counts = jnp.stack([b[1] for b in binned])
+    means2d = jnp.stack([g.means2d for g in scenes])
+    conic = jnp.stack([g.conic for g in scenes])
+    op = jnp.stack([g.opacity * g.mask.astype(jnp.float32) for g in scenes])
+    values = jnp.stack([jnp.concatenate(
+        [g.colors, g.depth[:, None], jnp.ones((g.colors.shape[0], 1))],
+        axis=-1) for g in scenes])
+
+    def one_view(tl, tc, m2d, con, o, vals):
+        out = blend_tiles_pallas_train(
+            tl, tc, m2d, con, o, vals, H, W,
+            tile_size=16, chunk=32, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def batched_loss(m2d, con, o, vals):
+        return jnp.mean(jax.vmap(one_view)(
+            tile_lists, tile_counts, m2d, con, o, vals))
+
+    # pre-fix this raises UnexpectedTracerError at trace time
+    gb = jax.grad(batched_loss, argnums=(0, 1, 2, 3))(
+        means2d, conic, op, values)
+    for i in range(2):
+        gi = jax.grad(one_view, argnums=(2, 3, 4, 5))(
+            tile_lists[i], tile_counts[i], means2d[i], conic[i],
+            op[i], values[i])
+        for a, b, name in zip(gb, gi,
+                              ("means2d", "conic", "opacity", "values")):
+            np.testing.assert_allclose(
+                np.asarray(a[i]), np.asarray(b) / 2.0, rtol=1e-4, atol=1e-6,
+                err_msg=f"vmapped grad mismatch view {i}: {name}")
+
+
 @pytest.mark.slow
 def test_pallas_train_blend_bf16_panels_gradients():
     """panel_dtype='bf16' (VERDICT r3 #10): values panel + MXU operands in
