@@ -69,51 +69,51 @@ def main():
         print(json.dumps(r), flush=True)
 
     if args.compile:
-        from dreamwaltz_g_tpu import tests_support as ts
-        from dreamwaltz_g_tpu.configs import RenderConfig
-        from dreamwaltz_g_tpu.data.camera import make_camera_batch
-        from dreamwaltz_g_tpu.parallel.dp import make_avatar_sds_step_dp
+        # Compile the guidance CFG forward (the weights ARE the story —
+        # the avatar/render half of the step is replicated identically in
+        # both meshes) and report XLA's memory_analysis() per-device bytes
         from dreamwaltz_g_tpu.parallel.tp import guidance_shardings
-        from dreamwaltz_g_tpu.training.gs_trainer import (
-            init_avatar_train_state,
-        )
-        from dreamwaltz_g_tpu.training.optim import build_avatar_optimizer
 
-        H = W = 64  # tiny spatial size: the WEIGHT placement is the story
-        setup = ts.tiny_avatar_setup(capacity=512, n_points=256)
-        tx = build_avatar_optimizer(RenderConfig(), max_steps=100)
-        for name, mesh, gsh in (
-            ("dp8", Mesh(devs.reshape(8), ("data",)), None),
-            ("dp4xtp2", Mesh(devs.reshape(4, 2), ("data", "model")),
-             "tp"),
+        def cfg_forward(gp, lat, txt, t):
+            eps = guidance.unet.apply(
+                gp.unet, jnp.concatenate([lat, lat], 0),
+                jnp.concatenate([t, t], 0),
+                jnp.concatenate([txt, txt], 0))
+            return eps
+
+        for name, mesh in (
+            ("dp8", Mesh(devs.reshape(8), ("data",))),
+            ("dp4xtp2", Mesh(devs.reshape(4, 2), ("data", "model"))),
         ):
             B = mesh.shape["data"]
-            gs = None if gsh is None else guidance_shardings(gparams, mesh)
-            gp = gparams if gsh is None else jax.device_put(
-                gparams, guidance_shardings(gparams, mesh))
-            step = make_avatar_sds_step_dp(
-                setup.model, guidance, tx, mesh, H, W, tile_size=16,
-                capacity=128, chunk=64, gparams_shardings=gs)
-            # reach the underlying jitted step through one traced call
-            tstate = init_avatar_train_state(setup.state, tx)
-            cam = make_camera_batch(np.full(B, 2.5, np.float32),
-                                    np.zeros(B, np.float32),
-                                    np.full(B, 80.0, np.float32),
-                                    np.full(B, 50.0, np.float32), H, W)
+            rep = NamedSharding(mesh, P())
+            shd = NamedSharding(mesh, P("data"))
+            gsh = guidance_shardings(gparams, mesh) \
+                if "model" in mesh.shape else jax.tree_util.tree_map(
+                    lambda _: rep, gparams)
+            jf = jax.jit(cfg_forward, in_shardings=(gsh, shd, shd, shd))
+            lat = jnp.zeros((B, 64, 64, 4), jnp.bfloat16)
             txt = jnp.zeros((B, 77, 768), jnp.bfloat16)
-            keys = jnp.broadcast_to(
-                jax.random.key_data(jax.random.PRNGKey(0)), (B, 2))
-            with mesh:
-                _, m = step(tstate, gp, setup.observed, cam.extrinsic,
-                            cam.intrinsics, cam.tanfov,
-                            jnp.zeros((B, H, W, 3)), txt, txt,
-                            jnp.full((B,), 500, jnp.int32), keys,
-                            cond_image=jnp.tile(
-                                jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
-                                (B, 1, 1, 1)))
-            jax.block_until_ready(m["loss"])
-            print(json.dumps({"mesh": name, "compiled": True,
-                              "loss": float(m["loss"])}), flush=True)
+            tt = jnp.full((B,), 500, jnp.int32)
+            try:
+                comp = jf.lower(gparams, lat, txt, tt).compile()
+                ma = comp.memory_analysis()
+                row = {"mesh": name, "compiled": True}
+                for attr in ("argument_size_in_bytes",
+                             "output_size_in_bytes",
+                             "temp_size_in_bytes",
+                             "generated_code_size_in_bytes"):
+                    v = getattr(ma, attr, None)
+                    if v is not None:
+                        row[attr] = int(v)
+                tot = sum(row.get(a, 0) for a in
+                          ("argument_size_in_bytes", "temp_size_in_bytes",
+                           "output_size_in_bytes"))
+                row["peak_gib_per_device"] = round(tot / 2**30, 3)
+                print(json.dumps(row), flush=True)
+            except Exception as e:
+                print(json.dumps({"mesh": name, "compiled": False,
+                                  "error": repr(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
