@@ -283,7 +283,7 @@ def main():
 
     # parity hash-grid backbone with occupied-sample compaction + bf16
     # table gathers (round-2 baseline, dense f32: 0.15 it/s)
-    ndt, nflops = bench_stage1(NeRFConfig(grid_dtype="bf16"))
+    ndt, nflops = bench_stage1(NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"))
     # TPU-first factorized-plane backbone (12 gathered rows/sample vs the
     # grid's 128 — see nerf/encoder.py TriplaneConfig)
     tdt, tflops = bench_stage1(NeRFConfig(backbone="triplane"))

@@ -83,10 +83,17 @@ class NeRFConfig:
     bound: float = 2.0
     min_near: float = 0.1
 
-    backbone: str = "tiledgrid"  # {'tiledgrid', 'hashgrid', 'triplane'}
+    backbone: str = "triplane"  # {'tiledgrid', 'hashgrid', 'triplane'}
     # 'triplane': TPU-first factorized plane encoding (12 gathered rows per
-    # sample vs the grid's 128 — see nerf/encoder.py TriplaneConfig); the
-    # grid backbones stay the reference-parity default
+    # sample vs the grid's 128 — see nerf/encoder.py TriplaneConfig).
+    # PROMOTED to the shipped default in round 5 on recorded evidence
+    # (PERF.md "Backbone quality"): held-out mask/depth MSE at parity with
+    # the 2^19 hash grid at equal wall-clock, exported-cloud geometry at
+    # parity through the shipped export filter, and 16x faster per
+    # iteration — the only configuration meeting the <1h v5e-8 two-stage
+    # target (PERF.md wall-clock table). `--nerf.backbone tiledgrid`
+    # restores the reference's exact field layout (parity opt-in; grid
+    # backbones keep exact reference-parity optimization).
     triplane_resolution: int = 256
     triplane_dim: int = 32
     # decoupled weight decay on the PLANE TABLES only (triplane backbone
@@ -104,6 +111,13 @@ class NeRFConfig:
     # observed (losses.volume_sparsity_loss). Measured in the round-5
     # backbone-quality run (PERF.md "Backbone quality").
     triplane_volume_sparsity: float = 3e-3
+    # stage-1 -> stage-2 point-cloud export: drop dense voxels with fewer
+    # than this many dense 3x3x3 neighbors (isolated-island statistical
+    # outlier rejection, nerf/export.py:filter_isolated_cells). 0 = the
+    # reference's unfiltered export. Applies to every backbone; it is what
+    # closes the triplane ghost-point gap in the round-5 backbone-quality
+    # run (PERF.md), and is a no-op on a clean hash-grid field.
+    export_min_neighbors: int = 2
     grid_dtype: str = "f32"      # {'f32', 'bf16'} encoder-table gather dtype
     nerf_type: str = "rgb"       # {'rgb', 'latent'}
     structure: str = "shared_mlp"  # {'shared_mlp', 'dual_mlp', 'dual_enc'}

@@ -109,6 +109,12 @@ def init_grid_encoder(cfg: GridEncoderConfig, key, scale: float = 1e-4) -> GridE
 def tables_from_flat(cfg: GridEncoderConfig, flat: np.ndarray) -> GridEncoderParams:
     """Convert a reference checkpoint's flat (sum_T, F) embedding array
     (grid.py offsets layout) into the padded (L, T_max, F) stack."""
+    if not isinstance(cfg, GridEncoderConfig):
+        raise ValueError(
+            "reference checkpoints store hash-grid embedding tables "
+            "(gridencoder/grid.py layout); the current field backbone is "
+            f"{type(cfg).__name__}. Load them with --nerf.backbone "
+            "tiledgrid (the reference-parity field layout).")
     out = np.zeros((cfg.num_levels, cfg.max_table_size, cfg.level_dim), np.float32)
     off = 0
     for l in range(cfg.num_levels):

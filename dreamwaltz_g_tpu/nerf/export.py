@@ -28,6 +28,35 @@ LATENT_TO_RGB = np.asarray([
 ], np.float32)
 
 
+def filter_isolated_cells(mask: np.ndarray, min_neighbors: int) -> np.ndarray:
+    """Drop dense voxels with fewer than ``min_neighbors`` dense cells in
+    their 3x3x3 neighborhood (the cell itself excluded).
+
+    Statistical-outlier rejection for the grid-sampled cloud: a real body
+    surface is a connected shell of mutually-adjacent dense cells, while a
+    floater/ghost artifact is a 1-2 cell island (measured in the round-5
+    backbone-quality run: 11/825 exported points were isolated islands
+    carrying the entire 20x cloud->mesh RMS gap — PERF.md "Backbone
+    quality"). The reference has no such filter (its hash grid does not
+    hallucinate isolated cells); this is the voxel-grid analog of the
+    kNN statistical-outlier removal every 3DGS seeding pipeline applies.
+    """
+    if min_neighbors <= 0:
+        return mask
+    m = mask.astype(np.int8)
+    p = np.pad(m, 1)
+    r0, r1, r2 = mask.shape
+    cnt = np.zeros(mask.shape, np.int8)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                if dx == dy == dz == 0:
+                    continue
+                cnt += p[1 + dx:1 + dx + r0, 1 + dy:1 + dy + r1,
+                         1 + dz:1 + dz + r2]
+    return mask & (cnt >= min_neighbors)
+
+
 def export_point_cloud(
     model: NeRFModel,
     params: NeRFParams,
@@ -39,6 +68,7 @@ def export_point_cloud(
     bbox_max: Optional[np.ndarray] = None,
     chunk: int = 256 ** 2,
     key: Optional[jax.Array] = None,
+    min_neighbors: int = 0,
 ) -> BasicPointCloud:
     """Query sigma/albedo on a resolution³ grid and keep dense cells.
 
@@ -46,6 +76,9 @@ def export_point_cloud(
         bbox_min/bbox_max: optional (3,) box whose interior points are
             removed (reference bbox removal, to_point_cloud.py:85-104).
         max_points: optional random subsample of the kept points.
+        min_neighbors: if >0, drop dense cells with fewer than this many
+            dense 3x3x3 neighbors (see filter_isolated_cells; 0 = the
+            reference's unfiltered behavior).
     """
     bound = bound or model.bound
     r = resolution
@@ -74,7 +107,7 @@ def export_point_cloud(
         sigmas[:, :, iz] = np.asarray(s).reshape(r, r).T
         colors[:, :, iz] = np.asarray(a).reshape(r, r, -1).transpose(1, 0, 2)
 
-    mask = sigmas > density_thresh
+    mask = filter_isolated_cells(sigmas > density_thresh, min_neighbors)
     ix, iy, iz = np.nonzero(mask)
     pts = np.stack([xs[ix], xs[iy], xs[iz]], -1)
     cols = colors[ix, iy, iz]

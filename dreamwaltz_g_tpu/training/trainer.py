@@ -845,7 +845,8 @@ class Trainer:
             pc = export_point_cloud(nerf, nerf_params,
                                     resolution=cfg.render.nerf_resolution,
                                     density_thresh=cfg.nerf.density_thresh,
-                                    max_points=cfg.render.n_gaussians)
+                                    max_points=cfg.render.n_gaussians,
+                                    min_neighbors=cfg.nerf.export_min_neighbors)
             if cfg.render.nerf_exclusion_bboxes is not None:
                 import ast
 
@@ -967,7 +968,8 @@ class Trainer:
             pc = export_point_cloud(nerf, nerf_params,
                                     resolution=cfg.render.nerf_resolution,
                                     density_thresh=cfg.nerf.density_thresh,
-                                    max_points=cfg.render.n_gaussians)
+                                    max_points=cfg.render.n_gaussians,
+                                    min_neighbors=cfg.nerf.export_min_neighbors)
             if cfg.render.nerf_exclusion_bboxes is not None:
                 import ast
 

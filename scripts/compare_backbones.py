@@ -270,9 +270,12 @@ def main():
         dmse = [float(x) for x in np.asarray(dloss)]
 
         # geometry: exported cloud vs the SMPL-X mesh
+        # scored through the SHIPPED stage-1->stage-2 export path, incl.
+        # the isolated-cell outlier filter both trainer call sites apply
         pc = export_point_cloud(nerf, state.params, resolution=96,
                                 density_thresh=ncfg.density_thresh,
-                                max_points=20000)
+                                max_points=20000,
+                                min_neighbors=ncfg.export_min_neighbors)
         cloud = jnp.asarray(pc.points)
         acc = float("nan")
         cov = float("nan")
@@ -293,7 +296,7 @@ def main():
         return row
 
     specs = {
-        "hash": ("hash_2^19_bf16", NeRFConfig(grid_dtype="bf16")),
+        "hash": ("hash_2^19_bf16", NeRFConfig(backbone="tiledgrid", grid_dtype="bf16")),
         "triplane": ("triplane", NeRFConfig(backbone="triplane")),
     }
     wanted = ["hash", "triplane"] if args.backbone == "both" \

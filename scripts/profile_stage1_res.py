@@ -95,21 +95,21 @@ def main():
 
     rows = [
         ("triplane 256^2", NeRFConfig(backbone="triplane"), 256, 8),
-        ("hash+compact bf16 256^2", NeRFConfig(grid_dtype="bf16"), 256, 3),
+        ("hash+compact bf16 256^2", NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"), 256, 3),
     ]
     if "--512" in sys.argv:
         # the two-stage wall-clock table's last extrapolated cell
         # (PERF.md: hash @512² was scaled from the 256² render share)
         rows = [
             ("triplane 512^2", NeRFConfig(backbone="triplane"), 512, 5),
-            ("hash+compact bf16 512^2", NeRFConfig(grid_dtype="bf16"), 512, 2),
+            ("hash+compact bf16 512^2", NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"), 512, 2),
         ]
     if "--small" in sys.argv:
         # hash rows at 64^2/128^2 — re-measured after the 2^19 capacity fix
         # (the r3 cells were 2^16); REPLACES the default rows like --512
         rows = [
-            ("hash+compact bf16 64^2", NeRFConfig(grid_dtype="bf16"), 64, 5),
-            ("hash+compact bf16 128^2", NeRFConfig(grid_dtype="bf16"), 128, 4),
+            ("hash+compact bf16 64^2", NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"), 64, 5),
+            ("hash+compact bf16 128^2", NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"), 128, 4),
         ]
     for name, ncfg, H, n in rows:
         dt = bench_stage1(ncfg, H, n_iters=n)

@@ -80,9 +80,9 @@ def main():
 
     # the shipped default: tiledgrid 16L/2^19, bf16 table gathers
     run("hash_tiledgrid_2^19_bf16",
-        NeRFConfig(grid_dtype="bf16"))
+        NeRFConfig(backbone="tiledgrid", grid_dtype="bf16"))
     if args.f32_table:
-        run("hash_tiledgrid_2^19_f32", NeRFConfig())
+        run("hash_tiledgrid_2^19_f32", NeRFConfig(backbone="tiledgrid"))
 
 
 if __name__ == "__main__":

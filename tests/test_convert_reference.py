@@ -25,9 +25,18 @@ def _mlp_sd(prefix, dims, rng):
 
 
 class TestNeRFConversion:
+    def test_triplane_backbone_rejected_with_hint(self):
+        # reference checkpoints carry hash-grid tables; loading them under
+        # the triplane default must fail with the --nerf.backbone hint,
+        # not an AttributeError deep in the layout math
+        from dreamwaltz_g_tpu.nerf.encoder import tables_from_flat
+        model = build_nerf(NeRFConfig(backbone="triplane"))
+        with pytest.raises(ValueError, match="tiledgrid"):
+            tables_from_flat(model.enc_cfg, np.zeros((16, 2), np.float32))
+
     def test_roundtrip_forward(self):
         rng = np.random.default_rng(0)
-        cfg = NeRFConfig(num_levels=4, level_dim=2, base_resolution=4,
+        cfg = NeRFConfig(backbone="tiledgrid", num_levels=4, level_dim=2, base_resolution=4,
                          desired_resolution=32, log2_hashmap_size=8,
                          bound=1.0)
         model = build_nerf(cfg)
@@ -203,7 +212,7 @@ class TestTorchPthRoundTrip:
         from dreamwaltz_g_tpu.convert_reference import load_torch_checkpoint
 
         rng = np.random.default_rng(4)
-        cfg = NeRFConfig(num_levels=4, level_dim=2, base_resolution=4,
+        cfg = NeRFConfig(backbone="tiledgrid", num_levels=4, level_dim=2, base_resolution=4,
                          desired_resolution=32, log2_hashmap_size=8,
                          bound=1.0)
         model = build_nerf(cfg)

@@ -24,7 +24,7 @@ pytestmark = pytest.mark.slow
 
 
 def _tiny_setup(lock_geo=False):
-    ncfg = NeRFConfig(num_levels=2, desired_resolution=32,
+    ncfg = NeRFConfig(backbone="tiledgrid", num_levels=2, desired_resolution=32,
                       log2_hashmap_size=8, bound=1.0, lock_geo=lock_geo)
     nerf = build_nerf(ncfg, with_background=False)
     params = nerf.init(jax.random.PRNGKey(0))
@@ -119,7 +119,7 @@ def test_dmtet_regularizers():
 
 
 def test_dmtet_init_from_nerf_clamps_and_prunes():
-    ncfg = NeRFConfig(num_levels=2, desired_resolution=32,
+    ncfg = NeRFConfig(backbone="tiledgrid", num_levels=2, desired_resolution=32,
                       log2_hashmap_size=8, bound=1.0,
                       density_prior="gaussian")
     nerf = build_nerf(ncfg, with_background=False)

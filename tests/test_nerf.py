@@ -11,7 +11,7 @@ from dreamwaltz_g_tpu.nerf.network import build_nerf, trunc_exp
 
 @pytest.fixture(scope="module")
 def small_cfg():
-    return NeRFConfig(num_levels=4, level_dim=2, base_resolution=4,
+    return NeRFConfig(backbone="tiledgrid", num_levels=4, level_dim=2, base_resolution=4,
                       desired_resolution=32, log2_hashmap_size=8,
                       grid_size=32, num_steps=32, bound=1.0)
 
@@ -530,7 +530,7 @@ def test_triplane_weight_decay_shrinks_unobserved_planes():
     np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
 
     # grid backbone: encoder group stays plain adam — zero grad, zero move
-    gcfg = NeRFConfig(num_levels=2, desired_resolution=32,
+    gcfg = NeRFConfig(backbone="tiledgrid", num_levels=2, desired_resolution=32,
                       log2_hashmap_size=8, grid_size=16, bound=1.0)
     gmodel = build_nerf(gcfg, with_background=False)
     gparams = gmodel.init(jax.random.PRNGKey(0))
@@ -581,7 +581,7 @@ def test_triplane_volume_sparsity_suppresses_ghost_density():
     # grid backbone: step output identical whether the knob is 0 or set
     # (the term is gated on backbone == 'triplane')
     def run_step(vs):
-        gcfg = NeRFConfig(num_levels=2, desired_resolution=32,
+        gcfg = NeRFConfig(backbone="tiledgrid", num_levels=2, desired_resolution=32,
                           log2_hashmap_size=8, grid_size=16, bound=1.0,
                           triplane_volume_sparsity=vs)
         gmodel = build_nerf(gcfg, with_background=False)

@@ -295,7 +295,7 @@ class TestNeRFDP:
         from dreamwaltz_g_tpu.training.nerf_trainer import init_train_state
         from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
 
-        cfg = NeRFConfig(num_levels=2, level_dim=2, base_resolution=4,
+        cfg = NeRFConfig(backbone="tiledgrid", num_levels=2, level_dim=2, base_resolution=4,
                          desired_resolution=16, log2_hashmap_size=8,
                          grid_size=16, num_steps=16, bound=1.0,
                          compact_steps=0, max_ray_batch=0, **cfg_kw)

@@ -81,6 +81,30 @@ class TestExclusionBboxes:
                                       np.asarray([[9, 9, 9]], np.float32))
 
 
+class TestIsolatedCellFilter:
+    def test_islands_dropped_shell_kept(self):
+        from dreamwaltz_g_tpu.nerf.export import filter_isolated_cells
+        mask = np.zeros((16, 16, 16), bool)
+        mask[4:10, 4:10, 4:10] = True       # a solid blob (the body)
+        mask[0, 0, 0] = True                # 1-cell ghost island
+        mask[14, 14, 14] = True             # 2-cell ghost island
+        mask[14, 15, 14] = True             # (each has exactly 1 neighbor)
+        out = filter_isolated_cells(mask, min_neighbors=2)
+        assert not out[0, 0, 0] and not out[14, 14, 14] \
+            and not out[14, 15, 14]
+        # the blob survives intact — every blob cell (incl. corners, which
+        # have 7 in-blob neighbors) clears min_neighbors=2
+        np.testing.assert_array_equal(out[4:10, 4:10, 4:10],
+                                      mask[4:10, 4:10, 4:10])
+        assert out.sum() == 6 ** 3
+
+    def test_zero_is_reference_identity(self):
+        from dreamwaltz_g_tpu.nerf.export import filter_isolated_cells
+        rng = np.random.default_rng(0)
+        mask = rng.uniform(size=(8, 8, 8)) > 0.7
+        np.testing.assert_array_equal(filter_isolated_cells(mask, 0), mask)
+
+
 class TestDetachBgWeightsSum:
     def test_no_grad_through_background_term(self):
         from dreamwaltz_g_tpu.nerf.renderer import composite_background

@@ -165,7 +165,7 @@ def test_nerf_dp_tp_step_runs():
     mesh = make_mesh_2d(dp=2, tp=2)
     B = 2
     H = W = 16
-    cfg = NeRFConfig(num_levels=2, level_dim=2, base_resolution=4,
+    cfg = NeRFConfig(backbone="tiledgrid", num_levels=2, level_dim=2, base_resolution=4,
                      desired_resolution=16, log2_hashmap_size=8,
                      grid_size=16, num_steps=16, bound=1.0,
                      compact_steps=0, max_ray_batch=0)

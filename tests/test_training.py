@@ -59,7 +59,7 @@ class TestGroupOptimizers:
     def test_nerf_groups(self):
         from dreamwaltz_g_tpu.nerf.network import build_nerf
 
-        model = build_nerf(NeRFConfig(num_levels=2, level_dim=2,
+        model = build_nerf(NeRFConfig(backbone="tiledgrid", num_levels=2, level_dim=2,
                                       desired_resolution=64,
                                       log2_hashmap_size=8))
         params = model.init(jax.random.PRNGKey(0))
@@ -107,7 +107,7 @@ class TestLosses:
     def test_sigma_margin_loss(self):
         from dreamwaltz_g_tpu.nerf.network import build_nerf
 
-        model = build_nerf(NeRFConfig(num_levels=2, desired_resolution=64,
+        model = build_nerf(NeRFConfig(backbone="tiledgrid", num_levels=2, desired_resolution=64,
                                       log2_hashmap_size=8),
                            with_background=False)
         params = model.init(jax.random.PRNGKey(0))
@@ -246,7 +246,7 @@ class TestPretrainStep:
             make_pretrain_step,
         )
 
-        cfg = NeRFConfig(num_levels=4, desired_resolution=64,
+        cfg = NeRFConfig(backbone="tiledgrid", num_levels=4, desired_resolution=64,
                          log2_hashmap_size=10, bound=1.0)
         model = build_nerf(cfg, with_background=False)
         tx = build_nerf_optimizer(cfg, 50)
@@ -717,7 +717,7 @@ class TestNeRFLRPolicies:
         from dreamwaltz_g_tpu.training.optim import build_nerf_optimizer
         from dreamwaltz_g_tpu.data.camera import make_camera_batch
 
-        cfg = NeRFConfig(num_levels=2, level_dim=2, base_resolution=4,
+        cfg = NeRFConfig(backbone="tiledgrid", num_levels=2, level_dim=2, base_resolution=4,
                          desired_resolution=16, log2_hashmap_size=8,
                          grid_size=16, num_steps=8, bound=1.0,
                          compact_steps=0, max_ray_batch=0,
