@@ -22,6 +22,7 @@ from dreamwaltz_g_tpu.utils.r_precision import make_tiny_r_precision
 
 
 class TestRPrecision:
+    @pytest.mark.slow  # 8 s; metric math covered fast by test_feature_shapes, e2e by the slow CLI test
     def test_identical_pairs_score_high(self):
         rp = make_tiny_r_precision(jax.random.PRNGKey(0))
         rng = np.random.default_rng(0)

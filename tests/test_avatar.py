@@ -75,6 +75,7 @@ def test_canonical_roundtrip(setup):
     np.testing.assert_allclose(np.asarray(back), np.asarray(cloud), atol=1e-4)
 
 
+@pytest.mark.slow  # 17 s; animate correctness covered fast by test_animate_jit_and_grads
 def test_animate_canonical_near_cloud(setup):
     model, state, cloud = setup
     gs = A.animate(model, state, observed_inputs=None)
@@ -191,6 +192,7 @@ def test_render_scene_sanity(setup):
         np.testing.assert_allclose(corner, [1, 1, 1], atol=0.02)
 
 
+@pytest.mark.slow  # 7 s; same equivalence asserted by the driver dryrun's frame-DP leg
 def test_frame_batched_render_matches_per_frame(setup):
     """make_avatar_render_frames (one dispatch, F frames via lax.map) must
     equal F single-frame renders (PERF.md 'batched frames' lever)."""

@@ -126,6 +126,7 @@ class TestOffsetCompositionTerms:
 
 
 class TestDeformLearnTemplate:
+    @pytest.mark.slow  # 18 s; wiring covered fast by test_all_six_keys_accepted + test_learned_template_changes_output
     def test_grads_flow_and_optimizer_steps(self):
         """deform_learn_v_template + deform_learn_lbs_weights: the template
         copies live in params.smpl_learn, receive gradients through the

@@ -274,6 +274,7 @@ def test_sample_pdf_concentrates():
     assert (s > 0.65).all() and (s < 0.85).all()
 
 
+@pytest.mark.slow  # 14 s internal-consistency check of a stable code path
 def test_ray_chunked_render_matches(small_cfg):
     """jax.checkpoint'ed ray-chunked rendering is exact vs the monolithic
     march (the HBM remat path used by the NeRF SDS trainer)."""
@@ -543,6 +544,7 @@ def test_triplane_weight_decay_shrinks_unobserved_planes():
                                   np.asarray(gp2.encoder.tables))
 
 
+@pytest.mark.slow  # 15 s (two pretrain-step compiles); DP behavior covered fast in test_parallel
 def test_triplane_volume_sparsity_suppresses_ghost_density():
     """``nerf.triplane_volume_sparsity`` (losses.volume_sparsity_loss)
     penalizes density at uniform random AABB points — the ghost-intersection
