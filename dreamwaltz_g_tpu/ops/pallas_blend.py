@@ -73,7 +73,7 @@ def _make_kernel(tile_size: int, tiles_x: int, chunk: int,
         # skip chunks past this tile's entry count, and terminate early once
         # every pixel's transmittance saturates (the CUDA rasterizer's
         # per-pixel T<1e-4 cutoff, tile-granular here)
-        nonempty = k * chunk < counts_ref[t]
+        nonempty = k * chunk < counts_ref[t, 0]
         live = jnp.max(logt_ref[:, 0]) > _LOG_T_EPS
 
         @pl.when(nonempty & live)
@@ -169,6 +169,12 @@ def blend_tiles_pallas(
     Ty = -(-image_height // tile_size)
     if tile_counts is None:
         tile_counts = jnp.sum(tile_lists < N, axis=-1).astype(jnp.int32)
+    # (T, 1) not (T,): a vmap over views/frames batches this operand to
+    # (B, T) whose auto block (Squeezed(), T) fails Mosaic's block rule
+    # (last two block dims must divide (8, 128) or span the array; 1 != B).
+    # The 2D layout batches to (Squeezed(), T, 1) — T % 8 == 0 and 1 == 1 —
+    # which lowers for any B (caught on-chip by profile_multiview, round 5).
+    tile_counts = tile_counts.reshape(-1, 1)
 
     kernel = _make_kernel(tile_size, Tx, C, alpha_clip, min_alpha)
     out = pl.pallas_call(
@@ -433,7 +439,7 @@ def _make_fwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
         # is (1, 8, P), revisited for 8 consecutive chunks: row = k % 8)
         ckpt_ref[0, k % 8] = logt_ref[:, 0]
 
-        nonempty = k * chunk < counts_ref[t]
+        nonempty = k * chunk < counts_ref[t, 0]
         live = jnp.max(logt_ref[:, 0]) > _LOG_T_EPS
 
         @pl.when(nonempty & live)
@@ -493,7 +499,7 @@ def _make_bwd_train_kernel(tile_size: int, tiles_x: int, chunk: int,
         dvals_ref[0] = jnp.zeros_like(dvals_ref[0])
 
         kf = pl.num_programs(1) - 1 - k  # forward chunk index
-        nonempty = kf * chunk < counts_ref[t]
+        nonempty = kf * chunk < counts_ref[t, 0]
         live = jnp.max(ckpt_ref[0, kf % 8]) > _LOG_T_EPS
 
         @pl.when(nonempty & live)
@@ -718,7 +724,8 @@ def blend_tiles_pallas_train(
         return ct_counts, d_attrs, d_vals
 
     panels_blend.defvjp(fwd, bwd)
-    out = panels_blend(tile_counts, g_attrs, g_vals)
+    # (T, 1) smem layout: batches legally under vmap (see blend_tiles_pallas)
+    out = panels_blend(tile_counts.reshape(-1, 1), g_attrs, g_vals)
 
     img = out[..., :CV].reshape(Ty, Tx, tile_size, tile_size, CV)
     img = img.transpose(0, 2, 1, 3, 4).reshape(
